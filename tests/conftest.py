@@ -14,6 +14,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's axon site hook force-registers the TPU platform and
+# overrides JAX_PLATFORMS; this config update wins (must run before any
+# backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 import numpy as np  # noqa: E402

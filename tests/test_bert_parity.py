@@ -1,0 +1,177 @@
+"""Golden-parity tests: flax BertImg stack vs HuggingFace torch BERT.
+
+The reference model is BERT-base exactly (vendored pytorch_transformers); the
+modern HF ``BertModel`` is numerically identical, so it serves as the golden
+implementation. We build tiny torch models with random weights, convert them
+with ``convert_bert_state_dict``, and require agreement to float32 tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from cpt_tpu.config.bert import tiny_bert_config
+from cpt_tpu.models.bert.heads import BertImgForPreTraining, REC_MLM_CPT
+from cpt_tpu.models.bert.model import BertImgModel, extend_attention_mask
+from cpt_tpu.utils import convert as cv
+
+from transformers import BertConfig as HFBertConfig
+from transformers.models.bert.modeling_bert import BertForPreTraining, BertModel
+
+CFG = tiny_bert_config()
+
+
+def hf_config():
+    return HFBertConfig(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        intermediate_size=CFG.intermediate_size,
+        max_position_embeddings=CFG.max_position_embeddings,
+        hidden_act="gelu",
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        layer_norm_eps=CFG.layer_norm_eps,
+        attn_implementation="eager",
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_bert():
+    torch.manual_seed(0)
+    model = BertModel(hf_config())
+    model.eval()
+    return model
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_text_only_parity(torch_bert):
+    B, T = 2, 11
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, CFG.vocab_size, (B, T)).astype(np.int32)
+    tt = rng.randint(0, 2, (B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[1, 8:] = 0
+
+    with torch.no_grad():
+        ref = torch_bert(input_ids=torch.tensor(ids, dtype=torch.long),
+                         attention_mask=torch.tensor(mask, dtype=torch.long),
+                         token_type_ids=torch.tensor(tt, dtype=torch.long))
+
+    params = {"params": cv.convert_bert_encoder(
+        {k: _np(v) for k, v in torch_bert.state_dict().items()}, CFG)}
+    model = BertImgModel(CFG)
+    seq, pooled = model.apply(params, jnp.asarray(ids), jnp.asarray(tt),
+                              jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(seq), _np(ref.last_hidden_state),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled), _np(ref.pooler_output),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_img_concat_parity(torch_bert):
+    """Image-feature path: torch golden computed through HF submodules the
+    same way the reference concatenates (`modeling_bert.py:244-273`)."""
+    B, T, R = 2, 9, 4
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, CFG.vocab_size, (B, T)).astype(np.int32)
+    tt = np.zeros((B, T), np.int32)
+    feats = rng.randn(B, R, CFG.img_feature_dim).astype(np.float32)
+    mask = np.ones((B, T + R), np.int32)
+    mask[0, T + 2:] = 0  # padded image slots
+
+    torch.manual_seed(3)
+    img_proj = torch.nn.Linear(CFG.img_feature_dim, CFG.hidden_size)
+
+    with torch.no_grad():
+        emb = torch_bert.embeddings(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long))
+        img_emb = img_proj(torch.tensor(feats))
+        full = torch.cat([emb, img_emb], dim=1)
+        ext = (1.0 - torch.tensor(mask, dtype=torch.float32)[:, None, None, :]) * -10000.0
+        ref_seq = torch_bert.encoder(full, attention_mask=ext).last_hidden_state
+
+    bert_params = cv.convert_bert_encoder(
+        {k: _np(v) for k, v in torch_bert.state_dict().items()}, CFG)
+    bert_params["img_embedding"] = {"kernel": cv._t(_np(img_proj.weight)),
+                                    "bias": _np(img_proj.bias)}
+    model = BertImgModel(CFG)
+    seq, _ = model.apply({"params": bert_params}, jnp.asarray(ids),
+                         jnp.asarray(tt), jnp.asarray(mask),
+                         img_feats=jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(seq), _np(ref_seq),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pretraining_heads_parity():
+    torch.manual_seed(4)
+    ref_model = BertForPreTraining(hf_config())
+    ref_model.eval()
+    B, T = 2, 7
+    rng = np.random.RandomState(5)
+    ids = rng.randint(0, CFG.vocab_size, (B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+
+    with torch.no_grad():
+        out = ref_model(input_ids=torch.tensor(ids, dtype=torch.long),
+                        attention_mask=torch.tensor(mask, dtype=torch.long))
+
+    sd = {k: _np(v) for k, v in ref_model.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, CFG)
+    model = BertImgForPreTraining(CFG)
+    _, mlm_logits, nsp_logits = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.zeros_like(jnp.asarray(ids)),
+        jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(mlm_logits), _np(out.prediction_logits),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(nsp_logits), _np(out.seq_relationship_logits),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_task_param_mapping():
+    torch.manual_seed(6)
+    ref_model = BertForPreTraining(hf_config())
+    sd = {k: _np(v) for k, v in ref_model.state_dict().items()}
+    pre = cv.convert_bert_state_dict(sd, CFG)
+
+    rec = cv.params_for_task(pre, "rec_mlm_cpt")
+    assert set(rec) == {"bert", "mlm_head"}
+    qar = cv.params_for_task(pre, "vcr_qar_nsp_cpt")
+    assert set(qar) == {"bert", "cls_ans", "cls_rat"}
+    np.testing.assert_array_equal(qar["cls_ans"]["dense"]["kernel"],
+                                  qar["cls_rat"]["dense"]["kernel"])
+
+    # the mapped tree must load into the task model: same treedef & shapes
+    model = REC_MLM_CPT(CFG)
+    B, T, R = 1, 6, 3
+    init = model.init(jax.random.PRNGKey(0), jnp.ones((B, T), jnp.int32),
+                      jnp.zeros((B, T), jnp.int32),
+                      jnp.ones((B, T + R), jnp.int32),
+                      jnp.ones((B, R, CFG.img_feature_dim)))["params"]
+    # pretraining converter does not emit img_embedding unless present in sd;
+    # overlay keeps the init value in that case
+    merged = cv.merge_pretrained_into_init(init, rec)
+    a = jax.tree_util.tree_structure(init)
+    b = jax.tree_util.tree_structure(jax.tree_util.tree_map(np.asarray, merged))
+    assert a == b
+
+    loss, logits = model.apply(
+        {"params": merged}, jnp.ones((B, T), jnp.int32),
+        jnp.zeros((B, T), jnp.int32), jnp.ones((B, T + R), jnp.int32),
+        jnp.ones((B, R, CFG.img_feature_dim)),
+        masked_lm_labels=jnp.full((B, T + R), -1, jnp.int32).at[:, 2].set(3))
+    assert np.isfinite(float(loss)) and logits.shape == (B, T + R, CFG.vocab_size)
+
+
+def test_extend_attention_mask_values():
+    m = jnp.array([[1, 1, 0]], jnp.int32)
+    bias = extend_attention_mask(m, jnp.float32)
+    assert bias.shape == (1, 1, 1, 3)
+    np.testing.assert_array_equal(np.asarray(bias[0, 0, 0]), [0.0, 0.0, -10000.0])
