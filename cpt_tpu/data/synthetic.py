@@ -1,0 +1,67 @@
+"""Synthetic RefCOCO-style fixtures: predictions.tsv + ann/det jsons.
+
+Used by smoke drivers and bench.py when no real CPT data/checkpoints are on
+disk (this environment has zero egress). The generated data carries a
+learnable signal: the correct candidate copy's region features have a marker
+so prompt-tuning can demonstrably improve accuracy.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+
+def generate_refcoco_fixture(root: str, n_queries: int = 8, n_copies: int = 4,
+                             n_objects: int = 10, feat_dim: int = 2054,
+                             seed: int = 0, marker: float = 3.0,
+                             split: str = "val") -> dict:
+    """Write predictions.tsv / ann.json / det.json under ``root``.
+
+    Returns the paths dict. Query q's correct candidate is copy ``q % n_copies``.
+    """
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    rows, anns = [], []
+
+    def gt_box(q):
+        return [10.0 * q, 10.0, 10.0 * q + 19.0, 29.0]
+
+    for q in range(n_queries):
+        objs, colors, rects = [], [], []
+        correct = q % n_copies
+        for c in range(n_copies):
+            feats = rng.randn(n_objects, feat_dim).astype(np.float32) * 0.1
+            if c == correct:
+                feats[:, 0] = marker
+            boxes = [{
+                "rect": [0, 0, 5, 5],
+                "class": "dog" if b else "cat",
+                "conf": 0.9,
+                "feature": encode_feature(feats[b]),
+            } for b in range(n_objects)]
+            objs.append(boxes)
+            colors.append(["red"])
+            cand = (gt_box(q) if c == correct
+                    else [200.0 + 30 * c, 200.0, 229.0 + 30 * c, 229.0])
+            rects.append([cand])
+        payload = {"objects": [objs, f"the red dog {q}", colors, rects]}
+        rows.append([f"{split}{q}", json.dumps(payload)])
+        g = gt_box(q)
+        anns.append({"id": f"{split}{q}",
+                     "bbox": [g[0], g[1], g[2] - g[0] + 1, g[3] - g[1] + 1]})
+
+    paths = {
+        "data_file": os.path.join(root, f"predictions_{split}.tsv"),
+        "ann_file": os.path.join(root, f"ann_{split}.json"),
+        "det_file": os.path.join(root, f"det_{split}.json"),
+    }
+    tsv_writer(rows, paths["data_file"])
+    json.dump(anns, open(paths["ann_file"], "w"))
+    json.dump({f"{split}{q}": ["cat"] + ["dog"] * (n_objects - 1)
+               for q in range(n_queries)}, open(paths["det_file"], "w"))
+    return paths

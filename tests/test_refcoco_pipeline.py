@@ -1,0 +1,149 @@
+"""End-to-end RefCOCO CPT slice on synthetic data: TSV → prompts → jitted
+scoring → accuracy, and a short prompt-tuning run that must learn."""
+import json
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.config.bert import tiny_bert_config
+from cpt_tpu.data.refcoco import RefcocoCPTData, iter_eval_batches, iter_train_batches
+from cpt_tpu.engine import train as train_lib
+from cpt_tpu.engine.scoring import make_mlm_at_mask_fn, refcoco_evaluate, run_mlm_batch
+from cpt_tpu.models.bert.heads import REC_MLM_CPT
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+CFG = tiny_bert_config(img_feature_dim=16, vocab_size=192)
+D = CFG.img_feature_dim
+N_QUERIES = 6
+N_COPIES = 3  # candidate boxes per query
+
+
+def _gt_box(q):  # xyxy, inclusive
+    return [10.0 * q, 10.0, 10.0 * q + 19.0, 29.0]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Synthetic predictions.tsv + ann/det jsons. The correct candidate's
+    feature carries a strong marker in dim 0 so prompt-tuning can learn."""
+    root = tmp_path_factory.mktemp("refcoco")
+    rng = np.random.RandomState(0)
+    rows, anns = [], []
+    for q in range(N_QUERIES):
+        objs, colors, rects = [], [], []
+        correct = q % N_COPIES
+        for c in range(N_COPIES):
+            boxes = []
+            feats = rng.randn(4, D).astype(np.float32) * 0.1
+            if c == correct:
+                feats[:, 0] = 3.0  # marker on the colored copy
+            for b in range(4):
+                boxes.append({
+                    "rect": [0, 0, 5, 5],
+                    "class": "dog" if b else "cat",
+                    "conf": 0.9,
+                    "feature": encode_feature(feats[b]),
+                })
+            objs.append(boxes)
+            colors.append(["red"])
+            # candidate rect for this copy: correct copy overlaps gt
+            cand = _gt_box(q) if c == correct else [200.0 + 30 * c, 200.0,
+                                                    229.0 + 30 * c, 229.0]
+            rects.append([cand])
+        payload = {"objects": [objs, f"the red dog {q}", colors, rects]}
+        rows.append([str(q), json.dumps(payload)])
+        gt = _gt_box(q)
+        anns.append({"id": str(q), "bbox": [gt[0], gt[1], gt[2] - gt[0] + 1,
+                                            gt[3] - gt[1] + 1]})
+    tsv_writer(rows, str(root / "predictions.tsv"))
+    json.dump(anns, open(root / "ann.json", "w"))
+    json.dump({str(q): ["cat", "dog", "dog", "dog"] for q in range(N_QUERIES)},
+              open(root / "det.json", "w"))
+    tok = BertTokenizer(toy_vocab())
+    return RefcocoCPTData(str(root / "predictions.tsv"), str(root / "ann.json"),
+                          str(root / "det.json"), tok, txt_seq_len=24,
+                          img_seq_len=6, img_feat_dim=D), tok
+
+
+def test_example_construction(dataset):
+    data, tok = dataset
+    ex = data.example(0)
+    assert len(ex.seqs) == N_COPIES
+    assert ex.seqs[0].mask_positions, "prompt must contain [MASK]"
+    # copy 0 is the correct candidate for query 0 → gt color "red", others "none"
+    red, none = tok.convert_tokens_to_ids("red"), tok.convert_tokens_to_ids("none")
+    assert ex.gt_color_ids[0] == red
+    assert all(g == none for g in ex.gt_color_ids[1:])
+    # color word prefixes exactly the colored object's od label
+    ids0 = ex.seqs[0].input_ids.tolist()
+    assert ids0.count(red) == 2  # one in text_b labels + ... (red appears once in caption too)
+
+
+def test_eval_batching_covers_all(dataset):
+    data, _ = dataset
+    seen = set()
+    for batch, examples in iter_eval_batches(data, batch_size=8):
+        assert batch.tensors.input_ids.shape[0] == 8
+        for ex_i, copy_i in batch.slot_meta:
+            seen.add((examples[ex_i].img_key, copy_i))
+    assert len(seen) == N_QUERIES * N_COPIES
+
+
+def test_zero_shot_eval_runs(dataset):
+    data, tok = dataset
+    model = REC_MLM_CPT(CFG)
+    ex = data.example(0)
+    t = ex.seqs[0]
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(t.input_ids[None]),
+                        jnp.asarray(t.segment_ids[None]),
+                        jnp.asarray(t.attention_mask[None]),
+                        jnp.zeros((1, data.img_seq_len, D)))
+    acc, preds = refcoco_evaluate(model, params, data, tok, batch_size=8)
+    assert 0.0 <= acc <= 100.0
+    assert len(preds) == N_QUERIES
+
+
+def test_prompt_tuning_learns(dataset):
+    data, tok = dataset
+    model = REC_MLM_CPT(CFG)
+    ex = data.example(0)
+    t = ex.seqs[0]
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.asarray(t.input_ids[None]),
+                        jnp.asarray(t.segment_ids[None]),
+                        jnp.asarray(t.attention_mask[None]),
+                        jnp.zeros((1, data.img_seq_len, D)))
+    cfg = train_lib.OptimConfig(learning_rate=5e-3, warmup_steps=2,
+                                num_train_steps=60, weight_decay=0.01)
+    tx = train_lib.build_optimizer(params, cfg)
+    state = train_lib.create_train_state(params, tx)
+    step_fn = train_lib.make_mlm_train_step(model, tx, dropout=False)
+
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    for epoch in range(10):
+        for fb in iter_train_batches(data, batch_size=8, seed=epoch):
+            rng, sub = jax.random.split(rng)
+            state, loss = step_fn(state, train_lib.batch_arrays_mlm(fb), sub)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, f"loss did not drop: {losses[0]} -> {losses[-1]}"
+
+    acc, _ = refcoco_evaluate(model, state.params, data, tok, batch_size=8)
+    assert acc >= 50.0, f"tuned accuracy too low: {acc}"
+
+
+def test_lr_schedule_reference_shape():
+    sched = train_lib.make_lr_schedule(
+        train_lib.OptimConfig(learning_rate=1.0, warmup_steps=10,
+                              num_train_steps=110))
+    assert float(sched(0)) <= 1e-6
+    assert abs(float(sched(5)) - 0.5) < 1e-6
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert abs(float(sched(60)) - 0.5) < 1e-6
+    assert float(sched(200)) == pytest.approx(1e-8)
