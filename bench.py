@@ -1,0 +1,83 @@
+"""Benchmark: Oscar CPT scoring throughput on TPU (flagship metric).
+
+Measures the stage-2 hot loop — jitted bf16 ``REC_MLM_CPT`` forward with
+logits gathered at the [MASK] position (the RefCOCO/GQA/VG scoring path,
+reference ``Oscar/oscar/fewshot/refcoco_cpt.py:258-291``) — on the real
+Oscar-base configuration (12×768 BERT + 2054-d region features, 70 text +
+50 region tokens).
+
+Prints ONE JSON line:
+  {"metric": "oscar_cpt_queries_per_sec", "value": N, "unit": "seq/s",
+   "vs_baseline": N / A100_BASELINE}
+
+Baseline: the reference's stage-2 scoring on A100 (PyTorch fp16, DataParallel
+batch inference of BertImgModel at the same shapes) sustains ~2000 seq/s;
+the driver targets ≥5× per chip (BASELINE.md "Rebuild targets").
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_SEQ_PER_SEC = 2000.0
+
+BATCH = 128  # best measured batch for single-chip v5e latency/throughput
+TXT, IMG = 70, 50
+
+
+def main():
+    from cpt_tpu.config.bert import OSCAR_BASE
+    from cpt_tpu.models.bert.heads import REC_MLM_CPT
+
+    cfg = OSCAR_BASE
+    model = REC_MLM_CPT(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, cfg.vocab_size, (BATCH, TXT)).astype(np.int32)
+    ids[:, 5] = 103
+    batch = (
+        jnp.asarray(ids),
+        jnp.zeros((BATCH, TXT), jnp.int32),
+        jnp.ones((BATCH, TXT + IMG), jnp.int32),
+        jnp.asarray(rng.randn(BATCH, IMG, cfg.img_feature_dim)
+                    .astype(np.float32)),
+        jnp.full((BATCH,), 5, jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(0), *batch[:4])
+
+    input_ids, token_type_ids, attention_mask, img_feats, mask_pos = batch
+    n_iter = 30
+
+    # Whole timing loop on device (lax.scan with a carried data dependency):
+    # host-side per-call timing is distorted by the remote-relay dispatch
+    # latency of this environment.
+    @jax.jit
+    def bench_loop(params, feats):
+        def body(f, _):
+            _, at_mask = model.apply(params, input_ids, token_type_ids,
+                                     attention_mask, img_feats=f,
+                                     mask_pos=mask_pos)
+            f = f + (at_mask.astype(jnp.float32).mean() * 1e-24).astype(f.dtype)
+            return f, ()
+        f, _ = jax.lax.scan(body, feats, None, length=n_iter)
+        return f
+
+    bench_loop(params, img_feats).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    bench_loop(params, img_feats).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    qps = BATCH * n_iter / dt
+    print(json.dumps({
+        "metric": "oscar_cpt_queries_per_sec",
+        "value": round(qps, 1),
+        "unit": "seq/s",
+        "vs_baseline": round(qps / A100_BASELINE_SEQ_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

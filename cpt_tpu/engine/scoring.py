@@ -34,9 +34,10 @@ def make_mlm_at_mask_fn(model) -> Callable:
 
     @jax.jit
     def fn(params, input_ids, segment_ids, attention_mask, img_feats, mask_pos):
-        _, logits = model.apply(params, input_ids, segment_ids,
-                                attention_mask, img_feats=img_feats)
-        at_mask = logits[jnp.arange(logits.shape[0]), mask_pos]
+        # fast path: vocab projection only at the gathered [MASK] positions
+        _, at_mask = model.apply(params, input_ids, segment_ids,
+                                 attention_mask, img_feats=img_feats,
+                                 mask_pos=mask_pos)
         return at_mask.astype(jnp.float32)
 
     return fn

@@ -132,13 +132,16 @@ def make_mlm_train_step(model, tx, *, dropout: bool = True):
 
     def loss_fn(params, batch, rng):
         input_ids, segment_ids, attention_mask, img_feats, mask_pos, labels = batch
-        total_len = attention_mask.shape[1]
-        mlm_labels = scatter_mlm_labels(labels, mask_pos, total_len)
         rngs = {"dropout": rng} if dropout else {}
-        loss, _ = model.apply(params, input_ids, segment_ids, attention_mask,
-                              img_feats=img_feats, masked_lm_labels=mlm_labels,
-                              deterministic=not dropout, rngs=rngs)
-        return loss
+        # fast path: CPT losses live only at the [MASK] position, so score
+        # (and backprop) the vocab projection at the gathered position only —
+        # same math as full-sequence MLM CE with ignore_index=-1
+        _, at_mask = model.apply(params, input_ids, segment_ids, attention_mask,
+                                 img_feats=img_feats, mask_pos=mask_pos,
+                                 deterministic=not dropout, rngs=rngs)
+        from cpt_tpu.models.bert.heads import cross_entropy_ignore_index
+
+        return cross_entropy_ignore_index(at_mask, labels)
 
     @jax.jit
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
