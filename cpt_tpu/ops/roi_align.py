@@ -1,0 +1,136 @@
+"""RoIAlign as separable interpolation matmuls — TPU-native design.
+
+Replaces the reference's CUDA kernel
+(``prompt_feat/maskrcnn_benchmark/csrc/cuda/ROIAlign_cuda.cu``, legacy
+``aligned=False`` semantics used by ``modeling/poolers.py:45-122``).
+
+Instead of per-sample bilinear gathers (random access — hostile to the TPU
+memory system), we exploit that RoIAlign is *separable*: with sample points
+``y(p,s) = y0 + (p + (s+.5)/S) * bin_h`` the pooled value is
+
+    out[p_y, p_x, c] = Σ_h Σ_w  Ry[p_y, h] · Rx[p_x, w] · f[h, w, c]
+
+where ``Ry[p, h] = (1/S) Σ_s  w_bilin(y(p,s), h)`` already folds the in-bin
+average over the S×S sample grid. Per RoI this is two dense matmuls
+(``(P,H)×(H,W·C)`` then ``(P,W)×(W,P·C)``) that run on the MXU, instead of
+``P·P·S·S·4`` scattered loads. Everything is static-shape: N RoIs in, N
+pooled maps out, invalid RoIs masked by the caller.
+
+Gradients come for free through the einsums (the reference needed a
+hand-written backward kernel, ``ROIAlign_cuda.cu`` backward half).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _interp_matrix(starts: Array, bin_sizes: Array, size: int, pooled: int,
+                   sampling: int, dtype) -> Array:
+    """Build R[n, pooled, size]: folded bilinear+average interpolation rows.
+
+    starts:    [N] RoI start coordinate (already scaled to feature space)
+    bin_sizes: [N] RoI bin size (roi_extent / pooled)
+    """
+    n = starts.shape[0]
+    # sample positions: pos[n, p, s] = start + (p + (s+0.5)/S) * bin
+    p_idx = jnp.arange(pooled, dtype=jnp.float32)
+    s_idx = (jnp.arange(sampling, dtype=jnp.float32) + 0.5) / sampling
+    offs = p_idx[:, None] + s_idx[None, :]                        # [P, S]
+    pos = starts[:, None, None] + offs[None] * bin_sizes[:, None, None]
+
+    # legacy (aligned=False) clamping: pos < -1 or > size → skip (weight 0);
+    # then pos clamped to [0, size-1] with border handling
+    in_range = (pos >= -1.0) & (pos <= size)
+    pos = jnp.clip(pos, 0.0, size - 1)
+    low = jnp.floor(pos)
+    frac = pos - low
+    low = low.astype(jnp.int32)                                    # [N, P, S]
+    high = jnp.minimum(low + 1, size - 1)
+
+    # scatter bilinear weights into [N, P, S, size] then reduce S
+    grid = jnp.arange(size, dtype=jnp.int32)
+    w_low = (1.0 - frac) * in_range
+    w_high = frac * in_range
+    rows = (
+        w_low[..., None] * (grid == low[..., None])
+        + w_high[..., None] * (grid == high[..., None])
+    )                                                              # [N,P,S,size]
+    return (rows.sum(axis=2) / sampling).astype(dtype)             # [N,P,size]
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "sampling",
+                                             "spatial_scale", "chunk"))
+def roi_align(features: Array, rois: Array, *, spatial_scale: float,
+              pooled: int = 14, sampling: int = 2,
+              chunk: int = 32) -> Array:
+    """RoIAlign over a single feature map.
+
+    features: [H, W, C] (NHWC, one image)   rois: [N, 4] xyxy in image coords
+    returns:  [N, pooled, pooled, C]
+
+    Matches the reference CUDA kernel with a fixed ``sampling_ratio``
+    (the VinVL config's adaptive ``sampling_ratio=0`` is approximated with
+    ``sampling=2``; numerics verified against torchvision in tests).
+    """
+    h, w, c = features.shape
+    n = rois.shape[0]
+    dtype = features.dtype
+
+    scale = jnp.float32(spatial_scale)
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    x2 = rois[:, 2] * scale
+    y2 = rois[:, 3] * scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / pooled
+    bin_h = roi_h / pooled
+
+    ry = _interp_matrix(y1, bin_h, h, pooled, sampling, dtype)     # [N,P,H]
+    rx = _interp_matrix(x1, bin_w, w, pooled, sampling, dtype)     # [N,P,W]
+
+    # chunked over RoIs to bound the [chunk, P, W, C] intermediate
+    pad = (-n) % chunk
+    ry_p = jnp.pad(ry, ((0, pad), (0, 0), (0, 0)))
+    rx_p = jnp.pad(rx, ((0, pad), (0, 0), (0, 0)))
+
+    def body(carry, inputs):
+        ry_c, rx_c = inputs                                         # [chunk,P,{H,W}]
+        t = jnp.einsum("nph,hwc->npwc", ry_c, features,
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("nqw,npwc->npqc", rx_c, t.astype(dtype),
+                         preferred_element_type=jnp.float32)
+        return carry, out.astype(dtype)
+
+    n_chunks = (n + pad) // chunk
+    _, outs = jax.lax.scan(
+        body, (),
+        (ry_p.reshape(n_chunks, chunk, pooled, h),
+         rx_p.reshape(n_chunks, chunk, pooled, w)))
+    out = outs.reshape(n_chunks * chunk, pooled, pooled, c)
+    return out[:n]
+
+
+def roi_align_batched(features: Array, rois: Array, roi_batch_idx: Array,
+                      **kw) -> Array:
+    """Multi-image RoIAlign: features [B, H, W, C], roi_batch_idx [N].
+
+    Gathers each RoI's source image then runs the single-image kernel —
+    feature maps are selected per chunk via one-hot matmul to stay static.
+    For B small (extraction uses 1-2 images per device) a vmap-over-select
+    is cheapest.
+    """
+    b = features.shape[0]
+    if b == 1:
+        return roi_align(features[0], rois, **kw)
+    onehot = jax.nn.one_hot(roi_batch_idx, b, dtype=features.dtype)  # [N, B]
+    # per-roi feature map: contract over batch — avoids dynamic gather of
+    # whole feature maps; XLA turns this into selects for small B
+    per_roi = jnp.einsum("nb,bhwc->nhwc", onehot, features)
+    return jax.vmap(lambda f, r: roi_align(f, r[None], **kw)[0])(per_roi, rois)
