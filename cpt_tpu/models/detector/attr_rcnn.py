@@ -1,0 +1,119 @@
+"""AttrRCNN — the VinVL detector assembled (backbone → RPN → box head →
+post-processing → attribute head).
+
+Parity with reference ``scene_graph_benchmark/AttrRCNN.py:15-110``:
+  * ``force_boxes`` extraction mode: proposals are the given candidate boxes
+    (``AttrRCNN.py:72-82``); the DDP "null RPN loss" hack is unnecessary
+    under jit
+  * otherwise RPN proposals
+  * box head runs on proposals; post-processing is force-boxes attach or
+    ``filter_results_fast``
+  * attribute head re-pools the FINAL detections with its own stage-5
+    feature extractor and classifies attributes conditioned on the
+    predicted labels (``attribute_head.py:22-66``)
+
+Static-shape contract: one image per call (extraction batches vmap over
+images), fixed proposal/detection slot counts with validity masks.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.models.detector.config import DetectorConfig
+from cpt_tpu.models.detector.heads import (AttributePredictor,
+                                           BoxFeatureExtractor,
+                                           FastRCNNPredictor,
+                                           postprocess_fast,
+                                           postprocess_force_boxes)
+from cpt_tpu.models.detector.resnet import ResNetC4, ResNetC5Head
+from cpt_tpu.models.detector.rpn import RPNHead, select_proposals
+from cpt_tpu.ops.roi_align import roi_align
+
+Array = jax.Array
+
+
+class AttrRCNN(nn.Module):
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.backbone = ResNetC4(c.backbone, self.dtype, name="backbone")
+        self.rpn_head = RPNHead(c.rpn.num_anchors, self.dtype, name="rpn")
+        self.box_extractor = BoxFeatureExtractor(c, self.dtype,
+                                                 name="box_extractor")
+        self.box_predictor = FastRCNNPredictor(c, self.dtype,
+                                               name="box_predictor")
+        self.attr_extractor = BoxFeatureExtractor(c, self.dtype,
+                                                  name="attr_extractor")
+        self.attr_predictor = AttributePredictor(c, self.dtype,
+                                                 name="attr_predictor")
+
+    def features(self, image: Array) -> Array:
+        """image [H, W, 3] (BGR255, mean-subtracted) → C4 map [h, w, 1024]."""
+        return self.backbone(image[None])[0]
+
+    def __call__(self, image: Array, image_hw: Array,
+                 force_boxes: Optional[Array] = None,
+                 force_valid: Optional[Array] = None,
+                 anchors: Optional[Array] = None,
+                 with_attributes: bool = True) -> Dict[str, Array]:
+        """Single-image inference.
+
+        image     [H, W, 3] preprocessed pixels (padded canvas)
+        image_hw  [2] true (unpadded) image size
+        force_boxes/force_valid: [M, 4]/[M] — extraction mode when given
+        anchors   [h*w*A, 4] precomputed grid anchors (RPN mode)
+        """
+        c = self.config
+        feat = self.features(image)
+
+        if force_boxes is not None:
+            proposals, prop_valid = force_boxes, force_valid
+            # touch the RPN head on a 1×1 slice so its params exist in every
+            # mode (single param tree regardless of extraction/detection path)
+            self.rpn_head(feat[None, :1, :1, :])
+        else:
+            assert anchors is not None, "RPN mode needs precomputed anchors"
+            logits, deltas = self.rpn_head(feat[None])
+            proposals, _scores, prop_valid = select_proposals(
+                c.rpn, logits[0], deltas[0], anchors, image_hw)
+
+        x = self.box_extractor(feat, proposals)
+        cls_logits, box_deltas, pooled = self.box_predictor(x)
+
+        if force_boxes is not None:
+            out = postprocess_force_boxes(cls_logits, pooled, proposals,
+                                          prop_valid)
+        else:
+            out = postprocess_fast(c, cls_logits, box_deltas, pooled,
+                                   proposals, prop_valid, image_hw)
+
+        if with_attributes:
+            ax = self.attr_extractor(feat, out["boxes"])
+            attr_logits, _ = self.attr_predictor(ax, out["labels"])
+            out["attr_logits"] = attr_logits.astype(jnp.float32)
+        return out
+
+
+def geometry_features(boxes: Array, image_hw: Array) -> Array:
+    """The 6 normalized box-geometry dims appended to the 2048-d pooled
+    feature (reference ``engine/inference_ref.py:263-274``):
+    (x1/W, y1/H, x2/W, y2/H, (x2-x1)/W, (y2-y1)/H) — exclusive extents."""
+    h = image_hw[0].astype(jnp.float32)
+    w = image_hw[1].astype(jnp.float32)
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    return jnp.stack([x1 / w, y1 / h, x2 / w, y2 / h,
+                      (x2 - x1) / w, (y2 - y1) / h], axis=-1)
+
+
+def region_features_2054(pooled_2048: Array, boxes: Array,
+                         image_hw: Array) -> Array:
+    """Concatenate pooled features with geometry → the 2054-d TSV features."""
+    return jnp.concatenate(
+        [pooled_2048, geometry_features(boxes, image_hw).astype(pooled_2048.dtype)],
+        axis=-1)

@@ -1,0 +1,162 @@
+"""RoI box head, post-processing, and attribute head.
+
+Parity with reference ``maskrcnn_benchmark/modeling/roi_heads/box_head`` and
+``scene_graph_benchmark/attribute_head``:
+  * feature extractor = RoIAlign pooler (res 14, scale 1/16) → ResNet stage-5
+    head (``roi_box_feature_extractors.py:16-61``)
+  * ``FastRCNNPredictor``: global avgpool → cls/reg linears
+    (``roi_box_predictors.py:8-38``)
+  * post-processing ``filter_results_fast`` (``box_head/inference.py:310-353``)
+    and the force-boxes extraction path (``inference.py:106-119``) with
+    avg-pooled ``box_features`` / ``scores_all`` / ``boxes_all`` attachments
+  * ``AttributeRCNNPredictor``: avgpool ⊕ class embedding → fc → 525-way
+    scores (``roi_attribute_predictors.py:10-38``)
+
+All outputs are fixed-shape with validity masks (XLA static-shape contract).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.models.detector.config import DetectorConfig
+from cpt_tpu.models.detector.resnet import ResNetC5Head
+from cpt_tpu.ops.nms import NEG_INF, nms_padded
+from cpt_tpu.ops.roi_align import roi_align
+from cpt_tpu.structures.boxes import decode_boxes
+
+Array = jax.Array
+
+
+class BoxFeatureExtractor(nn.Module):
+    """RoIAlign(14², 1/16) → stage-5 head → [N, 7, 7, 2048]."""
+
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_map: Array, rois: Array) -> Array:
+        rh = self.config.roi_heads
+        pooled = roi_align(feature_map, rois,
+                           spatial_scale=rh.pooler_scale,
+                           pooled=rh.pooler_resolution,
+                           sampling=rh.pooler_sampling_ratio)
+        return ResNetC5Head(self.config.backbone, self.dtype,
+                            name="head")(pooled)
+
+
+class FastRCNNPredictor(nn.Module):
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+        """x [N, 7, 7, C] → (cls_logits [N, classes], bbox_deltas, pooled [N, C])."""
+        rh = self.config.roi_heads
+        pooled = jnp.mean(x, axis=(1, 2))
+        cls_logits = nn.Dense(rh.num_classes, name="cls_score",
+                              dtype=self.dtype)(pooled)
+        n_reg = 2 if rh.cls_agnostic_bbox_reg else rh.num_classes
+        bbox = nn.Dense(n_reg * 4, name="bbox_pred", dtype=self.dtype)(pooled)
+        return cls_logits, bbox, pooled
+
+
+class AttributePredictor(nn.Module):
+    """avgpool(RoI feat) ⊕ Embed(label) → fc+relu → attribute scores."""
+
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, labels: Array) -> Tuple[Array, Array]:
+        a = self.config.attributes
+        pooled = jnp.mean(x, axis=(1, 2)) if x.ndim == 4 else x
+        emb = nn.Embed(self.config.roi_heads.num_classes, a.cls_emd_dim,
+                       name="cls_embedding", dtype=self.dtype)(labels)
+        h = nn.Dense(a.attr_emd_dim, name="fc_attr",
+                     dtype=self.dtype)(jnp.concatenate([pooled, emb], -1))
+        h = jax.nn.relu(h)
+        return nn.Dense(a.num_attributes, name="attr_score",
+                        dtype=self.dtype)(h), h
+
+
+def postprocess_force_boxes(class_logits: Array, pooled_features: Array,
+                            boxes: Array, valid: Array) -> Dict[str, Array]:
+    """Extraction-mode post-processing (reference ``inference.py:106-119``):
+    keep the given boxes, attach max-class label/score (excluding
+    background), pooled features, and the full softmax."""
+    prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+    fg = prob[:, 1:]
+    scores = jnp.max(fg, axis=-1)
+    labels = jnp.argmax(fg, axis=-1) + 1
+    return {
+        "boxes": boxes,
+        "scores": jnp.where(valid, scores, 0.0),
+        "labels": jnp.where(valid, labels, 0),
+        "box_features": pooled_features,
+        "scores_all": prob,
+        "valid": valid,
+    }
+
+
+def postprocess_fast(cfg: DetectorConfig, class_logits: Array,
+                     box_deltas: Array, pooled_features: Array,
+                     proposals: Array, proposal_valid: Array,
+                     image_hw: Array) -> Dict[str, Array]:
+    """``filter_results_fast`` with static shapes (``inference.py:310-353``):
+
+    1. decode per-class boxes, clip, then **mean over classes** (the
+       reference's ``bbox.reshape(-1, C, 4).mean(1)``)
+    2. per-box max foreground class → (score, label)
+    3. prefilter: w ≥ 0, h ≥ 0, score > score_thresh·0.01
+    4. single NMS (0.5), sort by score desc
+    5. n_dets = clamp(#\\{score ≥ score_thresh\\}, min_det, max_det); emit
+       ``detections_per_img`` slots with a validity mask of length n_dets.
+    """
+    rh = cfg.roi_heads
+    prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+    n, c = prob.shape
+
+    decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
+                           rh.bbox_reg_weights)           # [N, C*4]
+    decoded = decoded.reshape(n, c, 4)
+    h = image_hw[0].astype(jnp.float32)
+    w = image_hw[1].astype(jnp.float32)
+    decoded = jnp.stack([
+        jnp.clip(decoded[..., 0], 0, w - 1),
+        jnp.clip(decoded[..., 1], 0, h - 1),
+        jnp.clip(decoded[..., 2], 0, w - 1),
+        jnp.clip(decoded[..., 3], 0, h - 1),
+    ], axis=-1)
+    bbox = decoded.mean(axis=1)                            # [N, 4]
+
+    fg = prob[:, 1:]
+    scores = jnp.max(fg, axis=-1)
+    labels = jnp.argmax(fg, axis=-1) + 1
+
+    ws = bbox[:, 2] - bbox[:, 0]
+    hs = bbox[:, 3] - bbox[:, 1]
+    keep = (ws >= 0) & (hs >= 0) & (scores > rh.score_thresh * 0.01)
+    keep = keep & proposal_valid
+
+    max_det = rh.detections_per_img
+    idx, kept = nms_padded(bbox, scores, keep, rh.nms_thresh, max_out=max_det)
+    # nms_padded emits picks in descending score order already
+    out_scores = jnp.where(kept, scores[idx], 0.0)
+    num_above = jnp.sum((out_scores >= rh.score_thresh) & kept)
+    n_dets = jnp.clip(num_above, rh.min_detections_per_img, max_det)
+    n_dets = jnp.minimum(n_dets, jnp.sum(kept))
+    slot = jnp.arange(max_det)
+    valid = slot < n_dets
+
+    return {
+        "boxes": bbox[idx],
+        "scores": out_scores,
+        "labels": jnp.where(valid, labels[idx], 0),
+        "box_features": pooled_features[idx],
+        "scores_all": prob[idx],
+        "valid": valid & kept,
+    }
