@@ -45,7 +45,7 @@ def main():
                     .astype(np.float32)),
         jnp.full((BATCH,), 5, jnp.int32),
     )
-    params = model.init(jax.random.PRNGKey(0), *batch[:4])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *batch[:4])
 
     input_ids, token_type_ids, attention_mask, img_feats, mask_pos = batch
     n_iter = 30

@@ -16,6 +16,47 @@ import numpy as np
 from cpt_tpu.utils.tsv import encode_feature, tsv_writer
 
 
+def generate_gqa_fixture(root: str, n_questions: int = 12, n_objects: int = 6,
+                         feat_dim: int = 64, seed: int = 0,
+                         answers=("red", "blue", "green")) -> dict:
+    """GQA-style fixture: plain + color feature TSVs, questions, ans2label.
+
+    The correct answer's index is marked into the features (dim 0) so
+    prompt-tuning can learn; color rows carry rewrite metadata.
+    """
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    plain_rows, color_rows, questions = [], [], []
+    for q in range(n_questions):
+        ans = q % len(answers)
+        feats = rng.randn(n_objects, feat_dim).astype(np.float32) * 0.1
+        feats[:, 0] = float(ans)
+        boxlist = [{"rect": [0, 0, 5, 5], "class": "dog",
+                    "conf": 0.9, "feature": encode_feature(f)} for f in feats]
+        img_id = f"im{q}"
+        plain_rows.append([img_id, json.dumps({"objects": boxlist})])
+        # color row keyed by q_id; reference layout: objects[1][0] =
+        # positions_and_colors = [[(start,), color_name], ...]
+        meta = [[[[4], "red"]]]
+        color_rows.append([f"q{q}", json.dumps(
+            {"objects": [boxlist, meta]})])
+        questions.append({"q_id": f"q{q}", "img_id": img_id,
+                          "question": f"what color is the dog {q}",
+                          "label": ans})
+    paths = {
+        "img_feat_file": os.path.join(root, "predictions.tsv"),
+        "color_img_feat_file": os.path.join(root, "color_predictions.tsv"),
+        "questions": os.path.join(root, "questions.json"),
+        "ans2label": os.path.join(root, "ans2label.json"),
+    }
+    tsv_writer(plain_rows, paths["img_feat_file"])
+    tsv_writer(color_rows, paths["color_img_feat_file"])
+    json.dump(questions, open(paths["questions"], "w"))
+    json.dump({a: i for i, a in enumerate(answers)},
+              open(paths["ans2label"], "w"))
+    return paths
+
+
 def generate_refcoco_fixture(root: str, n_queries: int = 8, n_copies: int = 4,
                              n_objects: int = 10, feat_dim: int = 2054,
                              seed: int = 0, marker: float = 3.0,

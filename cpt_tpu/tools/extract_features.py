@@ -1,0 +1,149 @@
+"""Stage-1 extraction driver — RefCOCO colorful-prompt feature extraction.
+
+Mirrors the reference entry point ``prompt_feat/tools/test_refcoco_net.py``
+(+ ``cmds/refcoco/cpt/refcoco_val.sh``): loads the VinVL X152-C4 detector,
+renders the colored prompt per candidate region on device, extracts 2054-d
+region features in force-boxes mode, and writes the interchange
+``predictions.tsv``.
+
+Sharding: ``--total_step/--cur_step`` slice the annotation list exactly like
+the reference's resumable shard loop (``refcocodataset.py:186-196``), and
+``--n_shot/--rand_seed`` reproduce its few-shot subset sampling
+(``refcocodataset.py:199-206``).
+
+Without real data, ``--synthetic N`` extracts N random queries (smoke/bench).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpt_tpu.engine.extract import Extractor, refcoco_task
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+from cpt_tpu.models.detector.config import VINVL_X152C4, tiny_detector_config
+from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ann_file", default=None)
+    p.add_argument("--det_file", default=None)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--labelmap", default=None)
+    p.add_argument("--checkpoint", default=None, help="vinvl_vg_x152c4.pth")
+    p.add_argument("--output", required=True, help="predictions.tsv path")
+    p.add_argument("--total_step", type=int, default=None)
+    p.add_argument("--cur_step", type=int, default=None)
+    p.add_argument("--n_shot", type=int, default=None)
+    p.add_argument("--rand_seed", type=int, default=None)
+    p.add_argument("--copies_per_chunk", type=int, default=4)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny detector config (smoke tests)")
+    p.add_argument("--synthetic", type=int, default=None,
+                   help="extract N synthetic queries instead of real data")
+    return p
+
+
+def shard_and_sample(anns, args):
+    if args.total_step is not None and args.cur_step is not None:
+        period = len(anns) // args.total_step
+        if args.cur_step == args.total_step - 1:
+            anns = anns[period * args.cur_step:]
+        else:
+            anns = anns[period * args.cur_step: period * (args.cur_step + 1)]
+    if args.n_shot is not None:
+        rng = random.Random()
+        rng.seed(args.rand_seed)
+        anns = list(anns)
+        rng.shuffle(anns)
+        anns = anns[: args.n_shot]
+    return anns
+
+
+def load_image(path, pad_h, pad_w):
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    canvas = np.zeros((pad_h, pad_w, 3), np.uint8)
+    canvas[:h, :w] = np.asarray(img)[:pad_h, :pad_w]
+    return canvas, (min(h, pad_h), min(w, pad_w))
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = AttrRCNN(cfg, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    init_img = jnp.zeros((cfg.input.pad_h, cfg.input.pad_w, 3), jnp.uint8)
+    init_params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        init_img.astype(jnp.float32), jnp.asarray([64, 64]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+    if args.checkpoint:
+        params = {"params": load_vinvl_checkpoint(args.checkpoint, cfg)}
+        print(f"loaded {args.checkpoint}")
+    else:
+        params = init_params
+        print("WARNING: random detector weights (no --checkpoint)")
+
+    labelmap = None
+    if args.labelmap:
+        lm = json.load(open(args.labelmap))
+        # VG-SGG-dicts layout: {"idx_to_label": {"1": "name", ...}}
+        src = lm.get("idx_to_label", lm)
+        labelmap = {int(k): v for k, v in src.items()}
+
+    extractor = Extractor(model, params, cfg, labelmap=labelmap,
+                          copies_per_chunk=args.copies_per_chunk)
+
+    def tasks():
+        if args.synthetic is not None:
+            for q in range(args.synthetic):
+                img = rng.randint(0, 256,
+                                  (cfg.input.pad_h, cfg.input.pad_w, 3)
+                                  ).astype(np.uint8)
+                dets = np.array([[4, 4, 60, 60], [70, 10, 130, 80],
+                                 [20, 90, 90, 160]], np.float32)
+                yield refcoco_task(f"syn{q}", img,
+                                   (cfg.input.pad_h, cfg.input.pad_w),
+                                   dets, f"the red thing {q}")
+            return
+        anns = json.load(open(args.ann_file))
+        anns = shard_and_sample(anns, args)
+        det_dic = json.load(open(args.det_file))
+
+        def img_id(name):
+            return str(int(name.replace(".jpg", "").split("_")[-1]))
+
+        for ann in anns:
+            rawdets = det_dic[img_id(ann["file_name"])]
+            dets = np.asarray([d["box"] for d in rawdets], np.float32)
+            dets[:, 2] = dets[:, 0] + dets[:, 2] - 1
+            dets[:, 3] = dets[:, 1] + dets[:, 3] - 1
+            img, hw = load_image(os.path.join(args.image_root,
+                                              ann["file_name"]),
+                                 cfg.input.pad_h, cfg.input.pad_w)
+            yield refcoco_task(str(ann["id"]), img, hw, dets, ann["caption"])
+
+    t0 = time.time()
+    extractor.run(tasks(), args.output)
+    dt = time.time() - t0
+    print(f"wrote {args.output}: {extractor.n_copies} copies in {dt:.1f}s "
+          f"({extractor.n_copies / max(extractor.infer_seconds, 1e-9):.2f} "
+          f"copies/s device, {extractor.n_copies / dt:.2f} copies/s e2e)")
+
+
+if __name__ == "__main__":
+    main()

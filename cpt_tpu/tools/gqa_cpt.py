@@ -1,0 +1,179 @@
+"""GQA CPT driver — few-shot prompt tuning + answer-vocab eval.
+
+Mirrors reference ``Oscar/oscar/fewshot/gqa_cpt.py``: REC_MLM_CPT scores the
+answer vocabulary's first tokens at the [MASK] slot; training uses the
+"one optimizer step = full train set" recipe (grad accumulation sized to
+the sampled dataset, ``gqa_cpt.py:328-334``); best model selected by val
+accuracy. Results saved as ``val_results.pk``-style pickles for the
+reference eval scripts (``eval/gqa/show*.py``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpt_tpu.config.bert import OSCAR_BASE
+from cpt_tpu.data.gqa import GQACPTData, load_gqa_examples
+from cpt_tpu.engine import train as train_lib
+from cpt_tpu.engine.scoring import make_mlm_at_mask_fn
+from cpt_tpu.models.bert.heads import REC_MLM_CPT
+from cpt_tpu.utils import convert as cv
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--img_feat_file", required=True)
+    p.add_argument("--color_img_feat_file", default=None)
+    p.add_argument("--questions", required=True, help="train questions json")
+    p.add_argument("--val_questions", default=None)
+    p.add_argument("--ans2label", required=True, help="json {answer: label}")
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None, help="val_results.pk path")
+    p.add_argument("--n_sample", type=int, default=16)
+    p.add_argument("--random_seed", type=int, default=88)
+    p.add_argument("--num_train_epochs", type=int, default=40)
+    p.add_argument("--per_gpu_train_batch_size", type=int, default=16)
+    p.add_argument("--per_gpu_eval_batch_size", type=int, default=128)
+    p.add_argument("--learning_rate", type=float, default=2.5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--max_seq_length", type=int, default=45)
+    p.add_argument("--max_img_seq_length", type=int, default=45)
+    p.add_argument("--use_color", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_hidden_layers", type=int, default=None)
+    p.add_argument("--img_feature_dim", type=int, default=None)
+    return p
+
+
+def model_config(args):
+    import dataclasses
+
+    cfg = OSCAR_BASE
+    overrides = {}
+    for k in ("hidden_size", "num_hidden_layers", "img_feature_dim"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
+    if args.hidden_size is not None and args.hidden_size < 768:
+        overrides.setdefault("num_attention_heads", max(1, args.hidden_size // 16))
+        overrides.setdefault("intermediate_size", args.hidden_size * 4)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def evaluate(model, params, data: GQACPTData, batch_size: int):
+    fn = make_mlm_at_mask_fn(model)
+    n_correct, n_total = 0, 0
+    results = {}
+    for start in range(0, len(data), batch_size):
+        idxs = list(range(start, min(start + batch_size, len(data))))
+        batch, _tokens, answers = data.batch(idxs, pad_to=batch_size)
+        at_mask = np.asarray(fn(params, jnp.asarray(batch.input_ids),
+                                jnp.asarray(batch.segment_ids),
+                                jnp.asarray(batch.attention_mask),
+                                jnp.asarray(batch.img_feats),
+                                jnp.asarray(batch.mask_pos)))
+        scores = at_mask[:, data.answer_token_ids]      # [N, num_answers]
+        pred = scores.argmax(-1)
+        for j, idx in enumerate(idxs):
+            ex = data.examples[idx]
+            results[str(ex.q_id)] = {"pred": int(pred[j]),
+                                     "scores": scores[j]}
+            if answers[j] >= 0:
+                n_correct += int(pred[j] == answers[j])
+                n_total += 1
+    acc = 100.0 * n_correct / max(n_total, 1)
+    return acc, results
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    tokenizer = BertTokenizer(args.vocab if args.vocab else toy_vocab())
+    cfg = model_config(args)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = REC_MLM_CPT(cfg, dtype=dtype)
+    ans2label = json.load(open(args.ans2label))
+
+    train_data = GQACPTData(args.img_feat_file, args.color_img_feat_file,
+                            load_gqa_examples(args.questions), ans2label,
+                            tokenizer, args.max_seq_length,
+                            args.max_img_seq_length, cfg.img_feature_dim,
+                            use_color=bool(args.use_color))
+    val_data = (GQACPTData(args.img_feat_file, args.color_img_feat_file,
+                           load_gqa_examples(args.val_questions), ans2label,
+                           tokenizer, args.max_seq_length,
+                           args.max_img_seq_length, cfg.img_feature_dim,
+                           use_color=bool(args.use_color))
+                if args.val_questions else None)
+
+    bsz = args.per_gpu_train_batch_size
+    batch0, _, _ = train_data.batch([0], pad_to=bsz)
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(args.random_seed),
+        jnp.asarray(batch0.input_ids), jnp.asarray(batch0.segment_ids),
+        jnp.asarray(batch0.attention_mask), jnp.asarray(batch0.img_feats))
+    if args.checkpoint:
+        sd = cv.load_torch_file(args.checkpoint)
+        pre = cv.convert_bert_state_dict(sd, cfg)
+        params = {"params": cv.merge_pretrained_into_init(
+            init["params"], cv.params_for_task(pre, "rec_mlm_cpt"))}
+    else:
+        params = init
+        print("WARNING: random init (no --checkpoint)")
+
+    train_idxs = train_data.train_indices(args.n_sample, args.random_seed)
+    if not train_idxs:
+        print("no color-marked train examples; evaluating zero-shot only")
+    else:
+        # reference recipe: one optimizer step consumes the whole sampled set
+        accum = max(1, len(train_idxs) // bsz)
+        steps_per_epoch = max(1, len(train_idxs) // (bsz * accum))
+        total = steps_per_epoch * args.num_train_epochs
+        ocfg = train_lib.OptimConfig(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            warmup_steps=int(total * args.warmup_ratio),
+            num_train_steps=total, grad_accum_steps=accum)
+        tx = train_lib.build_optimizer(params, ocfg)
+        state = train_lib.create_train_state(params, tx)
+        step_fn = train_lib.make_mlm_train_step(model, tx)
+        rng = jax.random.PRNGKey(args.random_seed)
+
+        t0 = time.time()
+        for epoch in range(args.num_train_epochs):
+            order = list(train_idxs)
+            for start in range(0, len(order), bsz):
+                chunk = order[start:start + bsz]
+                batch, label_tokens, _ = train_data.batch(chunk, pad_to=bsz)
+                arrays = (jnp.asarray(batch.input_ids),
+                          jnp.asarray(batch.segment_ids),
+                          jnp.asarray(batch.attention_mask),
+                          jnp.asarray(batch.img_feats),
+                          jnp.asarray(batch.mask_pos),
+                          jnp.asarray(label_tokens))
+                rng, sub = jax.random.split(rng)
+                state, loss = step_fn(state, arrays, sub)
+            if (epoch + 1) % 10 == 0:
+                print(f"epoch {epoch + 1}: loss {float(loss):.4f} "
+                      f"({time.time() - t0:.1f}s)")
+        params = state.params
+
+    eval_data = val_data or train_data
+    acc, results = evaluate(model, params, eval_data,
+                            args.per_gpu_eval_batch_size)
+    print(f"accuracy: {acc:.2f}")
+    if args.output:
+        with open(args.output, "wb") as f:
+            pickle.dump({"accuracy": acc, "results": results}, f)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,7 @@ def main(argv=None):
 
     ex = data.example(0)
     t = ex.seqs[0]
-    init_params = model.init(
+    init_params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         jnp.asarray(t.input_ids[None]), jnp.asarray(t.segment_ids[None]),
         jnp.asarray(t.attention_mask[None]),
