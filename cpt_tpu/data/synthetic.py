@@ -57,6 +57,82 @@ def generate_gqa_fixture(root: str, n_questions: int = 12, n_objects: int = 6,
     return paths
 
 
+def generate_vcr_fixture(root: str, n_questions: int = 8, n_objects: int = 4,
+                         n_choices: int = 4, feat_dim: int = 32,
+                         seed: int = 0) -> dict:
+    """VCR-style fixture: feature TSV with [boxlist, [obj_colors, obj_names]]
+    meta + examples json. The correct choice index is marked into feature
+    dim 0 so the NSP head can learn."""
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    rows, examples = [], []
+    for q in range(n_questions):
+        label = q % n_choices
+        feats = rng.randn(n_objects, feat_dim).astype(np.float32) * 0.1
+        feats[:, 0] = float(label)
+        boxlist = [{"rect": [0, 0, 5, 5], "class": "person", "conf": 0.9,
+                    "feature": encode_feature(f)} for f in feats]
+        obj_colors = {"0": "red", "1": "blue"}
+        obj_names = {"0": "person", "1": "person", "0_1": "people"}
+        img_key = f"vcr{q}"
+        rows.append([img_key, json.dumps(
+            {"objects": [boxlist, [obj_colors, obj_names]]})])
+        # candidate texts must differ by in-vocab words (toy vocab has no
+        # digits) — use color words as the distinguishing token
+        words = ["red", "blue", "green", "yellow", "purple", "pink"]
+        examples.append({
+            "q_id": f"q{q}", "img_key": img_key,
+            "question": ["what", "is", [0], "doing", "?"],
+            "choices": [[[0], "is", words[c]] for c in range(n_choices)],
+            "label": label,
+            "rationale_choices": [[[1], "is", "the", words[c]]
+                                  for c in range(n_choices)],
+            "rationale_label": (q + 1) % n_choices,
+        })
+    paths = {
+        "feat_file": os.path.join(root, "predictions.tsv"),
+        "examples": os.path.join(root, "examples.json"),
+    }
+    tsv_writer(rows, paths["feat_file"])
+    json.dump(examples, open(paths["examples"], "w"))
+    return paths
+
+
+def generate_vg_fixture(root: str, n_pairs: int = 6, n_objects: int = 4,
+                        feat_dim: int = 32, seed: int = 0,
+                        predicates=("on", "has", "near")) -> dict:
+    """VG-style fixture: rows keyed <img>_<s>_<o> with
+    [boxlist, subj_obj_names, colors, rel_label] payloads + predicate vocab
+    + gt relations pickle."""
+    import pickle
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    rows, gts = [], []
+    for q in range(n_pairs):
+        rel = predicates[q % len(predicates)]
+        feats = rng.randn(n_objects, feat_dim).astype(np.float32) * 0.1
+        feats[:, 0] = float(q % len(predicates))
+        boxlist = [{"rect": [0, 0, 5, 5], "class": "dog", "conf": 0.9,
+                    "feature": encode_feature(f)} for f in feats]
+        img_key = f"im{q}.jpg_0_1"
+        rows.append([img_key, json.dumps(
+            {"objects": [boxlist, ["dog", "cat"], ["red", "blue"], rel]})])
+        gts.append({"img_path": f"im{q}.jpg",
+                    "relations": np.array([[0, 1, (q % len(predicates)) + 1]])})
+    paths = {
+        "feat_file": os.path.join(root, "predictions.tsv"),
+        "predicate_vocab": os.path.join(root, "vocab.json"),
+        "gt_file": os.path.join(root, "gt.pk"),
+    }
+    tsv_writer(rows, paths["feat_file"])
+    json.dump({"idx_to_predicate": {str(i + 1): p
+                                    for i, p in enumerate(predicates)}},
+              open(paths["predicate_vocab"], "w"))
+    pickle.dump(gts, open(paths["gt_file"], "wb"))
+    return paths
+
+
 def generate_refcoco_fixture(root: str, n_queries: int = 8, n_copies: int = 4,
                              n_objects: int = 10, feat_dim: int = 2054,
                              seed: int = 0, marker: float = 3.0,
