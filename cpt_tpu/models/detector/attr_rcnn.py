@@ -100,6 +100,86 @@ class AttrRCNN(nn.Module):
         return out
 
 
+def _gather_top(mask: Array, k: int) -> Array:
+    """Indices of up to k True entries of ``mask`` (padded with argsort
+    order) — static-shape subset selection."""
+    order = jnp.argsort(~mask)  # True entries first, stable
+    return order[:k]
+
+
+class AttrRCNNTrainer(nn.Module):
+    """Training-mode forward producing the reference loss dict
+    (``engine/trainer.py:92-114`` sums these):
+
+    loss_objectness / loss_rpn_box_reg (``rpn/loss.py``),
+    loss_classifier / loss_box_reg (``box_head/loss.py``),
+    loss_attribute (``attribute_head/loss.py``).
+
+    Shares every parameter with ``AttrRCNN`` (same submodule names).
+    """
+
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    setup = AttrRCNN.setup
+
+    def __call__(self, image: Array, image_hw: Array, gt_boxes: Array,
+                 gt_labels: Array, gt_valid: Array, gt_attributes: Array,
+                 anchors: Array, rng: Array) -> Dict[str, Array]:
+        from cpt_tpu.models.detector import losses as L
+        from cpt_tpu.models.detector.rpn import select_proposals
+
+        c = self.config
+        rng_rpn, rng_roi = jax.random.split(rng)
+        feat = self.backbone(image[None])[0]
+        logits, deltas = self.rpn_head(feat[None])
+        obj = logits[0].reshape(-1)
+        del_flat = deltas[0].reshape(-1, 4)
+
+        loss_obj, loss_rpn_box = L.rpn_loss(
+            obj, del_flat, anchors, gt_boxes, gt_valid, rng_rpn,
+            fg_iou=c.rpn.fg_iou_threshold, bg_iou=c.rpn.bg_iou_threshold,
+            batch_size_per_image=c.rpn.batch_size_per_image,
+            positive_fraction=c.rpn.positive_fraction)
+
+        proposals, _scores, prop_valid = select_proposals(
+            c.rpn, logits[0], deltas[0], anchors, image_hw, is_train=True)
+        # append gt boxes to the proposal pool (reference add_gt_proposals)
+        proposals = jnp.concatenate([proposals, gt_boxes], axis=0)
+        prop_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+
+        labels, reg_targets, pos, sampled = L.subsample_proposals(
+            proposals, prop_valid, gt_boxes, gt_labels, gt_valid, rng_roi,
+            batch_size_per_image=c.roi_heads.batch_size_per_image,
+            positive_fraction=c.roi_heads.positive_fraction)
+
+        k = c.roi_heads.batch_size_per_image
+        idx = _gather_top(sampled, k)
+        rois = proposals[idx]
+        x = self.box_extractor(feat, rois)
+        cls_logits, box_deltas, _pooled = self.box_predictor(x)
+        loss_cls, loss_box = L.fast_rcnn_loss(
+            cls_logits, box_deltas, labels[idx], reg_targets[idx],
+            pos[idx] & sampled[idx], sampled[idx],
+            num_classes=c.roi_heads.num_classes)
+
+        out = {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_rpn_box,
+               "loss_classifier": loss_cls, "loss_box_reg": loss_box}
+
+        # attribute head trains on positive sampled proposals with matched
+        # gt attributes
+        from cpt_tpu.structures.boxes import box_iou
+
+        iou = box_iou(gt_boxes, rois)
+        matched = jnp.argmax(jnp.where(gt_valid[:, None], iou, -1.0), axis=0)
+        ax = self.attr_extractor(feat, rois)
+        attr_logits, _ = self.attr_predictor(ax, labels[idx])
+        out["loss_attribute"] = L.attribute_loss(
+            attr_logits, gt_attributes[matched],
+            valid=pos[idx] & sampled[idx])
+        return out
+
+
 def geometry_features(boxes: Array, image_hw: Array) -> Array:
     """The 6 normalized box-geometry dims appended to the 2048-d pooled
     feature (reference ``engine/inference_ref.py:263-274``):
