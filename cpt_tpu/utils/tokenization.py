@@ -181,7 +181,7 @@ class BertTokenizer:
         return [self.vocab.get(t, unk) for t in tokens]
 
     def convert_ids_to_tokens(self, ids: Iterable[int]) -> List[str]:
-        return [self.ids_to_tokens[i] for i in ids]
+        return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
 
     def encode(self, text: str) -> List[int]:
         return self.convert_tokens_to_ids(self.tokenize(text))

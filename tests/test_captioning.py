@@ -1,0 +1,201 @@
+"""Captioning stack: seq2seq mask, tensorizer, training, greedy/beam
+decoding, CIDEr-D, SCST, constrained beam search."""
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cpt_tpu.config.bert import tiny_bert_config
+from cpt_tpu.engine.generation import (GenerationConfig, beam_search,
+                                       decode_caption, greedy_or_sample)
+from cpt_tpu.models.bert.captioning import (BertForImageCaptioning,
+                                            CaptionTensorizer,
+                                            caption_attention_mask,
+                                            smoothed_caption_loss)
+from cpt_tpu.utils.cbs import build_fsm, constrained_beam_search
+from cpt_tpu.utils.cider import CiderD
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+CFG = tiny_bert_config(vocab_size=192, img_feature_dim=8,
+                       max_position_embeddings=64)
+LA, OD, IMG = 10, 4, 3
+TOK = BertTokenizer(toy_vocab())
+GEN = GenerationConfig(max_seq_a_len=LA, num_beams=3)
+
+
+def test_caption_attention_mask_structure():
+    m = caption_attention_mask(max_seq_a=6, od_len=3, img_len=2,
+                               seq_a_len=4, od_valid=2, img_valid=2)
+    # caption block triangular
+    assert m[1, 0] == 1 and m[0, 1] == 0 and m[3, 3] == 1
+    # caption rows beyond seq_a_len are dead
+    assert m[4].sum() == 0
+    # caption attends to od/img
+    assert m[2, 6] == 1 and m[2, 9] == 1
+    # od/img do not attend back to the caption
+    assert m[6, 2] == 0 and m[9, 2] == 0
+    # od <-> img mutual
+    assert m[6, 9] == 1 and m[9, 6] == 1
+
+
+def test_tensorizer_masking_slots():
+    t = CaptionTensorizer(TOK, max_img_seq_len=IMG, max_seq_len=LA + OD,
+                          max_seq_a_len=LA, max_masked_tokens=2)
+    rng = random.Random(0)
+    feats = np.ones((5, 8), np.float32)
+    ids, segs, attn, f, mpos, mids, seq_a_len = t.tensorize(
+        "the red dog", feats, text_b="dog cat", rng=rng)
+    assert ids.shape == (LA + OD,) and attn.shape == (LA + OD + IMG,) * 2
+    assert f.shape == (IMG, 8)
+    n_masked = int((mids > 0).sum())
+    assert 1 <= n_masked <= 2
+    for j in range(n_masked):
+        assert 1 <= mpos[j] < seq_a_len
+
+
+def _setup_model():
+    model = BertForImageCaptioning(CFG)
+    t = CaptionTensorizer(TOK, max_img_seq_len=IMG, max_seq_len=LA + OD,
+                          max_seq_a_len=LA, max_masked_tokens=2)
+    feats = np.random.RandomState(0).randn(IMG, 8).astype(np.float32)
+    ids, segs, attn, f, mpos, mids, _ = t.tensorize(
+        "the red dog is", feats, text_b="dog", rng=random.Random(1))
+    batch = (jnp.asarray(ids[None]), jnp.asarray(attn[None]),
+             jnp.asarray(segs[None]), jnp.asarray(f[None]),
+             jnp.asarray(mpos[None]), jnp.asarray(mids[None]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch[0], batch[1],
+                                 batch[2], batch[3], batch[4], batch[5])
+    return model, params, t, feats, batch
+
+
+def test_caption_training_loss_decreases():
+    model, params, t, feats, _ = _setup_model()
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    caption = "the red dog is on the left"
+    rng = random.Random(3)
+
+    @jax.jit
+    def step(params, opt, batch):
+        def loss_fn(p):
+            loss, _ = model.apply(p, *batch)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for i in range(30):
+        ids, segs, attn, f, mpos, mids, _ = t.tensorize(
+            caption, feats, text_b="dog", rng=rng)
+        batch = (jnp.asarray(ids[None]), jnp.asarray(attn[None]),
+                 jnp.asarray(segs[None]), jnp.asarray(f[None]),
+                 jnp.asarray(mpos[None]), jnp.asarray(mids[None]))
+        params, opt, loss = step(params, opt, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_smoothed_loss_excludes_padding():
+    logits = jnp.zeros((3, 5))
+    targets = jnp.asarray([2, 0, 0])   # two padded slots
+    loss_one = smoothed_caption_loss(logits[:1], targets[:1], 0.0)
+    loss_all = smoothed_caption_loss(logits, targets, 0.0)
+    np.testing.assert_allclose(float(loss_one), float(loss_all), rtol=1e-6)
+
+
+def _gen_context(feats):
+    t = CaptionTensorizer(TOK, max_img_seq_len=IMG, max_seq_len=LA + OD,
+                          max_seq_a_len=LA, is_train=False)
+    ids, segs, attn, f, _, _, _ = t.tensorize("", feats, text_b="dog")
+    return (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
+            jnp.asarray(f[None]))
+
+
+def test_greedy_and_beam_shapes():
+    model, params, _, feats, _ = _setup_model()
+    segs, attn, f = _gen_context(feats)
+    tokens, scores = greedy_or_sample(model, params, GEN, segs, attn, f)
+    assert tokens.shape == (1, LA) and int(tokens[0, 0]) == GEN.bos_token_id
+    assert np.isfinite(float(scores[0]))
+
+    btokens, bscores = beam_search(model, params, GEN, segs, attn, f)
+    assert btokens.shape == (1, 1, LA)
+    assert np.isfinite(np.asarray(bscores)).all()
+    text = decode_caption(TOK, np.asarray(btokens[0, 0]), GEN)
+    assert isinstance(text, str)
+
+
+def test_sampling_is_deterministic_given_key():
+    import dataclasses
+
+    model, params, _, feats, _ = _setup_model()
+    segs, attn, f = _gen_context(feats)
+    cfg = dataclasses.replace(GEN, do_sample=True, top_k=5)
+    t1, _ = greedy_or_sample(model, params, cfg, segs, attn, f,
+                             jax.random.PRNGKey(7))
+    t2, _ = greedy_or_sample(model, params, cfg, segs, attn, f,
+                             jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_cider_scores():
+    refs = {"a": [["the", "red", "dog"], ["a", "red", "dog"]],
+            "b": [["a", "blue", "cat"]]}
+    scorer = CiderD(refs)
+    perfect = scorer.score("a", ["the", "red", "dog"])
+    partial = scorer.score("a", ["the", "dog"])
+    wrong = scorer.score("a", ["purple", "train"])
+    assert perfect > partial > wrong >= 0.0
+
+
+def test_scst_step_finite():
+    from cpt_tpu.engine.scst import scst_step
+
+    model, params, _, feats, _ = _setup_model()
+    segs, attn, f = _gen_context(feats)
+    refs = {"img0": [["the", "red", "dog"]]}
+    scorer = CiderD(refs)
+    grads, r_s, r_g = scst_step(model, params, None, GEN, scorer, TOK,
+                                (segs, attn, f), ["img0"],
+                                jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert np.isfinite(r_s) and np.isfinite(r_g)
+
+
+def test_fsm_single_and_phrase_constraints():
+    # constraint 0: token 5; constraint 1: phrase (6, 7)
+    trans, nsat = build_fsm([[5], [6, 7]], vocab_size=10)
+    assert nsat[0] == 0
+    s1 = trans[0, 5]
+    assert nsat[s1] == 1            # single-token constraint satisfied
+    chain = trans[0, 6]
+    assert nsat[chain] == 0          # mid-phrase
+    done = trans[chain, 7]
+    assert nsat[done] == 1           # phrase completed
+    assert trans[chain, 3] == 0      # broken phrase falls back
+    both = trans[s1, 6]
+    assert nsat[trans[both, 7]] == 2
+
+
+def test_constrained_beam_search_forces_constraint():
+    vocab = 10
+    # logits always favor token 3; constraint token is 5
+    def step_fn(params, tokens, step):
+        base = np.full((tokens.shape[0], vocab), -5.0, np.float32)
+        base[:, 3] = 5.0
+        base[:, 5] = 2.0
+        return jnp.asarray(base)
+
+    trans, nsat = build_fsm([[5]], vocab_size=vocab)
+    tokens, score = constrained_beam_search(
+        step_fn, None, (), transitions=trans, num_satisfied=nsat,
+        beams_per_state=2, max_len=6, bos_id=1, eos_id=2, pad_id=0,
+        min_constraints=1)
+    assert 5 in np.asarray(tokens).tolist(), "constraint token not emitted"
