@@ -1,0 +1,88 @@
+"""NLVR2 dataset — statement over an image pair.
+
+Parity with reference ``Oscar/oscar/run_nlvr.py`` (``NLVRDataset:114``,
+``ImageBertForMultipleChoice`` with ``num_choices=2``): each example yields
+two (statement, od_labels, image) sequences — one per image of the pair —
+classified jointly; ``use_pair``/label semantics follow the reference's
+binary true/false task.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from cpt_tpu.data.tensorize import pad_img_feats, tensorize_pair
+from cpt_tpu.utils.tokenization import BertTokenizer
+from cpt_tpu.utils.tsv import TSVFile, decode_feature
+
+
+@dataclasses.dataclass
+class NLVRExample:
+    ex_id: str
+    img_left: str
+    img_right: str
+    statement: str
+    label: Optional[int] = None     # 0 = false, 1 = true
+
+
+class NLVRData:
+    NUM_CHOICES = 2
+
+    def __init__(self, feat_file: str, examples: Sequence[NLVRExample],
+                 tokenizer: BertTokenizer, max_seq_len: int = 55,
+                 img_seq_len: int = 40, img_feat_dim: int = 2054):
+        self.tsv = TSVFile(feat_file)
+        self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
+        self.examples = [e for e in examples
+                         if str(e.img_left) in self.imgid2idx
+                         and str(e.img_right) in self.imgid2idx]
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.img_seq_len = img_seq_len
+        self.img_feat_dim = img_feat_dim
+
+    def __len__(self):
+        return len(self.examples)
+
+    def _feats(self, img_key: str):
+        _, payload = self.tsv.seek(self.imgid2idx[str(img_key)])
+        info = json.loads(payload)
+        boxlist = info["objects"]
+        feats = np.stack([decode_feature(o["feature"]) for o in boxlist])
+        od = " ".join(o["class"] for o in boxlist)
+        return feats, od
+
+    def batch(self, indices: Sequence[int], pad_to: Optional[int] = None):
+        """→ arrays shaped [N, 2, ...] for ImageBertForMultipleChoice."""
+        n = len(indices)
+        total = pad_to if pad_to is not None else n
+        t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
+        nc = self.NUM_CHOICES
+        ids = np.zeros((total, nc, t), np.int32)
+        segs = np.zeros((total, nc, t), np.int32)
+        attn = np.zeros((total, nc, t + r), np.int32)
+        feats = np.zeros((total, nc, r, d), np.float32)
+        labels = np.full((total,), -1, np.int32)
+        for i, idx in enumerate(indices):
+            ex = self.examples[idx]
+            for c, key in enumerate((ex.img_left, ex.img_right)):
+                f, od = self._feats(key)
+                seq = tensorize_pair(self.tokenizer, ex.statement, od,
+                                     f.shape[0], t, r)
+                ids[i, c] = seq.input_ids
+                segs[i, c] = seq.segment_ids
+                attn[i, c] = seq.attention_mask
+                feats[i, c] = pad_img_feats(f, r)
+            if ex.label is not None:
+                labels[i] = ex.label
+        return ids, segs, attn, feats, labels
+
+
+def load_nlvr_examples(path: str) -> List[NLVRExample]:
+    raw = json.load(open(path))
+    return [NLVRExample(str(x["ex_id"]), str(x["img_left"]),
+                        str(x["img_right"]), x["statement"], x.get("label"))
+            for x in raw]

@@ -1,0 +1,98 @@
+"""VQA dataset (full-finetune path).
+
+Parity with reference ``Oscar/oscar/run_vqa.py`` (``VQADataset:82``,
+``convert_examples_to_features_vqa``): sequence = ``[CLS] question [SEP]
+od_labels [SEP]`` + image features; labels are soft target vectors over the
+3129-answer vocabulary (bce loss) or hard labels (xe, the GQA variant —
+``run_gqa.py``). Examples come from a json list with per-example answer
+scores.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from cpt_tpu.data.tensorize import TensorizedBatch, pad_img_feats, tensorize_pair
+from cpt_tpu.utils.tokenization import BertTokenizer
+from cpt_tpu.utils.tsv import TSVFile, decode_feature
+
+
+@dataclasses.dataclass
+class VQAExample:
+    q_id: str
+    img_key: str
+    question: str
+    # {answer label index: score}; empty at test time
+    label_scores: Dict[int, float] = dataclasses.field(default_factory=dict)
+
+
+class VQAData:
+    def __init__(self, feat_file: str, examples: Sequence[VQAExample],
+                 num_labels: int, tokenizer: BertTokenizer,
+                 max_seq_len: int = 128, img_seq_len: int = 50,
+                 img_feat_dim: int = 2054, use_od_labels: bool = True):
+        self.tsv = TSVFile(feat_file)
+        self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
+        self.examples = [e for e in examples if str(e.img_key) in self.imgid2idx]
+        self.num_labels = num_labels
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.img_seq_len = img_seq_len
+        self.img_feat_dim = img_feat_dim
+        self.use_od_labels = use_od_labels
+
+    def __len__(self):
+        return len(self.examples)
+
+    def features_for(self, img_key: str):
+        _, payload = self.tsv.seek(self.imgid2idx[str(img_key)])
+        info = json.loads(payload)
+        boxlist = info["objects"]
+        feats = np.stack([decode_feature(o["feature"]) for o in boxlist])
+        od = " ".join(o["class"] for o in boxlist)
+        return feats, od
+
+    def batch(self, indices: Sequence[int], pad_to: Optional[int] = None):
+        """→ (TensorizedBatch, soft_targets [N, num_labels], hard [N])."""
+        n = len(indices)
+        total = pad_to if pad_to is not None else n
+        t = self.max_seq_len
+        b = TensorizedBatch(
+            input_ids=np.zeros((total, t), np.int32),
+            segment_ids=np.zeros((total, t), np.int32),
+            attention_mask=np.zeros((total, t + self.img_seq_len), np.int32),
+            img_feats=np.zeros((total, self.img_seq_len, self.img_feat_dim),
+                               np.float32),
+            mask_pos=np.zeros((total,), np.int32),
+            valid=np.zeros((total,), bool),
+        )
+        soft = np.zeros((total, self.num_labels), np.float32)
+        hard = np.full((total,), -1, np.int32)
+        for i, idx in enumerate(indices):
+            ex = self.examples[idx]
+            feats, od = self.features_for(ex.img_key)
+            seq = tensorize_pair(self.tokenizer, ex.question,
+                                 od if self.use_od_labels else None,
+                                 feats.shape[0], self.max_seq_len,
+                                 self.img_seq_len)
+            b.input_ids[i] = seq.input_ids
+            b.segment_ids[i] = seq.segment_ids
+            b.attention_mask[i] = seq.attention_mask
+            b.img_feats[i] = pad_img_feats(feats, self.img_seq_len)
+            b.valid[i] = True
+            if ex.label_scores:
+                for lab, score in ex.label_scores.items():
+                    soft[i, int(lab)] = score
+                hard[i] = max(ex.label_scores, key=ex.label_scores.get)
+        return b, soft, hard
+
+
+def load_vqa_examples(path: str) -> List[VQAExample]:
+    raw = json.load(open(path))
+    return [VQAExample(str(r["q_id"]), str(r["img_id"]), r["question"],
+                       {int(k): float(v)
+                        for k, v in (r.get("label_scores") or {}).items()})
+            for r in raw]

@@ -1,0 +1,63 @@
+"""Shared driver plumbing for the task runner CLIs."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.config.bert import OSCAR_BASE, BertConfig
+from cpt_tpu.utils import convert as cv
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+
+def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None)
+    p.add_argument("--seed", type=int, default=88)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--num_train_epochs", type=int, default=0)
+    p.add_argument("--per_gpu_train_batch_size", type=int, default=16)
+    p.add_argument("--per_gpu_eval_batch_size", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_hidden_layers", type=int, default=None)
+    p.add_argument("--img_feature_dim", type=int, default=None)
+    return p
+
+
+def model_config(args, **extra) -> BertConfig:
+    overrides = dict(extra)
+    for k in ("hidden_size", "num_hidden_layers", "img_feature_dim"):
+        if getattr(args, k, None) is not None:
+            overrides[k] = getattr(args, k)
+    if args.hidden_size is not None and args.hidden_size < 768:
+        overrides.setdefault("num_attention_heads",
+                             max(1, args.hidden_size // 16))
+        overrides.setdefault("intermediate_size", args.hidden_size * 4)
+    return dataclasses.replace(OSCAR_BASE, **overrides) if overrides else OSCAR_BASE
+
+
+def build_tokenizer(args) -> BertTokenizer:
+    return BertTokenizer(args.vocab if args.vocab else toy_vocab())
+
+
+def load_or_init(model, init_args, args, cfg, task: str = "bert_only"):
+    init = jax.jit(model.init)(jax.random.PRNGKey(args.seed), *init_args)
+    if args.checkpoint:
+        pre = cv.convert_bert_state_dict(
+            cv.load_torch_file(args.checkpoint), cfg)
+        mapped = cv.params_for_task(pre, task)
+        return {"params": cv.merge_pretrained_into_init(
+            init["params"], mapped)}
+    print("WARNING: random init (no --checkpoint)")
+    return init
+
+
+def dtype_of(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -1,0 +1,176 @@
+"""COCO captioning driver: masked-LM training, beam-search inference,
+CIDEr-D eval, optional SCST finetune and constrained beam search.
+
+Mirrors reference ``Oscar/oscar/run_captioning.py`` (+ ``utils/cbs.py``).
+Data: feature TSV + json {img_key: [reference captions]}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cpt_tpu.data.tensorize import pad_img_feats
+from cpt_tpu.engine import train as train_lib
+from cpt_tpu.engine.generation import (GenerationConfig, beam_search,
+                                       decode_caption, greedy_or_sample)
+from cpt_tpu.models.bert.captioning import (BertForImageCaptioning,
+                                            CaptionTensorizer)
+from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
+                                   dtype_of, load_or_init, model_config)
+from cpt_tpu.utils.cider import CiderD
+from cpt_tpu.utils.tsv import TSVFile, decode_feature
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feat_file", required=True)
+    p.add_argument("--captions", required=True,
+                   help="json {img_key: [captions]}")
+    p.add_argument("--max_seq_length", type=int, default=70)
+    p.add_argument("--max_seq_a_length", type=int, default=40)
+    p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--max_masked_tokens", type=int, default=3)
+    p.add_argument("--num_beams", type=int, default=5)
+    p.add_argument("--scst_steps", type=int, default=0)
+    p.add_argument("--train_steps", type=int, default=0)
+    return add_common_args(p)
+
+
+def load_feats(tsv, imgid2idx, key):
+    _, payload = tsv.seek(imgid2idx[key])
+    info = json.loads(payload)
+    boxlist = info["objects"]
+    feats = np.stack([decode_feature(o["feature"]) for o in boxlist])
+    od = " ".join(o["class"] for o in boxlist)
+    return feats, od
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    tokenizer = build_tokenizer(args)
+    cfg = model_config(args)
+    model = BertForImageCaptioning(cfg, dtype=dtype_of(args))
+
+    tsv = TSVFile(args.feat_file)
+    imgid2idx = {tsv.seek(i)[0]: i for i in range(len(tsv))}
+    captions = {k: v for k, v in json.load(open(args.captions)).items()
+                if k in imgid2idx}
+    keys = sorted(captions)
+
+    tens_train = CaptionTensorizer(
+        tokenizer, args.max_img_seq_length, args.max_seq_length,
+        args.max_seq_a_length, max_masked_tokens=args.max_masked_tokens)
+    tens_test = CaptionTensorizer(
+        tokenizer, args.max_img_seq_length, args.max_seq_length,
+        args.max_seq_a_length, is_train=False)
+
+    def train_batch(batch_keys, rng_py):
+        rows = []
+        for k in batch_keys:
+            feats, od = load_feats(tsv, imgid2idx, k)
+            cap = rng_py.choice(captions[k])
+            rows.append(tens_train.tensorize(cap, feats, text_b=od,
+                                             rng=rng_py))
+        # tensorize returns (ids, segs, attn, feats, mpos, mids); the model
+        # signature is (input_ids, attention_mask, token_type_ids, ...)
+        order = (0, 2, 1, 3, 4, 5)
+        stack = [np.stack([r[i] for r in rows]) for i in order]
+        return tuple(jnp.asarray(x) for x in stack)
+
+    rng_py = random.Random(args.seed)
+    b0 = train_batch(keys[: min(2, len(keys))], rng_py)
+    params = load_or_init(model, b0, args, cfg)
+
+    if args.train_steps > 0:
+        ocfg = train_lib.OptimConfig(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            warmup_steps=int(args.train_steps * args.warmup_ratio),
+            num_train_steps=args.train_steps)
+        tx = train_lib.build_optimizer(params, ocfg)
+        state = train_lib.create_train_state(params, tx)
+
+        @jax.jit
+        def step(state, batch, rng):
+            def loss_fn(p):
+                loss, _ = model.apply(p, *batch, deterministic=False,
+                                      rngs={"dropout": rng})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            upd, opt = tx.update(grads, state.opt_state, state.params)
+            return train_lib.TrainState(
+                optax.apply_updates(state.params, upd), opt,
+                state.step + 1), loss
+
+        rng = jax.random.PRNGKey(args.seed)
+        bsz = args.per_gpu_train_batch_size
+        for it in range(args.train_steps):
+            bk = [keys[(it * bsz + j) % len(keys)] for j in range(bsz)]
+            rng, sub = jax.random.split(rng)
+            state, loss = step(state, train_batch(bk, rng_py), sub)
+            if (it + 1) % 20 == 0:
+                print(f"step {it + 1}: loss {float(loss):.4f}")
+        params = state.params
+
+    gen_cfg = GenerationConfig(
+        max_seq_a_len=args.max_seq_a_length,
+        bos_token_id=tokenizer.cls_token_id,
+        eos_token_id=tokenizer.sep_token_id,
+        mask_token_id=tokenizer.mask_token_id,
+        num_beams=args.num_beams)
+    refs = {k: [c.split() for c in v] for k, v in captions.items()}
+    scorer = CiderD(refs)
+
+    if args.scst_steps > 0:
+        from cpt_tpu.engine.scst import scst_step
+
+        tx = optax.adam(args.learning_rate)
+        opt = tx.init(params)
+        rng = jax.random.PRNGKey(args.seed + 1)
+        for it in range(args.scst_steps):
+            k = keys[it % len(keys)]
+            feats, od = load_feats(tsv, imgid2idx, k)
+            ids, segs, attn, f, _, _, _ = tens_test.tensorize("", feats,
+                                                              text_b=od)
+            batch = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
+                     jnp.asarray(f[None]))
+            rng, sub = jax.random.split(rng)
+            grads, r_s, r_g = scst_step(model, params, None, gen_cfg,
+                                        scorer, tokenizer, batch, [k], sub)
+            upd, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, upd)
+            if (it + 1) % 10 == 0:
+                print(f"scst {it + 1}: sample {r_s:.2f} greedy {r_g:.2f}")
+
+    hyps, outputs = {}, {}
+    for k in keys:
+        feats, od = load_feats(tsv, imgid2idx, k)
+        ids, segs, attn, f, _, _, _ = tens_test.tensorize("", feats,
+                                                          text_b=od)
+        ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
+               jnp.asarray(f[None]))
+        if args.num_beams > 1:
+            toks, scores = beam_search(model, params, gen_cfg, *ctx)
+            text = decode_caption(tokenizer, np.asarray(toks[0, 0]), gen_cfg)
+        else:
+            toks, scores = greedy_or_sample(model, params, gen_cfg, *ctx)
+            text = decode_caption(tokenizer, np.asarray(toks[0]), gen_cfg)
+        hyps[k] = text.split()
+        outputs[k] = text
+    cider = scorer.corpus_score(hyps)
+    print(f"CIDEr-D: {cider:.2f}")
+    if args.output:
+        pickle.dump({"cider": cider, "captions": outputs},
+                    open(args.output, "wb"))
+    return cider, outputs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""NLVR2 driver (``ImageBertForMultipleChoice``, image-pair statements).
+
+Mirrors reference ``Oscar/oscar/run_nlvr.py``: each example's statement is
+paired with both images; the multiple-choice head classifies true/false.
+"""
+from __future__ import annotations
+
+import argparse
+import pickle
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cpt_tpu.data.nlvr import NLVRData, load_nlvr_examples
+from cpt_tpu.engine import train as train_lib
+from cpt_tpu.models.bert.heads import ImageBertForMultipleChoice
+from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
+                                   dtype_of, load_or_init, model_config)
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feat_file", required=True)
+    p.add_argument("--examples", required=True)
+    p.add_argument("--val_examples", default=None)
+    p.add_argument("--max_seq_length", type=int, default=55)
+    p.add_argument("--max_img_seq_length", type=int, default=40)
+    return add_common_args(p)
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    tokenizer = build_tokenizer(args)
+    # reference NLVR config: classifier over pooled pair, num_labels=2,
+    # num_choices=2, classifier output reshaped [B, nc * num_labels]
+    cfg = model_config(args, num_labels=1, classifier="mlp")
+    model = ImageBertForMultipleChoice(cfg, num_choices=2,
+                                       dtype=dtype_of(args))
+
+    data = NLVRData(args.feat_file, load_nlvr_examples(args.examples),
+                    tokenizer, args.max_seq_length, args.max_img_seq_length,
+                    cfg.img_feature_dim)
+    val = (NLVRData(args.feat_file, load_nlvr_examples(args.val_examples),
+                    tokenizer, args.max_seq_length, args.max_img_seq_length,
+                    cfg.img_feature_dim)
+           if args.val_examples else data)
+
+    bsz = args.per_gpu_train_batch_size
+    ids, segs, attn, feats, labels = data.batch([0], pad_to=1)
+    params = load_or_init(model, tuple(jnp.asarray(x) for x in
+                                       (ids, segs, attn, feats)), args, cfg)
+
+    if args.num_train_epochs > 0:
+        steps = max(1, len(data) // bsz) * args.num_train_epochs
+        ocfg = train_lib.OptimConfig(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps)
+        tx = train_lib.build_optimizer(params, ocfg)
+        state = train_lib.create_train_state(params, tx)
+
+        @jax.jit
+        def step(state, batch, rng):
+            ids, segs, attn, feats, labels = batch
+
+            def loss_fn(p):
+                loss, _ = model.apply(p, ids, segs, attn, img_feats=feats,
+                                      labels=labels, deterministic=False,
+                                      rngs={"dropout": rng})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            upd, opt = tx.update(grads, state.opt_state, state.params)
+            return train_lib.TrainState(
+                optax.apply_updates(state.params, upd), opt,
+                state.step + 1), loss
+
+        rng = jax.random.PRNGKey(args.seed)
+        order_rng = random.Random(args.seed)
+        for epoch in range(args.num_train_epochs):
+            order = list(range(len(data)))
+            order_rng.shuffle(order)
+            for start in range(0, len(order), bsz):
+                chunk = order[start:start + bsz]
+                batch = data.batch(chunk, pad_to=bsz)
+                rng, sub = jax.random.split(rng)
+                state, loss = step(state,
+                                   tuple(jnp.asarray(x) for x in batch), sub)
+            if (epoch + 1) % 10 == 0:
+                print(f"epoch {epoch + 1}: loss {float(loss):.4f}")
+        params = state.params
+
+    @jax.jit
+    def fwd(params, ids, segs, attn, feats):
+        _, logits = model.apply(params, ids, segs, attn, img_feats=feats)
+        return logits.astype(jnp.float32)
+
+    n_correct, n_total, results = 0, 0, {}
+    ebsz = args.per_gpu_eval_batch_size
+    for start in range(0, len(val), ebsz):
+        idxs = list(range(start, min(start + ebsz, len(val))))
+        ids, segs, attn, feats, labels = val.batch(idxs, pad_to=ebsz)
+        logits = np.asarray(fwd(params, *(jnp.asarray(x) for x in
+                                          (ids, segs, attn, feats))))
+        pred = logits.argmax(-1)
+        for j, idx in enumerate(idxs):
+            ex = val.examples[idx]
+            results[ex.ex_id] = int(pred[j])
+            if labels[j] >= 0:
+                n_correct += int(pred[j] == labels[j])
+                n_total += 1
+    acc = 100.0 * n_correct / max(n_total, 1)
+    print(f"nlvr2 accuracy: {acc:.2f}")
+    if args.output:
+        pickle.dump({"accuracy": acc, "results": results},
+                    open(args.output, "wb"))
+    return acc
+
+
+if __name__ == "__main__":
+    main()

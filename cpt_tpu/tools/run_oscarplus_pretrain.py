@@ -1,0 +1,115 @@
+"""Oscar+ pretraining driver: MLM + contrastive over TSV corpora.
+
+Mirrors reference ``Oscar/oscar/run_oscarplus_pretrain.py`` (+ the
+``run_mlm.py`` text-only variant via ``--text_only``): masked-LM CE on
+caption tokens plus the NSP-style "polluted tags" contrastive CE from the
+0.5-probability text-b swap (``oscar_tsv.py:256-``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cpt_tpu.data.pretrain import OscarPretrainData
+from cpt_tpu.engine import train as train_lib
+from cpt_tpu.models.bert.heads import (BertImgForPreTraining,
+                                       cross_entropy_ignore_index)
+from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
+                                   dtype_of, load_or_init, model_config)
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feat_file", required=True)
+    p.add_argument("--captions", required=True,
+                   help="json {img_key: caption}")
+    p.add_argument("--train_steps", type=int, default=100)
+    p.add_argument("--max_seq_length", type=int, default=35)
+    p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--text_only", action="store_true",
+                   help="text-only MLM (run_mlm.py equivalent)")
+    p.add_argument("--mask_loss_for_unmatched", type=int, default=1,
+                   help="keep MLM loss on polluted pairs (reference flag)")
+    return add_common_args(p)
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    tokenizer = build_tokenizer(args)
+    cfg = model_config(args)
+    model = BertImgForPreTraining(cfg, dtype=dtype_of(args))
+
+    data = OscarPretrainData(args.feat_file, json.load(open(args.captions)),
+                             tokenizer, args.max_seq_length,
+                             args.max_img_seq_length, cfg.img_feature_dim)
+    bsz = args.per_gpu_train_batch_size
+    rng_py = random.Random(args.seed)
+    batch0 = data.batch(list(range(min(bsz, len(data)))), rng_py, pad_to=bsz)
+
+    img0 = None if args.text_only else jnp.asarray(batch0[3])
+    attn0 = (jnp.asarray(batch0[2][:, : args.max_seq_length])
+             if args.text_only else jnp.asarray(batch0[2]))
+    params = load_or_init(model, (jnp.asarray(batch0[0]),
+                                  jnp.asarray(batch0[1]), attn0, img0),
+                          args, cfg, task="bert_only")
+
+    ocfg = train_lib.OptimConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=int(args.train_steps * args.warmup_ratio),
+        num_train_steps=args.train_steps)
+    tx = train_lib.build_optimizer(params, ocfg)
+    state = train_lib.create_train_state(params, tx)
+
+    @jax.jit
+    def step(state, batch, rng):
+        ids, segs, attn, feats, mlm, contrast = batch
+
+        def loss_fn(p):
+            _, mlm_logits, nsp_logits = model.apply(
+                p, ids, segs, attn, img_feats=None if args.text_only else feats,
+                deterministic=False, rngs={"dropout": rng})
+            mlm_labels = mlm if not args.text_only else mlm[:, : ids.shape[1]]
+            mlm_loss = cross_entropy_ignore_index(
+                mlm_logits, mlm_labels[:, : mlm_logits.shape[1]])
+            nsp_loss = cross_entropy_ignore_index(nsp_logits, contrast)
+            return mlm_loss + nsp_loss, (mlm_loss, nsp_loss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        upd, opt = tx.update(grads, state.opt_state, state.params)
+        return train_lib.TrainState(
+            optax.apply_updates(state.params, upd), opt,
+            state.step + 1), loss, aux
+
+    rng = jax.random.PRNGKey(args.seed)
+    order = list(range(len(data)))
+    losses = []
+    for it in range(args.train_steps):
+        chunk = [order[(it * bsz + j) % len(order)] for j in range(bsz)]
+        batch = data.batch(chunk, rng_py, pad_to=bsz)
+        jb = tuple(jnp.asarray(x) for x in batch)
+        if args.text_only:
+            jb = (jb[0], jb[1], jb[2][:, : args.max_seq_length], jb[3],
+                  jb[4], jb[5])
+        rng, sub = jax.random.split(rng)
+        state, loss, (mlm_l, nsp_l) = step(state, jb, sub)
+        losses.append(float(loss))
+        if (it + 1) % 20 == 0:
+            print(f"step {it + 1}: loss {float(loss):.4f} "
+                  f"(mlm {float(mlm_l):.4f} nsp {float(nsp_l):.4f})")
+    print(f"pretrain done: first {losses[0]:.4f} -> last {losses[-1]:.4f}")
+    if args.output:
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        ckpt_lib.save_checkpoint(args.output, "pretrained", state)
+    return losses
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Upstream task runners on synthetic fixtures: VQA, NLVR2, retrieval,
+Oscar+ pretraining, text MLM, captioning."""
+import json
+
+import numpy as np
+import pytest
+
+from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+D = 24
+TINY = ["--hidden_size", "32", "--num_hidden_layers", "2",
+        "--img_feature_dim", str(D)]
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    """Feature TSV where dim 0 encodes a binary signal per image, plus task
+    metadata files."""
+    root = tmp_path_factory.mktemp("runners")
+    rng = np.random.RandomState(0)
+    rows = []
+    signals = {}
+    for q in range(8):
+        sig = q % 2
+        feats = rng.randn(4, D).astype(np.float32) * 0.1
+        feats[:, 0] = 2.0 * sig
+        signals[f"im{q}"] = sig
+        boxlist = [{"rect": [0, 0, 5, 5], "class": "dog" if sig else "cat",
+                    "conf": 0.9, "feature": encode_feature(f)}
+                   for f in feats]
+        rows.append([f"im{q}", json.dumps({"objects": boxlist})])
+    feat_file = str(root / "predictions.tsv")
+    tsv_writer(rows, feat_file)
+
+    vqa = [{"q_id": f"q{q}", "img_id": f"im{q}",
+            "question": "is the dog red",
+            "label_scores": {str(signals[f'im{q}']): 1.0}} for q in range(8)]
+    json.dump(vqa, open(root / "vqa.json", "w"))
+
+    nlvr = [{"ex_id": f"e{q}", "img_left": f"im{q}",
+             "img_right": f"im{(q + 1) % 8}",
+             "statement": "the left image is a dog",
+             "label": signals[f"im{q}"]} for q in range(8)]
+    json.dump(nlvr, open(root / "nlvr.json", "w"))
+
+    caps = {f"im{q}": [f"the {'red dog' if signals[f'im{q}'] else 'blue cat'}"]
+            for q in range(8)}
+    json.dump(caps, open(root / "captions.json", "w"))
+
+    pre_caps = {f"im{q}": "the red dog is on the left" for q in range(8)}
+    json.dump(pre_caps, open(root / "pre_captions.json", "w"))
+
+    return {"feat_file": feat_file, "root": root, "signals": signals}
+
+
+def test_run_vqa_learns(fixture, tmp_path):
+    from cpt_tpu.tools.run_vqa import main
+
+    acc = main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "vqa.json"),
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "30", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--output", str(tmp_path / "vqa.pk"), *TINY,
+    ])
+    assert acc >= 75.0, f"VQA failed to learn: {acc}"
+
+
+def test_run_nlvr_runs(fixture):
+    from cpt_tpu.tools.run_nlvr import main
+
+    acc = main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "nlvr.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "20", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"NLVR failed to learn: {acc}"
+
+
+def test_run_retrieval_ranks(fixture):
+    from cpt_tpu.tools.run_retrieval import main
+
+    metrics = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "60", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "16", *TINY,
+    ])
+    # captions only distinguish the two signal groups: R@5 over 8 images
+    # must beat the random baseline (5/8 = 62.5)
+    assert metrics["t2i_R@5"] >= 62.5
+    assert set(metrics) == {f"{d}_R@{k}" for d in ("t2i", "i2t")
+                            for k in (1, 5, 10)}
+
+
+def test_run_pretrain_loss_drops(fixture):
+    from cpt_tpu.tools.run_oscarplus_pretrain import main
+
+    losses = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "pre_captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "40", "--learning_rate", "3e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert losses[-1] < losses[0]
+
+
+def test_run_mlm_text_only(fixture):
+    from cpt_tpu.tools.run_oscarplus_pretrain import main
+
+    losses = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "pre_captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "25", "--learning_rate", "3e-3",
+        "--per_gpu_train_batch_size", "8", "--text_only", *TINY,
+    ])
+    assert losses[-1] < losses[0]
+
+
+def test_run_captioning_end_to_end(fixture, tmp_path):
+    from cpt_tpu.tools.run_captioning import main
+
+    cider, outputs = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "18", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6",
+        "--train_steps", "40", "--learning_rate", "3e-3",
+        "--per_gpu_train_batch_size", "8", "--num_beams", "2",
+        "--output", str(tmp_path / "cap.pk"), *TINY,
+    ])
+    assert len(outputs) == 8
+    assert np.isfinite(cider) and cider >= 0.0
