@@ -1,24 +1,28 @@
 """Stage-1 feature extraction: images → colored copies → AttrRCNN →
 predictions.tsv.
 
-TPU-native rework of reference ``engine/inference_ref.py`` + the color
+TPU-native rework of reference ``engine/inference_ref.py`` /
+``inference_vcr.py`` / ``inference_vg.py`` / ``inference.py`` + the color
 datasets: the base image is uploaded ONCE per query; all candidate-region
 copies are rendered on device (``ops/render``) and run through the detector
 in fixed-size chunks under one jit — no PIL, no per-copy host round-trips
 (the reference's dominant cost, SURVEY §3 hot loops).
 
-Output is bit-compatible with the reference TSV interchange: one row per
-query, ``key \\t json{"objects": [per-copy boxlists, caption, colors,
-rects]}`` with base64 float32 2054-d features
-(``inference_ref.py:95-192``).
+Painting variants (one per reference dataset):
+  * rects, one color per copy          — RefCOCO (``refcocodataset.py``)
+  * K rects with per-rect colors       — GQA marks / VG subj-obj pairs
+  * binary masks with per-mask colors  — RefCOCO RLE / VCR polygons
+
+Output rows are bit-compatible with the reference TSV interchange
+(``inference_ref.py:95-192``); per-task payload layouts are produced by the
+task builders in ``cpt_tpu.data.stage1_tasks``.
 """
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import time
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,43 +30,61 @@ import numpy as np
 
 from cpt_tpu.models.detector.attr_rcnn import AttrRCNN, region_features_2054
 from cpt_tpu.models.detector.config import DetectorConfig
-from cpt_tpu.ops.render import render_copies, to_detector_input
+from cpt_tpu.ops.render import paste_mask, paste_rects, to_detector_input
 from cpt_tpu.structures.boxes import pad_boxes
 from cpt_tpu.utils.tsv import encode_feature, tsv_writer
 
 
 @dataclasses.dataclass
 class ExtractTask:
-    """One query: base image + candidate boxes + per-copy colored rects."""
+    """One query: base image + candidate boxes + per-copy paint ops.
+
+    Each copy paints up to K rects (``copy_rects [n_copies, K, 4]`` +
+    ``copy_rect_valid [n_copies, K]``) and/or one binary mask
+    (``copy_masks [n_copies, H, W]``) with per-op RGBA colors.
+    """
 
     key: str
-    image_rgb: np.ndarray          # [H, W, 3] uint8 (canvas-padded)
-    image_hw: Sequence[int]        # true (h, w)
-    det_boxes: np.ndarray          # [n_dets, 4] xyxy inclusive
+    image_rgb: np.ndarray                  # [H, W, 3] uint8 (canvas-padded)
+    image_hw: Sequence[int]                # true (h, w)
+    det_boxes: np.ndarray                  # [n_dets, 4] xyxy inclusive
     caption: str = ""
-    # per copy: the rect(s) painted and their color names; rect index i is
-    # det i for RefCOCO's one-color-per-copy scheme
-    copy_rects: Optional[np.ndarray] = None     # [n_copies, 4]
-    copy_colors_rgba: Optional[np.ndarray] = None  # [n_copies, 4] uint8
+    copy_rects: Optional[np.ndarray] = None        # [n_copies, K, 4]
+    copy_rect_valid: Optional[np.ndarray] = None   # [n_copies, K]
+    copy_colors_rgba: Optional[np.ndarray] = None  # [n_copies, K, 4] uint8
+    copy_masks: Optional[np.ndarray] = None        # [n_copies, H, W] uint8
+    copy_mask_colors: Optional[np.ndarray] = None  # [n_copies, 4] uint8
     copy_color_names: Optional[List[List[str]]] = None
+    meta: Optional[dict] = None            # task-specific payload fields
+
+    @property
+    def n_copies(self) -> int:
+        if self.copy_rects is not None:
+            return len(self.copy_rects)
+        if self.copy_masks is not None:
+            return len(self.copy_masks)
+        return 1  # plain (uncolored) extraction
 
 
 def make_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
-                    copies_per_chunk: int = 4, inclusive_paint: bool = False,
+                    inclusive_paint: bool = False,
+                    with_masks: bool = False,
                     with_attributes: bool = False):
-    """Jitted chunk extractor.
-
-    fn(params, image_u8, rects [C,4], colors [C,4], copy_valid [C],
-       dets [M,4], det_valid [M], hw [2])
-      → features [C, M, 2054] f32, labels [C, M] i32, scores [C, M] f32
-    """
+    """Jitted chunk extractor over C copies with K rects each (+opt mask)."""
 
     @jax.jit
-    def fn(params, image_u8, rects, colors, copy_valid, dets, det_valid, hw):
-        copies = render_copies(image_u8, rects, colors,
-                               inclusive=inclusive_paint)     # [C, H, W, 3]
-        x = to_detector_input(copies, cfg.input.pixel_mean,
-                              dtype=model.dtype)
+    def fn(params, image_u8, rects, rect_valid, colors, copy_valid,
+           masks, mask_colors, dets, det_valid, hw):
+        def render_one(rect_set, rv, color_set, m, mc):
+            img = paste_rects(image_u8, rect_set, color_set, rv,
+                              inclusive=inclusive_paint)
+            if with_masks:
+                img = paste_mask(img, m, mc)
+            return img
+
+        copies = jax.vmap(render_one)(rects, rect_valid, colors, masks,
+                                      mask_colors)
+        x = to_detector_input(copies, cfg.input.pixel_mean, dtype=model.dtype)
 
         def one_copy(img):
             out = model.apply(params, img, hw, dets, det_valid,
@@ -72,28 +94,48 @@ def make_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
             return feats, out["labels"], out["scores"]
 
         feats, labels, scores = jax.lax.map(one_copy, x)
-        zero = jnp.zeros_like(feats)
-        feats = jnp.where(copy_valid[:, None, None], feats, zero)
+        feats = jnp.where(copy_valid[:, None, None], feats,
+                          jnp.zeros_like(feats))
         return feats, labels, scores
+
+    return fn
+
+
+def make_detect_fn(model: AttrRCNN, cfg: DetectorConfig, *,
+                   with_attributes: bool = True):
+    """Jitted plain RPN-mode detection + feature extraction (the reference's
+    generic ``engine/inference.py`` path)."""
+
+    @jax.jit
+    def fn(params, image_u8, anchors, hw):
+        x = to_detector_input(image_u8, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        out = model.apply(params, x, hw, anchors=anchors,
+                          with_attributes=with_attributes)
+        feats = region_features_2054(
+            out["box_features"].astype(jnp.float32), out["boxes"], hw)
+        return (feats, out["boxes"], out["labels"], out["scores"],
+                out["valid"], out.get("attr_logits"))
 
     return fn
 
 
 class Extractor:
     """Host-side driver: chunks copies, invokes the jitted extractor, and
-    assembles reference-format TSV rows."""
+    assembles per-task TSV rows."""
 
     def __init__(self, model: AttrRCNN, params, cfg: DetectorConfig,
                  labelmap: Optional[Dict[int, str]] = None,
-                 copies_per_chunk: int = 4, inclusive_paint: bool = False):
+                 copies_per_chunk: int = 4, inclusive_paint: bool = False,
+                 with_masks: bool = False):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.labelmap = labelmap or {}
         self.chunk = copies_per_chunk
-        self.fn = make_extract_fn(model, cfg,
-                                  copies_per_chunk=copies_per_chunk,
-                                  inclusive_paint=inclusive_paint)
+        self.with_masks = with_masks
+        self.fn = make_extract_fn(model, cfg, inclusive_paint=inclusive_paint,
+                                  with_masks=with_masks)
         self.infer_seconds = 0.0
         self.n_copies = 0
 
@@ -101,63 +143,102 @@ class Extractor:
         return self.labelmap.get(int(label), str(int(label)))
 
     def extract_task(self, task: ExtractTask):
-        """→ (objs, colors, rect_lists) in the reference row layout."""
+        """→ (feats [n_copies, M, 2054], labels, scores) numpy."""
         m = self.cfg.max_force_boxes
         dets, det_valid = pad_boxes(task.det_boxes, m)
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)
         hw = jnp.asarray(task.image_hw, jnp.int32)
         image = jnp.asarray(task.image_rgb)
+        h, w = task.image_rgb.shape[:2]
 
-        n_copies = len(task.copy_rects)
-        all_feats, all_labels, all_scores = [], [], []
+        n_copies = task.n_copies
+        k = (task.copy_rects.shape[1] if task.copy_rects is not None else 1)
+
+        all_out = ([], [], [])
         t0 = time.time()
         for start in range(0, n_copies, self.chunk):
             end = min(start + self.chunk, n_copies)
-            rects = np.zeros((self.chunk, 4), np.float32)
-            colors = np.zeros((self.chunk, 4), np.uint8)
+            rects = np.zeros((self.chunk, k, 4), np.float32)
+            rect_valid = np.zeros((self.chunk, k), bool)
+            colors = np.zeros((self.chunk, k, 4), np.uint8)
+            masks = np.zeros((self.chunk, h, w), np.uint8)
+            mask_colors = np.zeros((self.chunk, 4), np.uint8)
             valid = np.zeros((self.chunk,), bool)
-            rects[: end - start] = task.copy_rects[start:end]
-            colors[: end - start] = task.copy_colors_rgba[start:end]
             valid[: end - start] = True
-            feats, labels, scores = self.fn(
-                self.params, image, jnp.asarray(rects), jnp.asarray(colors),
-                jnp.asarray(valid), dets_j, det_valid_j, hw)
-            feats = np.asarray(feats)[: end - start]
-            all_feats.append(feats)
-            all_labels.append(np.asarray(labels)[: end - start])
-            all_scores.append(np.asarray(scores)[: end - start])
+            if task.copy_rects is not None:
+                rects[: end - start] = task.copy_rects[start:end]
+                rect_valid[: end - start] = (
+                    task.copy_rect_valid[start:end]
+                    if task.copy_rect_valid is not None else True)
+                colors[: end - start] = task.copy_colors_rgba[start:end]
+            if task.copy_masks is not None:
+                masks[: end - start] = task.copy_masks[start:end]
+                mask_colors[: end - start] = task.copy_mask_colors[start:end]
+            out = self.fn(self.params, image, jnp.asarray(rects),
+                          jnp.asarray(rect_valid), jnp.asarray(colors),
+                          jnp.asarray(valid), jnp.asarray(masks),
+                          jnp.asarray(mask_colors), dets_j, det_valid_j, hw)
+            for buf, arr in zip(all_out, out):
+                buf.append(np.asarray(arr)[: end - start])
         self.infer_seconds += time.time() - t0
         self.n_copies += n_copies
+        return tuple(np.concatenate(b) for b in all_out)
 
-        feats = np.concatenate(all_feats)     # [n_copies, M, 2054]
-        labels = np.concatenate(all_labels)
-        scores = np.concatenate(all_scores)
-
-        n_dets = len(task.det_boxes)
+    def boxlists_for(self, task: ExtractTask, feats, labels, scores
+                     ) -> List[List[dict]]:
+        n_dets = min(len(task.det_boxes), self.cfg.max_force_boxes)
         objs = []
-        for c in range(n_copies):
-            boxlist = []
-            for b in range(min(n_dets, self.cfg.max_force_boxes)):
-                boxlist.append({
-                    "rect": [float(v) for v in task.det_boxes[b]],
-                    "class": self.class_name(labels[c, b]),
-                    "conf": float(scores[c, b]),
-                    "feature": encode_feature(feats[c, b]),
-                })
-            objs.append(boxlist)
-        colors = task.copy_color_names
-        rect_lists = [[[float(v) for v in r]] for r in task.copy_rects]
-        return objs, colors, rect_lists
+        for c in range(task.n_copies):
+            objs.append([{
+                "rect": [float(v) for v in task.det_boxes[b]],
+                "class": self.class_name(labels[c, b]),
+                "conf": float(scores[c, b]),
+                "feature": encode_feature(feats[c, b]),
+            } for b in range(n_dets)])
+        return objs
 
-    def run(self, tasks: Iterable[ExtractTask], out_tsv: str) -> None:
+    def run(self, tasks: Iterable[ExtractTask], out_tsv: str,
+            payload_fn: Optional[Callable] = None) -> None:
+        """``payload_fn(task, objs) -> json-serializable payload``; defaults
+        to the RefCOCO row layout."""
+        payload_fn = payload_fn or refcoco_payload
+
         def rows():
             for task in tasks:
-                objs, colors, rect_lists = self.extract_task(task)
-                payload = {"objects": [objs, task.caption, colors, rect_lists]}
-                yield [task.key, json.dumps(payload)]
+                feats, labels, scores = self.extract_task(task)
+                objs = self.boxlists_for(task, feats, labels, scores)
+                yield [task.key, json.dumps(payload_fn(task, objs))]
 
         tsv_writer(rows(), out_tsv)
+
+
+# --- per-task payload layouts (what stage 2 decodes) -------------------------
+
+def refcoco_payload(task: ExtractTask, objs) -> dict:
+    rect_lists = [[r.tolist() for r, v in zip(rs, vs) if v]
+                  for rs, vs in zip(task.copy_rects, task.copy_rect_valid)]
+    return {"objects": [objs, task.caption, task.copy_color_names,
+                        rect_lists]}
+
+
+def gqa_payload(task: ExtractTask, objs) -> dict:
+    # objects[1][0] = positions_and_colors for the question rewrite
+    return {"objects": [objs[0], [task.meta["positions_and_colors"]]]}
+
+
+def vcr_payload(task: ExtractTask, objs) -> dict:
+    return {"objects": [objs[0], [task.meta["obj_colors"],
+                                  task.meta["obj_names"]]]}
+
+
+def vg_payload(task: ExtractTask, objs) -> dict:
+    return {"objects": [objs[0], task.meta["subj_obj_names"],
+                        task.meta["colors"], task.meta["rel_label"]]}
+
+
+def plain_payload(task: ExtractTask, objs) -> dict:
+    return {"objects": objs[0]}
 
 
 def refcoco_task(key: str, image_rgb: np.ndarray, image_hw, det_boxes,
@@ -166,11 +247,12 @@ def refcoco_task(key: str, image_rgb: np.ndarray, image_hw, det_boxes,
     (``refcocodataset.py:216,260-288``)."""
     name, rgba = color
     n = len(det_boxes)
+    det_boxes = np.asarray(det_boxes, np.float32)
     return ExtractTask(
         key=key, image_rgb=image_rgb, image_hw=image_hw,
-        det_boxes=np.asarray(det_boxes, np.float32),
-        caption=caption,
-        copy_rects=np.asarray(det_boxes, np.float32),
-        copy_colors_rgba=np.tile(np.asarray(rgba, np.uint8), (n, 1)),
+        det_boxes=det_boxes, caption=caption,
+        copy_rects=det_boxes[:, None, :],
+        copy_rect_valid=np.ones((n, 1), bool),
+        copy_colors_rgba=np.tile(np.asarray(rgba, np.uint8), (n, 1, 1)),
         copy_color_names=[[name]] * n,
     )

@@ -1,0 +1,140 @@
+"""Stage-1 task builders → extractor → stage-2 datasets: full-loop tests for
+GQA, VCR, VG (+ plain extraction and the GQA question parser)."""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.data.gqa import GQACPTData, GQAExample
+from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
+                                       plain_task, rasterize_polygon,
+                                       vcr_color_task, vg_pair_task)
+from cpt_tpu.data.vcr import VCRCPTData, VCRExample
+from cpt_tpu.data.vg import VGCPTData
+from cpt_tpu.engine.extract import (Extractor, gqa_payload, plain_payload,
+                                    vcr_payload, vg_payload)
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+from cpt_tpu.models.detector.config import tiny_detector_config
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+CFG = tiny_detector_config()
+FEAT_DIM = CFG.backbone.out_channels * 2 + 6
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    model = AttrRCNN(CFG)
+    rng = np.random.RandomState(0)
+    image = jnp.zeros((CFG.input.pad_h, CFG.input.pad_w, 3), jnp.uint8)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), image.astype(jnp.float32),
+        jnp.asarray([60, 60]), jnp.zeros((CFG.max_force_boxes, 4)),
+        jnp.ones((CFG.max_force_boxes,), bool))
+    labelmap = {i: n for i, n in enumerate(
+        ["bg", "dog", "cat", "person", "car", "tree", "sky"])}
+    return Extractor(model, params, CFG, labelmap=labelmap,
+                     copies_per_chunk=2, inclusive_paint=True)
+
+
+def _image(rng):
+    return rng.randint(0, 256, (CFG.input.pad_h, CFG.input.pad_w, 3)
+                       ).astype(np.uint8)
+
+
+DETS = np.array([[4, 4, 24, 24], [30, 8, 50, 30], [10, 34, 40, 58]],
+                np.float32)
+
+
+def test_parse_gqa_marks():
+    marks = parse_gqa_marks("what color is the dog near the car",
+                            DETS.tolist(), ["dog", "car", "tree"])
+    assert len(marks) == 1
+    box, char_pos = marks[0]
+    assert box == DETS[0].tolist()
+    # "dog" ends at char 21 in the question
+    assert char_pos == ["what color is the dog".index("dog") + 3]
+
+
+def test_gqa_stage1_to_stage2(extractor, tmp_path, rng):
+    img = _image(rng)
+    marks = parse_gqa_marks("what color is the dog", DETS.tolist(),
+                            ["dog", "cat", "tree"])
+    tasks = [gqa_mark_task(f"q{i}", img, (60, 60), DETS, marks)
+             for i in range(2)]
+    color_tsv = str(tmp_path / "color_predictions.tsv")
+    extractor.run(iter(tasks), color_tsv, payload_fn=gqa_payload)
+
+    plain_tasks = [plain_task(f"im{i}", img, (60, 60), DETS)
+                   for i in range(2)]
+    plain_tsv = str(tmp_path / "predictions.tsv")
+    extractor.run(iter(plain_tasks), plain_tsv, payload_fn=plain_payload)
+
+    tok = BertTokenizer(toy_vocab())
+    examples = [GQAExample(f"q{i}", f"im{i}", "what color is the dog", 0)
+                for i in range(2)]
+    data = GQACPTData(plain_tsv, color_tsv, examples, {"red": 0, "blue": 1},
+                      tok, max_seq_len=16, img_seq_len=4,
+                      img_feat_dim=FEAT_DIM)
+    q, feats = data.features_for(examples[0])
+    assert "blue" in q  # first palette color inserted at the parsed position
+    assert feats.shape[1] == FEAT_DIM
+
+
+def test_vcr_stage1_to_stage2(extractor, tmp_path, rng):
+    img = _image(rng)
+    polys = {0: [(5, 5), (20, 5), (20, 20), (5, 20)],
+             1: [(30, 10), (48, 10), (48, 28), (30, 28)]}
+    names = {0: "person", 1: "person"}
+    task = vcr_color_task("vcr0", img, (60, 60), DETS,
+                          entity_ids=[[0], [1]], entity_polygons=polys,
+                          entity_names=names)
+    # both entities colored with the first two palette colors
+    assert task.meta["obj_colors"] == {"0": "blue", "1": "red"}
+    feat_tsv = str(tmp_path / "predictions.tsv")
+    extractor.run(iter([task]), feat_tsv, payload_fn=vcr_payload)
+
+    tok = BertTokenizer(toy_vocab())
+    ex = VCRExample("q0", "vcr0", ["what", "is", [0], "doing"],
+                    [[[0], "is", "red"], [[1], "is", "blue"]], label=0)
+    data = VCRCPTData(feat_tsv, [ex], tok, max_seq_len=24, img_seq_len=4,
+                      img_feat_dim=FEAT_DIM)
+    cands = data.tensorize_example(data.examples[0])
+    assert len(cands) == 2
+    # textization picked up the stage-1 colors ("person in blue ...")
+    ids = cands[0][0].input_ids.tolist()
+    assert tok.convert_tokens_to_ids("person") in ids
+    assert tok.convert_tokens_to_ids("blue") in ids
+
+
+def test_vcr_mask_painting_changes_pixels(rng):
+    img = _image(rng)
+    polys = {0: [(5, 5), (20, 5), (20, 20), (5, 20)]}
+    task = vcr_color_task("v", img, (60, 60), DETS, [[0]], polys,
+                          {0: "person"})
+    assert not np.array_equal(task.image_rgb[5:20, 5:20], img[5:20, 5:20])
+    # pixels outside every polygon untouched
+    np.testing.assert_array_equal(task.image_rgb[40:, 40:], img[40:, 40:])
+
+
+def test_vg_stage1_to_stage2(extractor, tmp_path, rng):
+    img = _image(rng)
+    task = vg_pair_task("im7.jpg", img, (60, 60), DETS, 0, 1, "dog", "cat",
+                        "on")
+    assert task.key == "im7.jpg_0_1"
+    feat_tsv = str(tmp_path / "predictions.tsv")
+    extractor.run(iter([task]), feat_tsv, payload_fn=vg_payload)
+
+    tok = BertTokenizer(toy_vocab())
+    data = VGCPTData(feat_tsv, tok, max_seq_len=32, img_seq_len=4,
+                     img_feat_dim=FEAT_DIM)
+    key, seqs, feats, labels = data.sequences(0, both_directions=True)
+    assert key == "im7.jpg_0_1" and len(seqs) == 6
+    assert feats.shape[1] == FEAT_DIM
+
+
+def test_rasterize_polygon():
+    m = rasterize_polygon([(2, 2), (8, 2), (8, 8), (2, 8)], 12, 12)
+    assert m[5, 5] == 1 and m[0, 0] == 0 and m[10, 10] == 0
