@@ -23,7 +23,8 @@ from cpt_tpu.config.bert import OSCAR_BASE
 from cpt_tpu.data.vcr import VCRCPTData, load_vcr_examples
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.engine.scoring import make_nsp_score_fn
-from cpt_tpu.models.bert.heads import NSPCPT, VCRQAR_NSPCPT
+from cpt_tpu.models.bert.heads import (NSPCPT, NSPFT, VCRQAR_NSPCPT,
+                                       VCR_QAR_NSPFT)
 from cpt_tpu.utils import convert as cv
 from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
 
@@ -35,6 +36,9 @@ def build_args():
     p.add_argument("--val_examples", default=None)
     p.add_argument("--task", default="qa", choices=["qa", "qar_r", "qar"],
                    help="qa: q->a; qar_r: qa->r; qar: q->ar twin heads")
+    p.add_argument("--model_variant", default="cpt", choices=["cpt", "ft"],
+                   help="cpt: pretrained NSP head (NSPCPT); ft: fresh "
+                        "classifier (NSPFT, reference vcr_ft.py)")
     p.add_argument("--vocab", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", default=None)
@@ -111,7 +115,11 @@ def main(argv=None):
     cfg = model_config(args)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     twin = args.task == "qar"
-    model = (VCRQAR_NSPCPT if twin else NSPCPT)(cfg, dtype=dtype)
+    if args.model_variant == "ft":
+        model_cls = VCR_QAR_NSPFT if twin else NSPFT
+    else:
+        model_cls = VCRQAR_NSPCPT if twin else NSPCPT
+    model = model_cls(cfg, dtype=dtype)
 
     data = VCRCPTData(args.feat_file, load_vcr_examples(args.examples),
                       tokenizer, args.max_seq_length, args.max_img_seq_length,
@@ -129,7 +137,10 @@ def main(argv=None):
         jnp.asarray(b0.img_feats))
     if args.checkpoint:
         pre = cv.convert_bert_state_dict(cv.load_torch_file(args.checkpoint), cfg)
-        task = "vcr_qar_nsp_cpt" if twin else "nsp_cpt"
+        if args.model_variant == "ft":
+            task = "bert_only"      # FT keeps a freshly-initialized classifier
+        else:
+            task = "vcr_qar_nsp_cpt" if twin else "nsp_cpt"
         params = {"params": cv.merge_pretrained_into_init(
             init["params"], cv.params_for_task(pre, task))}
     else:
