@@ -74,12 +74,16 @@ class TSVFile:
 
 
 def _generate_lineidx(tsv_path: str, idx_path: str) -> None:
-    offsets = []
-    with open(tsv_path, "rb") as f:
-        pos = f.tell()
-        while f.readline():
-            offsets.append(pos)
+    from cpt_tpu.utils import native
+
+    offsets = native.scan_lineidx_native(tsv_path)
+    if offsets is None:
+        offsets = []
+        with open(tsv_path, "rb") as f:
             pos = f.tell()
+            while f.readline():
+                offsets.append(pos)
+                pos = f.tell()
     with open(idx_path, "w") as f:
         f.writelines(f"{o}\n" for o in offsets)
 
@@ -134,4 +138,17 @@ def encode_features(feats: np.ndarray) -> List[str]:
 
 
 def decode_features(b64_list: Sequence[str]) -> np.ndarray:
+    if len(b64_list) > 1:
+        # uniform-length rows → batch-decode through the native codec
+        first_len = len(b64_list[0])
+        if all(len(b) == first_len for b in b64_list) and first_len % 4 == 0:
+            from cpt_tpu.utils import native
+
+            dim = (first_len // 4) * 3 // 4
+            # base64 length → byte length is only exact without padding;
+            # fall back to a reference decode of the first row for dim
+            dim = decode_feature(b64_list[0]).shape[0]
+            out = native.decode_features_native(b64_list, dim)
+            if out is not None:
+                return out
     return np.stack([decode_feature(b) for b in b64_list])
