@@ -41,6 +41,13 @@ def build_args():
     p.add_argument("--output", required=True, help="predictions.tsv path")
     p.add_argument("--total_step", type=int, default=None)
     p.add_argument("--cur_step", type=int, default=None)
+    p.add_argument("--shard_by_process", action="store_true",
+                   help="multi-host pods: shard by jax.process_index() "
+                        "(output gets a .shard{i} suffix; merge with "
+                        "tools/merge_shards.py)")
+    p.add_argument("--overwrite", action="store_true",
+                   help="re-extract even if the output TSV exists "
+                        "(default skips, reference inference_ref.py:223-229)")
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--rand_seed", type=int, default=None)
     p.add_argument("--copies_per_chunk", type=int, default=4)
@@ -80,6 +87,13 @@ def load_image(path, pad_h, pad_w):
 
 def main(argv=None):
     args = build_args().parse_args(argv)
+    if args.shard_by_process:
+        args.total_step = jax.process_count()
+        args.cur_step = jax.process_index()
+        args.output = f"{args.output}.shard{args.cur_step}"
+    if os.path.exists(args.output) and not args.overwrite:
+        print(f"{args.output} exists; skipping (use --overwrite to redo)")
+        return
     cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = AttrRCNN(cfg, dtype=dtype)

@@ -1,0 +1,69 @@
+"""Report CLIs: fewshot seed-sweep, GQA ensemble, shard merge, extraction
+memoization/sharding flags."""
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from cpt_tpu.utils.tsv import TSVFile, tsv_writer
+
+
+def test_fewshot_eval_cli(tmp_path, capsys):
+    from cpt_tpu.tools.fewshot_eval import main
+
+    for shot in (1, 4):
+        for seed in (8, 88):
+            pickle.dump({"accuracy": 50.0 + shot + seed % 8},
+                        open(tmp_path / f"rc_shot{shot}_seed{seed}.pk", "wb"))
+    results = main(["--results_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "shot 1" in out and "shot 4" in out and "±" in out
+    assert set(results[1]) == {8, 88}
+
+
+def test_show_ensemble_cli(tmp_path):
+    from cpt_tpu.tools.show_ensemble import main
+
+    pt = {"results": {"q0": {"pred": 0, "scores": np.array([2.0, 1.0])},
+                      "q1": {"pred": 1, "scores": np.array([0.0, 1.0])}}}
+    cpt = {"results": {"q0": {"pred": 1, "scores": np.array([0.0, 9.0])},
+                       "q1": {"pred": 1, "scores": np.array([0.0, 1.0])}}}
+    pickle.dump(pt, open(tmp_path / "pt.pk", "wb"))
+    pickle.dump(cpt, open(tmp_path / "cpt.pk", "wb"))
+    json.dump({"q0": 1, "q1": 1}, open(tmp_path / "labels.json", "w"))
+    # 3:1 weights: q0 → 3*[2,1] + [0,9] = [6, 12] → pred 1 (correct)
+    acc = main(["--pt_results", str(tmp_path / "pt.pk"),
+                "--cpt_results", str(tmp_path / "cpt.pk"),
+                "--labels", str(tmp_path / "labels.json")])
+    assert acc == 100.0
+    # pt-only would get q0 wrong
+    acc2 = main(["--pt_results", str(tmp_path / "pt.pk"),
+                 "--cpt_results", str(tmp_path / "cpt.pk"),
+                 "--labels", str(tmp_path / "labels.json"),
+                 "--pt_weight", "1.0", "--cpt_weight", "0.0"])
+    assert acc2 == 50.0
+
+
+def test_merge_shards_cli(tmp_path):
+    from cpt_tpu.tools.merge_shards import main
+
+    for i in range(3):
+        tsv_writer([[f"k{i}_{j}", "v"] for j in range(2)],
+                   str(tmp_path / f"pred.tsv.shard{i}"))
+    main(["--shards", str(tmp_path / "pred.tsv.shard*"),
+          "--output", str(tmp_path / "merged.tsv")])
+    f = TSVFile(str(tmp_path / "merged.tsv"))
+    assert len(f) == 6
+    assert f.seek(0)[0] == "k0_0" and f.seek(5)[0] == "k2_1"
+
+
+def test_extract_memoization(tmp_path, capsys):
+    from cpt_tpu.tools.extract_features import main
+
+    out = str(tmp_path / "predictions.tsv")
+    tsv_writer([["existing", "row"]], out)
+    main(["--tiny", "--synthetic", "1", "--output", out])
+    assert "skipping" in capsys.readouterr().out
+    # untouched
+    assert TSVFile(out).seek(0)[0] == "existing"
