@@ -56,12 +56,16 @@ def _xyxy_to_xywh(rect: Sequence[float]) -> List[float]:
 class RefcocoCPTData:
     def __init__(self, data_file: str, ann_file: str, det_file: str,
                  tokenizer: BertTokenizer, txt_seq_len: int = 70,
-                 img_seq_len: int = 50, img_feat_dim: int = 2054):
+                 img_seq_len: int = 50, img_feat_dim: int = 2054,
+                 zsl_template: Optional[int] = None):
         self.tsv = TSVFile(data_file)
         self.tokenizer = tokenizer
         self.txt_seq_len = txt_seq_len
         self.img_seq_len = img_seq_len
         self.img_feat_dim = img_feat_dim
+        # zero-shot template variant 1-6 (reference
+        # refcoco_zsl_cpt_dataset.py); None = the few-shot template
+        self.zsl_template = zsl_template
         anns = json.load(open(ann_file))
         self.anns: Dict[str, dict] = {str(d["id"]): d for d in anns}
         self.det_dic: Dict[str, List[str]] = json.load(open(det_file))
@@ -83,7 +87,13 @@ class RefcocoCPTData:
     def example(self, idx: int) -> RefcocoExample:
         img_name, _, feats, caption, colors, rect_lists = self.decode_row(idx)
         od_labels = self.det_dic[str(img_name)]
-        prompt = prompts.refcoco_fsl_prompt(caption)
+        if self.zsl_template is not None:
+            ann0 = self.anns.get(str(img_name), {})
+            posi = ann0.get("tokens_positive", [[len(caption)]])[-1]
+            prompt = prompts.refcoco_zsl_prompt(caption, posi,
+                                                self.zsl_template)
+        else:
+            prompt = prompts.refcoco_fsl_prompt(caption)
         cname = colors[0][0]
 
         seqs = []

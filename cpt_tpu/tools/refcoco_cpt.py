@@ -55,6 +55,9 @@ def build_args():
     p.add_argument("--warmup_ratio", type=float, default=0.1)
     p.add_argument("--lr_mul", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=8)
+    p.add_argument("--zsl_template", type=int, default=None,
+                   help="zero-shot template variant 1-6 (reference "
+                        "refcoco_zsl_cpt_dataset.py); default = fsl template")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     # tiny-config escape hatch for smoke runs without a checkpoint
     p.add_argument("--hidden_size", type=int, default=None)
@@ -89,7 +92,8 @@ def main(argv=None):
 
     data = RefcocoCPTData(args.data_file, args.ann_file, args.det_file,
                           tokenizer, args.txt_seq_len, args.img_seq_len,
-                          cfg.img_feature_dim)
+                          cfg.img_feature_dim,
+                          zsl_template=args.zsl_template)
 
     ex = data.example(0)
     t = ex.seqs[0]
