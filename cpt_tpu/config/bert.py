@@ -39,6 +39,10 @@ class BertConfig:
     code_dim: int = 512
     code_size: int = 0
 
+    # attention backend: "einsum" (exact reference path) or "flash"
+    # (Pallas flash-attention; used when no attention dropout applies)
+    attention_impl: str = "einsum"
+
     # task head knobs
     num_labels: int = 2
     num_contrast_classes: int = 2

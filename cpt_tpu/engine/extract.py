@@ -86,17 +86,17 @@ def make_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                                       mask_colors)
         x = to_detector_input(copies, cfg.input.pixel_mean, dtype=model.dtype)
 
-        def one_copy(img):
-            out = model.apply(params, img, hw, dets, det_valid,
-                              with_attributes=with_attributes)
-            feats = region_features_2054(
-                out["box_features"].astype(jnp.float32), out["boxes"], hw)
-            return feats, out["labels"], out["scores"]
-
-        feats, labels, scores = jax.lax.map(one_copy, x)
+        # all copies go through the backbone/heads as ONE batch — the MXU
+        # runs ~2.5x faster than per-copy serialization at these shapes
+        out = model.apply(params, x, hw, dets, det_valid,
+                          with_attributes=with_attributes,
+                          method=model.forward_batch_force)
+        feats = jax.vmap(lambda bf, bx: region_features_2054(
+            bf.astype(jnp.float32), bx, hw))(out["box_features"],
+                                             out["boxes"])
         feats = jnp.where(copy_valid[:, None, None], feats,
                           jnp.zeros_like(feats))
-        return feats, labels, scores
+        return feats, out["labels"], out["scores"]
 
     return fn
 

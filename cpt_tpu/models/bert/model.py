@@ -106,14 +106,26 @@ class BertSelfAttention(nn.Module):
             q = qkv(hidden)[..., 0, :, :]
             k, v = pk[..., 1, :, :], pk[..., 2, :, :]
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
-        scores = scores + attn_bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(c.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        if head_mask is not None:
-            probs = probs * head_mask
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        use_flash = (c.attention_impl == "flash" and history_state is None
+                     and head_mask is None
+                     and (deterministic or c.attention_probs_dropout_prob == 0.0))
+        if use_flash:
+            from cpt_tpu.ops.attention import flash_mha
+
+            # [B, S, H, D] → [B, H, S, D]; bias broadcasts over heads/rows
+            ctx = flash_mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                            v.transpose(0, 2, 1, 3), bias=attn_bias,
+                            sm_scale=1.0 / float(hd) ** 0.5)
+            ctx = ctx.transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
+            scores = scores + attn_bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            probs = nn.Dropout(c.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic)
+            if head_mask is not None:
+                probs = probs * head_mask
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return nn.DenseGeneral(h, axis=(-2, -1), name="out",
                                dtype=self.dtype)(ctx)
 

@@ -57,6 +57,58 @@ class AttrRCNN(nn.Module):
         """image [H, W, 3] (BGR255, mean-subtracted) → C4 map [h, w, 1024]."""
         return self.backbone(image[None])[0]
 
+    def forward_batch_force(self, images: Array, image_hw: Array,
+                            force_boxes: Array, force_valid: Array,
+                            with_attributes: bool = False) -> Dict[str, Array]:
+        """Batched force-boxes extraction: all C image copies go through the
+        backbone and heads together (the per-copy ``lax.map`` serialization
+        costs ~2-3× on TPU — batching keeps the MXU fed).
+
+        images [C, H, W, 3] · shared force_boxes [M, 4]/[M] →
+        dict of [C, M, ...] outputs.
+        """
+        from cpt_tpu.ops.roi_align import roi_align
+
+        c_cfg = self.config
+        rh = c_cfg.roi_heads
+        n_copies = images.shape[0]
+        m = force_boxes.shape[0]
+
+        feats = self.backbone(images)                       # [C, h, w, 1024]
+        self.rpn_head(feats[:1, :1, :1, :])                 # param coverage
+
+        pooled = jax.vmap(lambda f: roi_align(
+            f, force_boxes, spatial_scale=rh.pooler_scale,
+            pooled=rh.pooler_resolution,
+            sampling=rh.pooler_sampling_ratio))(feats)      # [C, M, P, P, ch]
+        flat = pooled.reshape((n_copies * m,) + pooled.shape[2:])
+        x = self.box_extractor.run_head(flat)               # stage5
+        cls_logits, _deltas, pooled_vec = self.box_predictor(x)
+
+        prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+        fg = prob[:, 1:]
+        scores = jnp.max(fg, axis=-1).reshape(n_copies, m)
+        labels = (jnp.argmax(fg, axis=-1) + 1).reshape(n_copies, m)
+        out = {
+            "boxes": jnp.broadcast_to(force_boxes, (n_copies, m, 4)),
+            "scores": jnp.where(force_valid[None], scores, 0.0),
+            "labels": jnp.where(force_valid[None], labels, 0),
+            "box_features": pooled_vec.reshape(n_copies, m, -1),
+            "scores_all": prob.reshape(n_copies, m, -1),
+            "valid": jnp.broadcast_to(force_valid, (n_copies, m)),
+        }
+        if with_attributes:
+            apooled = jax.vmap(lambda f: roi_align(
+                f, force_boxes, spatial_scale=rh.pooler_scale,
+                pooled=rh.pooler_resolution,
+                sampling=rh.pooler_sampling_ratio))(feats)
+            ax = self.attr_extractor.run_head(
+                apooled.reshape((n_copies * m,) + apooled.shape[2:]))
+            attr_logits, _ = self.attr_predictor(ax, labels.reshape(-1))
+            out["attr_logits"] = attr_logits.astype(jnp.float32).reshape(
+                n_copies, m, -1)
+        return out
+
     def __call__(self, image: Array, image_hw: Array,
                  force_boxes: Optional[Array] = None,
                  force_valid: Optional[Array] = None,

@@ -37,15 +37,21 @@ class BoxFeatureExtractor(nn.Module):
     config: DetectorConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.head = ResNetC5Head(self.config.backbone, self.dtype,
+                                 name="head")
+
     def __call__(self, feature_map: Array, rois: Array) -> Array:
         rh = self.config.roi_heads
         pooled = roi_align(feature_map, rois,
                            spatial_scale=rh.pooler_scale,
                            pooled=rh.pooler_resolution,
                            sampling=rh.pooler_sampling_ratio)
-        return ResNetC5Head(self.config.backbone, self.dtype,
-                            name="head")(pooled)
+        return self.head(pooled)
+
+    def run_head(self, pooled: Array) -> Array:
+        """Stage-5 only (batched extraction pools separately)."""
+        return self.head(pooled)
 
 
 class FastRCNNPredictor(nn.Module):

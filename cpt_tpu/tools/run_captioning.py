@@ -40,6 +40,11 @@ def build_args():
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--scst_steps", type=int, default=0)
     p.add_argument("--train_steps", type=int, default=0)
+    p.add_argument("--use_cbs", action="store_true",
+                   help="constrained beam search: constraints = each "
+                        "image's top od-label words (reference cbs.py)")
+    p.add_argument("--min_constraints_to_satisfy", type=int, default=1)
+    p.add_argument("--num_constraints", type=int, default=2)
     return add_common_args(p)
 
 
@@ -156,7 +161,33 @@ def main(argv=None):
                                                           text_b=od)
         ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
                jnp.asarray(f[None]))
-        if args.num_beams > 1:
+        if args.use_cbs:
+            from cpt_tpu.engine.generation import make_step_logits_fn
+            from cpt_tpu.utils.cbs import build_fsm, constrained_beam_search
+
+            words = list(dict.fromkeys(od.split()))[: args.num_constraints]
+            constraints = [tokenizer.convert_tokens_to_ids(
+                tokenizer.tokenize(w)) for w in words if w]
+            trans, nsat = build_fsm(constraints, cfg.vocab_size)
+            base_step = make_step_logits_fn(model, gen_cfg)
+
+            def step_fn(params, tokens, step, segs, attn, f):
+                n = tokens.shape[0]
+                return base_step(params, tokens, step,
+                                 jnp.repeat(segs, n, 0),
+                                 jnp.repeat(attn, n, 0),
+                                 jnp.repeat(f, n, 0))
+
+            toks, _score = constrained_beam_search(
+                step_fn, params, ctx, transitions=trans,
+                num_satisfied=nsat, beams_per_state=max(args.num_beams, 2),
+                max_len=gen_cfg.max_seq_a_len,
+                bos_id=gen_cfg.bos_token_id, eos_id=gen_cfg.eos_token_id,
+                pad_id=gen_cfg.pad_token_id,
+                min_constraints=min(args.min_constraints_to_satisfy,
+                                    len(constraints)))
+            text = decode_caption(tokenizer, np.asarray(toks), gen_cfg)
+        elif args.num_beams > 1:
             toks, scores = beam_search(model, params, gen_cfg, *ctx)
             text = decode_caption(tokenizer, np.asarray(toks[0, 0]), gen_cfg)
         else:

@@ -1,0 +1,114 @@
+"""Detector evaluation driver: RPN-mode detection over a split → VOC mAP.
+
+Mirrors reference ``prompt_feat/tools/test_sg_net.py`` (detection eval on
+VG, ``vg_eval.py``): runs AttrRCNN with RPN proposals + filter_results_fast
+over an image list, evaluates VOC-style mAP against gt boxes, and applies
+the ``TEST.EXPECTED_RESULTS`` σ-tolerance assertion when given.
+
+Data: json list [{img, width, height, boxes [[x,y,w,h]...], labels [...]}]
+with --image_root, or --synthetic N.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpt_tpu.engine.detection_eval import (check_expected_results,
+                                           eval_detection_voc)
+from cpt_tpu.engine.extract import make_detect_fn
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+from cpt_tpu.models.detector.config import VINVL_X152C4, tiny_detector_config
+from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
+from cpt_tpu.models.detector.rpn import grid_anchors
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ann_file", default=None)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--synthetic", type=int, default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--expected_results", default=None,
+                   help='json [["mAP", 0.35, 0.01], ...]')
+    return p
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = AttrRCNN(cfg, dtype=dtype)
+    rng = np.random.RandomState(0)
+
+    h = w = cfg.input.pad_h
+    fh, fw = h // 16, w // 16
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, fh, fw))
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((h, w, 3)), jnp.asarray([h, w]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+    if args.checkpoint:
+        params = {"params": load_vinvl_checkpoint(args.checkpoint, cfg)}
+    else:
+        params = init
+        print("WARNING: random detector weights")
+
+    fn = make_detect_fn(model, cfg, with_attributes=False)
+
+    def samples():
+        if args.synthetic is not None:
+            for i in range(args.synthetic):
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                gt = {"boxes": np.array([[8, 8, 40, 40]], np.float32),
+                      "labels": np.array([1])}
+                yield f"syn{i}", img, (h, w), gt
+            return
+        from cpt_tpu.tools.extract_features import load_image
+
+        for ann in json.load(open(args.ann_file)):
+            img, hw = load_image(
+                f"{args.image_root}/{ann['img']}", h, w)
+            boxes = np.asarray(ann["boxes"], np.float32)
+            boxes[:, 2] = boxes[:, 0] + boxes[:, 2] - 1
+            boxes[:, 3] = boxes[:, 1] + boxes[:, 3] - 1
+            yield ann["img"], img, hw, {
+                "boxes": boxes, "labels": np.asarray(ann["labels"])}
+
+    preds, gts = [], []
+    t0 = time.time()
+    n = 0
+    for key, img, hw, gt in samples():
+        feats, boxes, labels, scores, valid, _ = fn(
+            params, jnp.asarray(img), anchors, jnp.asarray(hw, jnp.int32))
+        v = np.asarray(valid)
+        preds.append({"boxes": np.asarray(boxes)[v],
+                      "labels": np.asarray(labels)[v],
+                      "scores": np.asarray(scores)[v]})
+        gts.append(gt)
+        n += 1
+    dt = time.time() - t0
+    print(f"detected {n} images in {dt:.1f}s ({n / max(dt, 1e-9):.2f} img/s)")
+
+    results = eval_detection_voc(preds, gts, cfg.roi_heads.num_classes)
+    print(f"mAP: {results['mAP']:.4f}")
+    ok = True
+    if args.expected_results:
+        expected = [tuple(e) for e in json.loads(args.expected_results)]
+        ok = check_expected_results(results, expected)
+    if args.output:
+        pickle.dump({"results": results, "predictions": preds},
+                    open(args.output, "wb"))
+    return results, ok
+
+
+if __name__ == "__main__":
+    main()

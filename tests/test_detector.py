@@ -267,3 +267,25 @@ def test_converter_full_tree_loads(tiny_rcnn, rng):
     ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, params["params"])
     conv_shapes = jax.tree_util.tree_map(lambda x: x.shape, converted)
     assert ref_shapes == conv_shapes
+
+
+def test_batched_force_matches_single(tiny_rcnn):
+    """forward_batch_force must reproduce the per-copy force-boxes path."""
+    cfg, model, params, image, hw, boxes, valid, _ = tiny_rcnn
+    import jax.numpy as jnp
+
+    x = jnp.stack([image, image * 0.5])
+    single0 = model.apply(params, x[0], hw, boxes, valid,
+                          with_attributes=False)
+    single1 = model.apply(params, x[1], hw, boxes, valid,
+                          with_attributes=False)
+    batched = model.apply(params, x, hw, boxes, valid,
+                          method=model.forward_batch_force)
+    np.testing.assert_allclose(np.asarray(batched["box_features"][0]),
+                               np.asarray(single0["box_features"]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(batched["scores"][1]),
+                               np.asarray(single1["scores"]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(batched["labels"][0]),
+                                  np.asarray(single0["labels"]))
