@@ -142,6 +142,15 @@ class Extractor:
     def class_name(self, label: int) -> str:
         return self.labelmap.get(int(label), str(int(label)))
 
+    def pick_bucket(self, h: int, w: int):
+        """Smallest configured canvas bucket containing (h, w); each bucket
+        shape is its own compiled specialization of the extract fn."""
+        candidates = [b for b in self.cfg.input.buckets
+                      if b[0] >= h and b[1] >= w]
+        if not candidates:
+            return (max(h, self.cfg.input.pad_h), max(w, self.cfg.input.pad_w))
+        return min(candidates, key=lambda b: b[0] * b[1])
+
     def extract_task(self, task: ExtractTask):
         """→ (feats [n_copies, M, 2054], labels, scores) numpy."""
         m = self.cfg.max_force_boxes
@@ -149,8 +158,15 @@ class Extractor:
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)
         hw = jnp.asarray(task.image_hw, jnp.int32)
-        image = jnp.asarray(task.image_rgb)
-        h, w = task.image_rgb.shape[:2]
+        ih, iw = task.image_rgb.shape[:2]
+        h, w = self.pick_bucket(ih, iw)
+        if (h, w) != (ih, iw):
+            canvas = np.zeros((h, w, 3), np.uint8)
+            canvas[: min(ih, h), : min(iw, w)] = (
+                task.image_rgb[: h, : w])
+            image = jnp.asarray(canvas)
+        else:
+            image = jnp.asarray(task.image_rgb)
 
         n_copies = task.n_copies
         k = (task.copy_rects.shape[1] if task.copy_rects is not None else 1)
@@ -173,7 +189,9 @@ class Extractor:
                     if task.copy_rect_valid is not None else True)
                 colors[: end - start] = task.copy_colors_rgba[start:end]
             if task.copy_masks is not None:
-                masks[: end - start] = task.copy_masks[start:end]
+                tm = task.copy_masks[start:end]
+                masks[: end - start, : tm.shape[1], : tm.shape[2]] = (
+                    tm[:, :h, :w])
                 mask_colors[: end - start] = task.copy_mask_colors[start:end]
             out = self.fn(self.params, image, jnp.asarray(rects),
                           jnp.asarray(rect_valid), jnp.asarray(colors),

@@ -28,17 +28,34 @@ from cpt_tpu.structures.boxes import xywh_iou
 from cpt_tpu.utils.tokenization import BertTokenizer
 
 
-def make_mlm_at_mask_fn(model) -> Callable:
+def make_mlm_at_mask_fn(model, mesh=None) -> Callable:
     """Returns jitted fn(params, batch arrays) → float32 [N, vocab] logits
-    gathered at each sequence's mask position."""
+    gathered at each sequence's mask position.
 
-    @jax.jit
-    def fn(params, input_ids, segment_ids, attention_mask, img_feats, mask_pos):
+    With ``mesh`` (a Mesh with a "dp" axis), the batch is sharded over dp
+    and params replicated — XLA runs the forward SPMD (the reference's
+    DistributedSampler + all_gather eval, without the gather)."""
+
+    def raw(params, input_ids, segment_ids, attention_mask, img_feats,
+            mask_pos):
         # fast path: vocab projection only at the gathered [MASK] positions
         _, at_mask = model.apply(params, input_ids, segment_ids,
                                  attention_mask, img_feats=img_feats,
                                  mask_pos=mask_pos)
         return at_mask.astype(jnp.float32)
+
+    if mesh is None:
+        return jax.jit(raw)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_s = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    jfn = jax.jit(raw, in_shardings=(rep,) + (batch_s,) * 5,
+                  out_shardings=batch_s)
+
+    def fn(params, *batch):
+        return jfn(params, *batch)
 
     return fn
 
@@ -69,10 +86,11 @@ def refcoco_collect_scores(at_mask: np.ndarray, batch: FlatBatch,
 
 def refcoco_evaluate(model, params, data: RefcocoCPTData,
                      tokenizer: BertTokenizer, batch_size: int = 128,
-                     indices: Optional[List[int]] = None,
+                     indices: Optional[List[int]] = None, mesh=None,
                      ) -> Tuple[float, Dict[str, List[float]]]:
-    """Zero/few-shot RefCOCO grounding eval; returns (accuracy·100, preds)."""
-    fn = make_mlm_at_mask_fn(model)
+    """Zero/few-shot RefCOCO grounding eval; returns (accuracy·100, preds).
+    With ``mesh``, batches shard over the dp axis (batch_size must divide)."""
+    fn = make_mlm_at_mask_fn(model, mesh=mesh)
     predictions: Dict[str, List[float]] = {}
     n_correct, n_total = 0, 0
     for batch, examples in iter_eval_batches(data, batch_size, indices):

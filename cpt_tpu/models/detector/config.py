@@ -92,9 +92,14 @@ class InputConfig:
     pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)  # BGR
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # TPU static-shape contract: images are resized (min/max rules above)
-    # then padded to this canvas. 1000 -> pad 1024 keeps stride-16 alignment.
+    # then padded to the smallest fitting canvas bucket (each bucket is one
+    # compiled specialization; stride-16-aligned). The square bucket is the
+    # fallback; the rectangular ones halve backbone pixels for typical
+    # landscape/portrait photos.
     pad_h: int = 1024
     pad_w: int = 1024
+    buckets: Tuple[Tuple[int, int], ...] = ((640, 1024), (1024, 640),
+                                            (1024, 1024))
     size_divisibility: int = 16
 
 
@@ -129,7 +134,7 @@ def tiny_detector_config(**kw) -> DetectorConfig:
                                  min_detections_per_img=2),
         attributes=AttributeConfig(num_attributes=5, cls_emd_dim=4,
                                    attr_emd_dim=8),
-        input=InputConfig(pad_h=64, pad_w=64),
+        input=InputConfig(pad_h=64, pad_w=64, buckets=((64, 64),)),
         max_force_boxes=8,
     )
     return replace(cfg, **kw) if kw else cfg

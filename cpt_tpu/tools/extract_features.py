@@ -50,7 +50,10 @@ def build_args():
                         "(default skips, reference inference_ref.py:223-229)")
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--rand_seed", type=int, default=None)
-    p.add_argument("--copies_per_chunk", type=int, default=4)
+    p.add_argument("--copies_per_chunk", type=int, default=8)
+    p.add_argument("--resize", action="store_true",
+                   help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
+                        "(the RefCOCO reference path runs without resize)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--tiny", action="store_true",
                    help="tiny detector config (smoke tests)")
@@ -75,14 +78,22 @@ def shard_and_sample(anns, args):
     return anns
 
 
-def load_image(path, pad_h, pad_w):
+def load_image(path, pad_h, pad_w, resize_min=None, resize_max=None):
+    """Load RGB; optional min/max-size resize (the reference's
+    MIN/MAX_SIZE_TEST rule); clipped to the largest canvas. The Extractor
+    pads to the smallest fitting bucket."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    canvas = np.zeros((pad_h, pad_w, 3), np.uint8)
-    canvas[:h, :w] = np.asarray(img)[:pad_h, :pad_w]
-    return canvas, (min(h, pad_h), min(w, pad_w))
+    if resize_min:
+        scale = resize_min / min(h, w)
+        if resize_max and scale * max(h, w) > resize_max:
+            scale = resize_max / max(h, w)
+        w, h = int(round(w * scale)), int(round(h * scale))
+        img = img.resize((w, h), Image.BILINEAR)
+    arr = np.asarray(img)[:pad_h, :pad_w]
+    return arr, arr.shape[:2]
 
 
 def main(argv=None):
@@ -146,9 +157,14 @@ def main(argv=None):
             dets = np.asarray([d["box"] for d in rawdets], np.float32)
             dets[:, 2] = dets[:, 0] + dets[:, 2] - 1
             dets[:, 3] = dets[:, 1] + dets[:, 3] - 1
-            img, hw = load_image(os.path.join(args.image_root,
-                                              ann["file_name"]),
-                                 cfg.input.pad_h, cfg.input.pad_w)
+            orig_h = ann.get("height")
+            img, hw = load_image(
+                os.path.join(args.image_root, ann["file_name"]),
+                cfg.input.pad_h, cfg.input.pad_w,
+                resize_min=cfg.input.min_size_test if args.resize else None,
+                resize_max=cfg.input.max_size_test if args.resize else None)
+            if args.resize and orig_h:
+                dets = dets * (hw[0] / float(orig_h))
             yield refcoco_task(str(ann["id"]), img, hw, dets, ann["caption"])
 
     t0 = time.time()

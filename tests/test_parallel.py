@@ -1,0 +1,106 @@
+"""SPMD tests on the 8-virtual-device CPU mesh: param sharding rules,
+dp-sharded eval equivalence, dp+tp train step, process_allgather."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from cpt_tpu.config.bert import tiny_bert_config
+from cpt_tpu.models.bert.heads import REC_MLM_CPT
+from cpt_tpu.parallel import mesh as meshlib
+
+CFG = tiny_bert_config(vocab_size=192, num_attention_heads=4, hidden_size=32)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = REC_MLM_CPT(CFG)
+    B, T, R = 8, 10, 4
+    ids = jnp.ones((B, T), jnp.int32)
+    tt = jnp.zeros((B, T), jnp.int32)
+    mask = jnp.ones((B, T + R), jnp.int32)
+    feats = jnp.ones((B, R, CFG.img_feature_dim))
+    params = model.init(jax.random.PRNGKey(0), ids, tt, mask, feats)
+    return model, params
+
+
+def test_param_specs_rules(model_and_params):
+    _, params = model_and_params
+    specs = meshlib.param_specs(params["params"])
+    qkv = specs["bert"]["encoder"]["layer_0"]["attention"]["qkv"]["kernel"]
+    assert qkv == P(None, None, "tp", None)
+    out = specs["bert"]["encoder"]["layer_0"]["attention"]["out"]["kernel"]
+    assert out == P("tp", None, None)
+    inter = specs["bert"]["encoder"]["layer_0"]["intermediate"]["kernel"]
+    assert inter == P(None, "tp")
+    # embeddings replicated
+    emb = specs["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    assert emb == P()
+
+
+def test_dp_sharded_eval_matches_single(model_and_params, devices8):
+    from cpt_tpu.engine.scoring import make_mlm_at_mask_fn
+
+    model, params = model_and_params
+    mesh = meshlib.make_mesh(dp=8, tp=1, devices=devices8)
+    rng = np.random.RandomState(0)
+    B, T, R = 16, 10, 4
+    batch = (
+        jnp.asarray(rng.randint(0, 150, (B, T)).astype(np.int32)),
+        jnp.zeros((B, T), jnp.int32),
+        jnp.ones((B, T + R), jnp.int32),
+        jnp.asarray(rng.randn(B, R, CFG.img_feature_dim).astype(np.float32)),
+        jnp.full((B,), 3, jnp.int32),
+    )
+    single = make_mlm_at_mask_fn(model)(params, *batch)
+    sharded = make_mlm_at_mask_fn(model, mesh=mesh)(params, *batch)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dp_tp_train_step(model_and_params, devices8):
+    from cpt_tpu.engine import train as train_lib
+
+    model, params = model_and_params
+    mesh = meshlib.make_mesh(dp=4, tp=2, devices=devices8)
+    ocfg = train_lib.OptimConfig(learning_rate=1e-3, warmup_steps=1,
+                                 num_train_steps=5)
+    tx = train_lib.build_optimizer(params, ocfg)
+    state = train_lib.create_train_state(params, tx)
+    step = train_lib.make_mlm_train_step(model, tx, dropout=False)
+
+    B, T, R = 8, 10, 4
+    rng = np.random.RandomState(1)
+    batch = (
+        jnp.asarray(rng.randint(0, 150, (B, T)).astype(np.int32)),
+        jnp.zeros((B, T), jnp.int32),
+        jnp.ones((B, T + R), jnp.int32),
+        jnp.asarray(rng.randn(B, R, CFG.img_feature_dim).astype(np.float32)),
+        jnp.full((B,), 3, jnp.int32),
+        jnp.full((B,), 7, jnp.int32),
+    )
+    # unsharded baseline
+    s0, loss0 = step(state, batch, jax.random.PRNGKey(2))
+
+    with mesh:
+        sharded_params = meshlib.shard_params(params, mesh)
+        state_sh = train_lib.TrainState(
+            params=sharded_params,
+            opt_state=jax.device_put(state.opt_state, meshlib.replicated(mesh)),
+            step=jax.device_put(state.step, meshlib.replicated(mesh)))
+        batch_sh = meshlib.shard_batch(batch, mesh)
+        s1, loss1 = step(state_sh, batch_sh, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
+    # updated params agree
+    l0 = jax.tree_util.tree_leaves(s0.params)[3]
+    l1 = jax.tree_util.tree_leaves(s1.params)[3]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_process_allgather_single_process():
+    tree = {"a": jnp.arange(3)}
+    out = meshlib.process_allgather(tree)
+    np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
