@@ -48,6 +48,11 @@ def build_args():
     p.add_argument("--max_seq_length", type=int, default=45)
     p.add_argument("--max_img_seq_length", type=int, default=45)
     p.add_argument("--use_color", type=int, default=1)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="epochs between val evals; keeps the best params "
+                        "(reference best-model deepcopy, gqa_cpt.py:381-386)")
+    p.add_argument("--save_dir", default=None,
+                   help="save final (best) params via Orbax")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_hidden_layers", type=int, default=None)
@@ -147,6 +152,7 @@ def main(argv=None):
         rng = jax.random.PRNGKey(args.random_seed)
 
         t0 = time.time()
+        best_acc, best_params = -1.0, None
         for epoch in range(args.num_train_epochs):
             order = list(train_idxs)
             for start in range(0, len(order), bsz):
@@ -163,12 +169,25 @@ def main(argv=None):
             if (epoch + 1) % 10 == 0:
                 print(f"epoch {epoch + 1}: loss {float(loss):.4f} "
                       f"({time.time() - t0:.1f}s)")
-        params = state.params
+            if (args.eval_every and val_data is not None
+                    and (epoch + 1) % args.eval_every == 0):
+                acc, _ = evaluate(model, state.params, val_data,
+                                  args.per_gpu_eval_batch_size)
+                if acc > best_acc:
+                    best_acc, best_params = acc, jax.device_get(state.params)
+                print(f"epoch {epoch + 1}: val acc {acc:.2f} "
+                      f"(best {best_acc:.2f})")
+        params = (best_params if best_params is not None else state.params)
 
     eval_data = val_data or train_data
     acc, results = evaluate(model, params, eval_data,
                             args.per_gpu_eval_batch_size)
     print(f"accuracy: {acc:.2f}")
+    if args.save_dir:
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        ckpt_lib.save_model(args.save_dir, jax.device_get(params), cfg)
+        print(f"saved model to {args.save_dir}")
     if args.output:
         with open(args.output, "wb") as f:
             pickle.dump({"accuracy": acc, "results": results}, f)

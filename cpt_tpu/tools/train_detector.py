@@ -1,0 +1,126 @@
+"""Detector training driver (``train_sg_net.py`` equivalent).
+
+Mirrors reference ``prompt_feat/tools/train_sg_net.py`` + ``engine/
+trainer.py``: iteration-based SGD training of AttrRCNN (RPN + box +
+attribute losses) with WarmupMultiStepLR, stage freezing, periodic Orbax
+checkpoints and last_checkpoint resume.
+
+Data: json list [{img, boxes [[x,y,w,h]...], labels [...],
+attributes [[...]...]?}] + --image_root, or --synthetic N.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpt_tpu.engine.detector_train import do_train
+from cpt_tpu.engine.solver import SolverConfig
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNNTrainer
+from cpt_tpu.models.detector.config import VINVL_X152C4, tiny_detector_config
+from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
+from cpt_tpu.models.detector.rpn import grid_anchors
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ann_file", default=None)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--checkpoint", default=None, help="init weights .pth")
+    p.add_argument("--output_dir", default="./detector_ckpt")
+    p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--max_iter", type=int, default=90000)
+    p.add_argument("--steps", type=int, nargs="+", default=[49000, 65000])
+    p.add_argument("--warmup_iters", type=int, default=500)
+    p.add_argument("--checkpoint_period", type=int, default=10000)
+    p.add_argument("--freeze_conv_body_at", type=int, default=2)
+    p.add_argument("--max_gt", type=int, default=32)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--synthetic", type=int, default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return p
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    trainer = AttrRCNNTrainer(cfg, dtype=dtype)
+    rng = np.random.RandomState(0)
+
+    h = w = cfg.input.pad_h
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, h // 16, w // 16))
+    g = args.max_gt
+
+    def pad_gt(boxes, labels, attrs):
+        b = np.zeros((g, 4), np.float32)
+        l = np.zeros((g,), np.int32)
+        a = np.zeros((g, 16), np.int32)
+        v = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        b[:n] = boxes[:n]
+        l[:n] = labels[:n]
+        v[:n] = True
+        for i in range(n):
+            row = (attrs[i] if attrs else [])[:16]
+            a[i, : len(row)] = row
+        return b, l, v, a
+
+    def batches():
+        if args.synthetic is not None:
+            while True:
+                img = jnp.asarray(
+                    rng.randn(h, w, 3).astype(np.float32) * 30)
+                boxes = np.array([[8, 8, 40, 40], [50, 20, 60, 60]],
+                                 np.float32)
+                b, l, v, a = pad_gt(boxes, [1, 2], [[1], [2]])
+                yield (img, jnp.asarray([h, w]), jnp.asarray(b),
+                       jnp.asarray(l), jnp.asarray(v), jnp.asarray(a),
+                       anchors)
+            return
+        from cpt_tpu.tools.extract_features import load_image
+
+        anns = json.load(open(args.ann_file))
+        while True:
+            for ann in anns:
+                img, hw = load_image(f"{args.image_root}/{ann['img']}", h, w)
+                canvas = np.zeros((h, w, 3), np.float32)
+                canvas[: img.shape[0], : img.shape[1]] = img
+                boxes = np.asarray(ann["boxes"], np.float32)
+                boxes[:, 2] = boxes[:, 0] + boxes[:, 2] - 1
+                boxes[:, 3] = boxes[:, 1] + boxes[:, 3] - 1
+                b, l, v, a = pad_gt(boxes, ann["labels"],
+                                    ann.get("attributes"))
+                yield (jnp.asarray(canvas), jnp.asarray(hw, jnp.int32),
+                       jnp.asarray(b), jnp.asarray(l), jnp.asarray(v),
+                       jnp.asarray(a), anchors)
+
+    it = batches()
+    first = next(it)
+    params = jax.jit(trainer.init)(jax.random.PRNGKey(0), *first,
+                                   jax.random.PRNGKey(1))
+    if args.checkpoint:
+        params = {"params": load_vinvl_checkpoint(args.checkpoint, cfg)}
+        print(f"loaded {args.checkpoint}")
+
+    solver = SolverConfig(base_lr=args.base_lr, steps=tuple(args.steps),
+                          max_iter=args.max_iter,
+                          warmup_iters=args.warmup_iters)
+
+    def chain():
+        yield first
+        yield from it
+
+    state = do_train(trainer, params, chain(), solver=solver,
+                     checkpoint_dir=args.output_dir,
+                     checkpoint_period=args.checkpoint_period,
+                     freeze_conv_body_at=args.freeze_conv_body_at)
+    print(f"trained to step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,25 @@ def list_checkpoints(ckpt_dir: str) -> List[str]:
                   if op.isdir(op.join(ckpt_dir, d)))
 
 
+def save_model(save_dir: str, params: Any, config: Any = None) -> str:
+    """``save_pretrained`` equivalent (reference ``utils/save_model.py``):
+    params via Orbax + the model config as json."""
+    import json
+
+    from cpt_tpu.config.core import to_dict
+
+    path = save_checkpoint(save_dir, "model", params)
+    if config is not None:
+        with open(op.join(save_dir, "config.json"), "w") as f:
+            json.dump(to_dict(config), f, indent=2)
+    return path
+
+
+def load_model(save_dir: str, target_params: Any) -> Any:
+    """Restore params saved by ``save_model`` into ``target_params``' tree."""
+    return restore_checkpoint(save_dir, target_params, name="model")
+
+
 def prune_checkpoints(ckpt_dir: str, keep_last: int) -> None:
     names = list_checkpoints(ckpt_dir)
     last = last_checkpoint_name(ckpt_dir)

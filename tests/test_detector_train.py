@@ -161,3 +161,32 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt_lib.save_checkpoint(str(tmp_path), "model_0000009", state,
                              keep_last=2)
     assert len(ckpt_lib.list_checkpoints(str(tmp_path))) == 2
+
+
+def test_train_detector_cli(tmp_path):
+    from cpt_tpu.tools.train_detector import main
+
+    state = main(["--tiny", "--synthetic", "1", "--max_iter", "3",
+                  "--steps", "100", "--warmup_iters", "1",
+                  "--checkpoint_period", "3",
+                  "--output_dir", str(tmp_path / "ck"),
+                  "--dtype", "float32"])
+    assert int(state.step) == 3
+    from cpt_tpu.utils import checkpoint as ckpt_lib
+
+    assert ckpt_lib.has_checkpoint(str(tmp_path / "ck"))
+
+
+def test_save_load_model_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from cpt_tpu.config.bert import tiny_bert_config
+    from cpt_tpu.utils import checkpoint as ckpt_lib
+
+    params = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    ckpt_lib.save_model(str(tmp_path), params, tiny_bert_config())
+    blank = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = ckpt_lib.load_model(str(tmp_path), blank)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    import os
+    assert os.path.exists(tmp_path / "config.json")
