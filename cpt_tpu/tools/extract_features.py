@@ -33,8 +33,14 @@ from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", default="refcoco",
+                   choices=["refcoco", "gqa", "vcr", "vg", "plain"],
+                   help="stage-1 coloring scheme + TSV payload layout")
     p.add_argument("--ann_file", default=None)
     p.add_argument("--det_file", default=None)
+    p.add_argument("--to_mark", default=None,
+                   help="gqa: parsed entity marks json {q_id: [[box, "
+                        "positions], ...]} (auto-parsed if omitted)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--labelmap", default=None)
     p.add_argument("--checkpoint", default=None, help="vinvl_vg_x152c4.pth")
@@ -133,6 +139,27 @@ def main(argv=None):
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk)
 
+    from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
+                                           plain_task, vcr_color_task,
+                                           vg_pair_task)
+    from cpt_tpu.engine.extract import (gqa_payload, plain_payload,
+                                        vcr_payload, vg_payload)
+
+    def load_one(path, orig_h=None):
+        img, hw = load_image(
+            os.path.join(args.image_root, path),
+            cfg.input.pad_h, cfg.input.pad_w,
+            resize_min=cfg.input.min_size_test if args.resize else None,
+            resize_max=cfg.input.max_size_test if args.resize else None)
+        scale = (hw[0] / float(orig_h)) if (args.resize and orig_h) else 1.0
+        return img, hw, scale
+
+    def xywh_to_xyxy(dets):
+        dets = np.asarray(dets, np.float32)
+        dets[:, 2] = dets[:, 0] + dets[:, 2] - 1
+        dets[:, 3] = dets[:, 1] + dets[:, 3] - 1
+        return dets
+
     def tasks():
         if args.synthetic is not None:
             for q in range(args.synthetic):
@@ -147,28 +174,61 @@ def main(argv=None):
             return
         anns = json.load(open(args.ann_file))
         anns = shard_and_sample(anns, args)
-        det_dic = json.load(open(args.det_file))
+        det_dic = json.load(open(args.det_file)) if args.det_file else {}
+        to_mark = json.load(open(args.to_mark)) if args.to_mark else {}
 
         def img_id(name):
             return str(int(name.replace(".jpg", "").split("_")[-1]))
 
-        for ann in anns:
-            rawdets = det_dic[img_id(ann["file_name"])]
-            dets = np.asarray([d["box"] for d in rawdets], np.float32)
-            dets[:, 2] = dets[:, 0] + dets[:, 2] - 1
-            dets[:, 3] = dets[:, 1] + dets[:, 3] - 1
-            orig_h = ann.get("height")
-            img, hw = load_image(
-                os.path.join(args.image_root, ann["file_name"]),
-                cfg.input.pad_h, cfg.input.pad_w,
-                resize_min=cfg.input.min_size_test if args.resize else None,
-                resize_max=cfg.input.max_size_test if args.resize else None)
-            if args.resize and orig_h:
-                dets = dets * (hw[0] / float(orig_h))
-            yield refcoco_task(str(ann["id"]), img, hw, dets, ann["caption"])
+        if args.task == "refcoco":
+            for ann in anns:
+                rawdets = det_dic[img_id(ann["file_name"])]
+                dets = xywh_to_xyxy([d["box"] for d in rawdets])
+                img, hw, sc = load_one(ann["file_name"], ann.get("height"))
+                yield refcoco_task(str(ann["id"]), img, hw, dets * sc,
+                                   ann["caption"])
+        elif args.task == "gqa":
+            for ann in anns:
+                key = str(ann.get("img_id", ann.get("img_path")))
+                dets = np.asarray([d[1] if isinstance(d, list) else d["box"]
+                                   for d in det_dic[key]], np.float32)
+                img, hw, sc = load_one(ann["img_path"], ann.get("h"))
+                marks = to_mark.get(str(ann["q_id"]))
+                if marks is None:
+                    names = [d[0] if isinstance(d, list) else d["class"]
+                             for d in det_dic[key]]
+                    marks = parse_gqa_marks(ann["question"], dets.tolist(),
+                                            names)
+                if not marks:
+                    continue
+                yield gqa_mark_task(ann["q_id"], img, hw, dets * sc, marks)
+        elif args.task == "vcr":
+            for ann in anns:
+                dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img_key"]]])
+                img, hw, sc = load_one(ann["img_path"], ann.get("h"))
+                polys = {int(k): v for k, v in ann["entity_polygons"].items()}
+                names = {int(k): v for k, v in ann["entity_names"].items()}
+                yield vcr_color_task(ann["img_key"], img, hw, dets * sc,
+                                     ann["entity_ids"], polys, names)
+        elif args.task == "vg":
+            for ann in anns:
+                dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img"]]])
+                img, hw, sc = load_one(ann["img_path"], ann.get("h"))
+                yield vg_pair_task(ann["img"], img, hw, dets * sc,
+                                   ann["subj_idx"], ann["obj_idx"],
+                                   ann["subj_name"], ann["obj_name"],
+                                   ann["rel"])
+        else:  # plain
+            for ann in anns:
+                key = str(ann.get("img_id", ann.get("img_path")))
+                dets = xywh_to_xyxy([d["box"] for d in det_dic[key]])
+                img, hw, sc = load_one(ann["img_path"], ann.get("h"))
+                yield plain_task(key, img, hw, dets * sc)
 
+    payload = {"refcoco": None, "gqa": gqa_payload, "vcr": vcr_payload,
+               "vg": vg_payload, "plain": plain_payload}[args.task]
     t0 = time.time()
-    extractor.run(tasks(), args.output)
+    extractor.run(tasks(), args.output, payload_fn=payload)
     dt = time.time() - t0
     print(f"wrote {args.output}: {extractor.n_copies} copies in {dt:.1f}s "
           f"({extractor.n_copies / max(extractor.infer_seconds, 1e-9):.2f} "
