@@ -65,7 +65,9 @@ class ROIHeadsConfig:
     num_classes: int = 1595            # VG object vocabulary + background
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16
-    pooler_sampling_ratio: int = 2     # reference uses adaptive (0); fixed 2
+    # 0 = adaptive per-RoI grid (ceil(bin size)), exactly the reference's
+    # POOLER_SAMPLING_RATIO = 0; max grid 8 covers any RoI ≤ 1790px at 1/16
+    pooler_sampling_ratio: int = 0
     cls_agnostic_bbox_reg: bool = False
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     batch_size_per_image: int = 384

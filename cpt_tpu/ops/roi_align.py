@@ -31,22 +31,32 @@ Array = jax.Array
 
 
 def _interp_matrix(starts: Array, bin_sizes: Array, size: int, pooled: int,
-                   sampling: int, dtype) -> Array:
+                   sampling, dtype, max_sampling: int = 8) -> Array:
     """Build R[n, pooled, size]: folded bilinear+average interpolation rows.
 
     starts:    [N] RoI start coordinate (already scaled to feature space)
     bin_sizes: [N] RoI bin size (roi_extent / pooled)
+    sampling:  static int (fixed grid), or a per-RoI [N] int array — the
+               reference's adaptive ``sampling_ratio=0`` (grid =
+               ceil(bin_size)), realized with a masked ``max_sampling`` grid.
     """
     n = starts.shape[0]
-    # sample positions: pos[n, p, s] = start + (p + (s+0.5)/S) * bin
-    p_idx = jnp.arange(pooled, dtype=jnp.float32)
-    s_idx = (jnp.arange(sampling, dtype=jnp.float32) + 0.5) / sampling
-    offs = p_idx[:, None] + s_idx[None, :]                        # [P, S]
-    pos = starts[:, None, None] + offs[None] * bin_sizes[:, None, None]
+    adaptive = not isinstance(sampling, int)
+    smax = max_sampling if adaptive else sampling
+    if adaptive:
+        s_n = sampling.astype(jnp.float32)[:, None, None]          # [N,1,1]
+    else:
+        s_n = jnp.full((n, 1, 1), float(sampling))
+    # sample positions: pos[n, p, s] = start + (p + (s+0.5)/S_n) * bin
+    p_idx = jnp.arange(pooled, dtype=jnp.float32)[None, :, None]
+    s_idx = jnp.arange(smax, dtype=jnp.float32)[None, None, :]
+    offs = p_idx + (s_idx + 0.5) / s_n                             # [N,P,S]
+    pos = starts[:, None, None] + offs * bin_sizes[:, None, None]
+    live = s_idx < s_n                                             # [N,1,S]
 
     # legacy (aligned=False) clamping: pos < -1 or > size → skip (weight 0);
     # then pos clamped to [0, size-1] with border handling
-    in_range = (pos >= -1.0) & (pos <= size)
+    in_range = (pos >= -1.0) & (pos <= size) & live
     pos = jnp.clip(pos, 0.0, size - 1)
     low = jnp.floor(pos)
     frac = pos - low
@@ -61,22 +71,24 @@ def _interp_matrix(starts: Array, bin_sizes: Array, size: int, pooled: int,
         w_low[..., None] * (grid == low[..., None])
         + w_high[..., None] * (grid == high[..., None])
     )                                                              # [N,P,S,size]
-    return (rows.sum(axis=2) / sampling).astype(dtype)             # [N,P,size]
+    return (rows.sum(axis=2) / s_n).astype(dtype)                  # [N,P,size]
 
 
 @functools.partial(jax.jit, static_argnames=("pooled", "sampling",
-                                             "spatial_scale", "chunk"))
+                                             "spatial_scale", "chunk",
+                                             "max_sampling"))
 def roi_align(features: Array, rois: Array, *, spatial_scale: float,
               pooled: int = 14, sampling: int = 2,
-              chunk: int = 32) -> Array:
+              chunk: int = 32, max_sampling: int = 8) -> Array:
     """RoIAlign over a single feature map.
 
     features: [H, W, C] (NHWC, one image)   rois: [N, 4] xyxy in image coords
     returns:  [N, pooled, pooled, C]
 
-    Matches the reference CUDA kernel with a fixed ``sampling_ratio``
-    (the VinVL config's adaptive ``sampling_ratio=0`` is approximated with
-    ``sampling=2``; numerics verified against torchvision in tests).
+    ``sampling > 0``: fixed grid (torchvision ``sampling_ratio=k``).
+    ``sampling == 0``: the reference CUDA kernel's adaptive grid
+    (``ceil(roi_extent / pooled)`` per axis, capped at ``max_sampling``) —
+    exact parity with the VinVL config's ``POOLER_SAMPLING_RATIO = 0``.
     """
     h, w, c = features.shape
     n = rois.shape[0]
@@ -92,8 +104,15 @@ def roi_align(features: Array, rois: Array, *, spatial_scale: float,
     bin_w = roi_w / pooled
     bin_h = roi_h / pooled
 
-    ry = _interp_matrix(y1, bin_h, h, pooled, sampling, dtype)     # [N,P,H]
-    rx = _interp_matrix(x1, bin_w, w, pooled, sampling, dtype)     # [N,P,W]
+    if sampling == 0:
+        s_y = jnp.clip(jnp.ceil(bin_h), 1, max_sampling).astype(jnp.int32)
+        s_x = jnp.clip(jnp.ceil(bin_w), 1, max_sampling).astype(jnp.int32)
+    else:
+        s_y = s_x = sampling
+    ry = _interp_matrix(y1, bin_h, h, pooled, s_y, dtype,
+                        max_sampling)                              # [N,P,H]
+    rx = _interp_matrix(x1, bin_w, w, pooled, s_x, dtype,
+                        max_sampling)                              # [N,P,W]
 
     # chunked over RoIs to bound the [chunk, P, W, C] intermediate
     pad = (-n) % chunk

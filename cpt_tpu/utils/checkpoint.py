@@ -28,16 +28,32 @@ def _tag_path(ckpt_dir: str) -> str:
 
 
 def save_checkpoint(ckpt_dir: str, name: str, state: Any,
-                    keep_last: Optional[int] = None) -> str:
-    """Save pytree ``state`` under ``ckpt_dir/name``; update last_checkpoint."""
+                    keep_last: Optional[int] = None,
+                    retries: int = 10) -> str:
+    """Save pytree ``state`` under ``ckpt_dir/name``; update last_checkpoint.
+
+    Retries transient IO failures up to ``retries`` times (the reference's
+    save-retry loop, ``gqa_cpt.py:508-517``)."""
+    import time
+
     import orbax.checkpoint as ocp
 
     os.makedirs(ckpt_dir, exist_ok=True)
     path = op.abspath(op.join(ckpt_dir, name))
-    if op.exists(path):
-        shutil.rmtree(path)
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, jax.device_get(state))
+    host_state = jax.device_get(state)
+    last_err = None
+    for attempt in range(max(retries, 1)):
+        try:
+            if op.exists(path):
+                shutil.rmtree(path)
+            ckpt = ocp.PyTreeCheckpointer()
+            ckpt.save(path, host_state)
+            break
+        except (OSError, IOError) as e:         # pragma: no cover - IO flake
+            last_err = e
+            time.sleep(min(2 ** attempt, 30))
+    else:                                        # pragma: no cover
+        raise last_err
     with open(_tag_path(ckpt_dir), "w") as f:
         f.write(name)
     if keep_last:

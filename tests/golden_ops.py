@@ -22,8 +22,12 @@ def bilinear(feat, y, x):
             + ly * (1 - lx) * feat[y1, x0] + ly * lx * feat[y1, x1])
 
 
-def roi_align_ref(feat, rois, spatial_scale, pooled, sampling):
-    """feat [H, W, C]; rois [N, 4] xyxy → [N, pooled, pooled, C]."""
+def roi_align_ref(feat, rois, spatial_scale, pooled, sampling,
+                  max_sampling=8):
+    """feat [H, W, C]; rois [N, 4] xyxy → [N, pooled, pooled, C].
+
+    ``sampling == 0`` = the CUDA kernel's adaptive grid
+    (ceil(roi_extent / pooled) per axis)."""
     n = rois.shape[0]
     c = feat.shape[2]
     out = np.zeros((n, pooled, pooled, c), np.float32)
@@ -33,15 +37,20 @@ def roi_align_ref(feat, rois, spatial_scale, pooled, sampling):
         roi_h = max(y2 - y1, 1.0)
         bin_w = roi_w / pooled
         bin_h = roi_h / pooled
+        if sampling == 0:
+            s_y = min(int(np.ceil(bin_h)), max_sampling)
+            s_x = min(int(np.ceil(bin_w)), max_sampling)
+        else:
+            s_y = s_x = sampling
         for py in range(pooled):
             for px in range(pooled):
                 acc = np.zeros(c, np.float32)
-                for sy in range(sampling):
-                    for sx in range(sampling):
-                        y = y1 + (py + (sy + 0.5) / sampling) * bin_h
-                        x = x1 + (px + (sx + 0.5) / sampling) * bin_w
+                for sy in range(s_y):
+                    for sx in range(s_x):
+                        y = y1 + (py + (sy + 0.5) / s_y) * bin_h
+                        x = x1 + (px + (sx + 0.5) / s_x) * bin_w
                         acc += bilinear(feat, y, x)
-                out[i, py, px] = acc / (sampling * sampling)
+                out[i, py, px] = acc / (s_y * s_x)
     return out
 
 

@@ -120,3 +120,22 @@ def test_nms_respects_valid_mask():
     idx, keep = nms_padded(boxes, scores, valid, 0.5, max_out=2)
     assert np.asarray(keep).tolist() == [True, False]
     assert int(idx[0]) == 0
+
+
+def test_roi_align_adaptive_sampling_matches_golden(rng):
+    """sampling=0: the reference CUDA kernel's adaptive per-RoI grid
+    (the VinVL config's POOLER_SAMPLING_RATIO=0)."""
+    h, w, c = 40, 48, 6
+    scale = 1.0 / 16
+    feats = rng.randn(h, w, c).astype(np.float32)
+    # mix of small and large RoIs → different adaptive grid sizes
+    rois = np.array([
+        [10, 10, 120, 130],      # ~1 sample/bin
+        [0, 0, 600, 620],        # ~3 samples/bin
+        [100, 50, 700, 740],     # large
+        [5, 5, 20, 18],          # sub-bin
+    ], np.float32)
+    ours = roi_align(jnp.asarray(feats), jnp.asarray(rois),
+                     spatial_scale=scale, pooled=7, sampling=0)
+    ref = roi_align_ref(feats, rois, scale, 7, 0)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-4)
