@@ -125,7 +125,9 @@ def tiny_detector_config(**kw) -> DetectorConfig:
     from dataclasses import replace
 
     cfg = DetectorConfig(
-        backbone=BackboneConfig(stage_blocks=(1, 1, 1), head_blocks=1,
+        # head_blocks=3 matches the reference's hard-coded stage-5 spec
+        # (roi_box_feature_extractors.py:41: block_count=3)
+        backbone=BackboneConfig(stage_blocks=(1, 1, 1), head_blocks=3,
                                 num_groups=2, width_per_group=4,
                                 stem_out_channels=8, res2_out_channels=16,
                                 out_channels=64),
