@@ -1,0 +1,147 @@
+"""Prompt-construction parity vs the REFERENCE's own Oscar dataset code.
+
+Runs the reference's tokenize/tensorize functions (pure-python, torch CPU)
+with OUR tokenizer (same surface as the pinned HF one) and asserts our
+tensorizers produce identical input_ids / segment_ids / attention masks."""
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from cpt_tpu.data.gqa import tensorize_gqa
+from cpt_tpu.data.tensorize import tensorize_pair
+from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+OSCAR_ROOT = "/root/reference/Oscar"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    if OSCAR_ROOT not in sys.path:
+        sys.path.insert(0, OSCAR_ROOT)
+    # oscar.utils.misc imports yaml; iou pure; tsv_file pure
+    from oscar.datasets import refcoco_fsl_cpt_dataset as ref_rc
+
+    return ref_rc
+
+
+TOK = BertTokenizer(toy_vocab())
+
+
+def test_refcoco_tokenize_parity(ref_modules):
+    ref_rc = ref_modules
+    text_a = "the red dog on the left is in [MASK] color."
+    text_b = "red dog cat person dog dog person"
+    n_img = 4
+
+    ids, mask, segs, lm = ref_rc.tokenize(
+        TOK, text_a=text_a, text_b=text_b,
+        img_feat=torch.zeros((n_img, 8)), max_img_seq_len=6,
+        max_seq_a_len=40, max_seq_len=24)
+
+    ours = tensorize_pair(TOK, text_a, text_b, n_img, max_seq_len=24,
+                          max_img_seq_len=6)
+    np.testing.assert_array_equal(ours.input_ids, ids.numpy())
+    np.testing.assert_array_equal(ours.segment_ids, segs.numpy())
+    np.testing.assert_array_equal(ours.attention_mask, mask.numpy())
+    # mask position bookkeeping
+    assert ours.mask_positions[0] == ids.tolist().index(103)
+
+
+def test_refcoco_tokenize_truncation_parity(ref_modules):
+    """Pair truncation (longest-first) must match on overflow."""
+    ref_rc = ref_modules
+    text_a = "the red dog " * 6 + "is in [MASK] color."
+    text_b = "dog cat person " * 8
+
+    ids, mask, segs, _ = ref_rc.tokenize(
+        TOK, text_a=text_a, text_b=text_b, img_feat=torch.zeros((2, 8)),
+        max_img_seq_len=4, max_seq_a_len=40, max_seq_len=32)
+    ours = tensorize_pair(TOK, text_a, text_b, 2, max_seq_len=32,
+                          max_img_seq_len=4)
+    np.testing.assert_array_equal(ours.input_ids, ids.numpy())
+    np.testing.assert_array_equal(ours.attention_mask, mask.numpy())
+
+
+def _stub_pinned_transformers():
+    """The reference Oscar imports the pinned external
+    ``transformers.pytorch_transformers`` clone; stub it with auto-generated
+    torch.nn.Module subclasses (only class definitions are touched by the
+    prompt-construction code paths under test)."""
+    def auto_module(name):
+        mod = types.ModuleType(name)
+
+        def getattr_(attr, _n=name):
+            if attr.startswith("__"):
+                raise AttributeError(attr)
+            return type(attr, (torch.nn.Module,), {"__init__":
+                        lambda self, *a, **k: torch.nn.Module.__init__(self)})
+
+        mod.__getattr__ = getattr_
+        sys.modules[name] = mod
+        return mod
+
+    # anytree (cbs.py dependency): minimal Node/LevelOrderIter stub
+    if "anytree" not in sys.modules:
+        anytree = types.ModuleType("anytree")
+
+        class _Node:
+            def __init__(self, name, parent=None, **kw):
+                self.name = name
+                self.parent = parent
+                self.__dict__.update(kw)
+
+        anytree.Node = _Node
+        anytree.LevelOrderIter = lambda root: [root]
+        sys.modules["anytree"] = anytree
+
+    import transformers as real_tf
+
+    names = ["transformers.pytorch_transformers",
+             "transformers.pytorch_transformers.modeling_bert",
+             "transformers.pytorch_transformers.modeling_utils",
+             "transformers.pytorch_transformers.tokenization_bert",
+             "transformers.pytorch_transformers.optimization",
+             "transformers.pytorch_transformers.file_utils"]
+    for n in names:
+        if n not in sys.modules:
+            mod = auto_module(n)
+            parent, _, child = n.rpartition(".")
+            setattr(sys.modules.get(parent, real_tf), child, mod)
+
+
+def test_gqa_tensorize_parity():
+    """GQA layout vs the reference's GQADataset.tensorize_example (invoked
+    on a detached instance — the method only needs args/tokenizer)."""
+    if OSCAR_ROOT not in sys.path:
+        sys.path.insert(0, OSCAR_ROOT)
+    _stub_pinned_transformers()
+    from oscar.fewshot import gqa_cpt as ref_gqa
+
+    ds = ref_gqa.GQADataset.__new__(ref_gqa.GQADataset)
+    ds.args = types.SimpleNamespace(
+        max_seq_length=16, max_img_seq_length=5,
+        img_feature_type="faster_r-cnn", output_mode="classification")
+    ds.tokenizer = TOK
+    ds.qid2feat = None
+    ds.labels = [0, 1]
+
+    question = "what color is the dog"
+    feats = torch.zeros((3, 8))
+    example = types.SimpleNamespace(text_a=question, text_b=None,
+                                    label=[0], score=[1.0], q_id=0,
+                                    img_key="im0")
+    ds.get_img_feature = lambda ex: (question, "im0", ["dog"], feats, [])
+    out = ds.tensorize_example(example)
+    ref_ids, ref_mask, ref_segs = (out[0].numpy(), out[1].numpy(),
+                                   out[2].numpy())
+
+    ids, segs, attn, mask_pos = tensorize_gqa(TOK, question, 3,
+                                              max_seq_len=16,
+                                              max_img_seq_len=5)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_array_equal(segs, ref_segs)
+    np.testing.assert_array_equal(attn, ref_mask)
+    assert ids[mask_pos] == 103
