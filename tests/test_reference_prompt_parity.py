@@ -145,3 +145,83 @@ def test_gqa_tensorize_parity():
     np.testing.assert_array_equal(segs, ref_segs)
     np.testing.assert_array_equal(attn, ref_mask)
     assert ids[mask_pos] == 103
+
+
+def test_vcr_textize_and_tensorize_parity():
+    """VCR entity textization + candidate tensorization vs the reference's
+    VCRDataset methods on a detached instance."""
+    if OSCAR_ROOT not in sys.path:
+        sys.path.insert(0, OSCAR_ROOT)
+    _stub_pinned_transformers()
+    from oscar.fewshot import vcr_nsp_cpt as ref_vcr
+
+    ds = ref_vcr.VCRDataset.__new__(ref_vcr.VCRDataset)
+    ds.args = types.SimpleNamespace(
+        max_seq_length=24, max_img_seq_length=6,
+        img_feature_type="faster_r-cnn", output_mode="classification")
+    ds.tokenizer = TOK
+
+    colors = {"0": "red", "1": "blue"}
+    names = {"0": "person", "1": "person", "0_1": "people"}
+    sentence = ["what", "is", [0], "doing", "with", [1], "?"]
+    ref_text = ds._vcr_textize(sentence, colors, names, colorful=True)
+
+    from cpt_tpu.data.prompts import vcr_textize
+
+    assert vcr_textize(sentence, colors, names, colorful=True) == ref_text
+    assert (vcr_textize(sentence, colors, names, colorful=False)
+            == ds._vcr_textize(sentence, colors, names, colorful=False))
+
+    # candidate tensorization
+    import copy as pycopy
+
+    feats = torch.zeros((4, 8))
+    img_feat_tuple = ("im0", ["person"], feats, [], colors, names)
+    example = types.SimpleNamespace(
+        text_a=sentence, text_b=[[[0], "is", "red"], [[1], "is", "blue"]],
+        label=[0], score=[1.0], q_id=0, img_key="im0")
+    # the reference deep-copies the example per candidate
+    outs = []
+    for cand in example.text_b:
+        fed = pycopy.deepcopy(example)
+        fed.text_a = ds._vcr_textize(fed.text_a, colors, names)
+        fed.text_b = ds._vcr_textize(cand, colors, names, colorful=True)
+        # the bert model_type passes cls_token_segment_id=0
+        # (vcr_nsp_cpt.py:320-326); the signature default (1) is dead code
+        outs.append(ds._tensorize(fed, img_feat_tuple,
+                                  cls_token="[CLS]", sep_token="[SEP]",
+                                  cls_token_segment_id=0))
+
+    from cpt_tpu.data.vcr import VCRCPTData, VCRExample
+
+    ours_ds = VCRCPTData.__new__(VCRCPTData)
+    ours_ds.tokenizer = TOK
+    ours_ds.max_seq_len = 24
+    ours_ds.img_seq_len = 6
+    ours_ds.img_feat_dim = 8
+    ours_ds.load_features = lambda key: (np.zeros((4, 8), np.float32),
+                                         colors, names)
+    ex = VCRExample("q0", "im0", sentence,
+                    [[[0], "is", "red"], [[1], "is", "blue"]], label=0)
+    cands = ours_ds.tensorize_example(ex)
+    for (seq, _f), ref_out in zip(cands, outs):
+        np.testing.assert_array_equal(seq.input_ids, ref_out[0].numpy())
+        np.testing.assert_array_equal(seq.attention_mask, ref_out[1].numpy())
+        np.testing.assert_array_equal(seq.segment_ids, ref_out[2].numpy())
+
+
+def test_lr_schedule_matches_reference():
+    if OSCAR_ROOT not in sys.path:
+        sys.path.insert(0, OSCAR_ROOT)
+    from oscar.utils.optim_sched import get_lr_sched
+
+    from cpt_tpu.engine.train import OptimConfig, make_lr_schedule
+
+    opts = types.SimpleNamespace(learning_rate=3e-4, warmup_steps=10,
+                                 num_train_steps=100)
+    ours = make_lr_schedule(OptimConfig(learning_rate=3e-4, warmup_steps=10,
+                                        num_train_steps=100))
+    for step in (0, 1, 5, 10, 11, 50, 99, 100, 150):
+        ref = get_lr_sched(step, opts)
+        got = float(ours(step))
+        assert abs(got - ref) < 1e-9, (step, got, ref)
