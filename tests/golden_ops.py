@@ -76,3 +76,41 @@ def nms_ref(boxes, scores, thresh, offset=0.0):
                 suppressed[j] = True
         suppressed[i] = True
     return keep
+
+
+def roi_pool_ref(feat, rois, spatial_scale, pooled):
+    """Scalar RoIPool (transcription of ROIPool_cuda.cu semantics)."""
+    n = rois.shape[0]
+    h, w, c = feat.shape
+    out = np.zeros((n, pooled, pooled, c), np.float32)
+    for i, roi in enumerate(rois):
+        x1 = int(round(roi[0] * spatial_scale))
+        y1 = int(round(roi[1] * spatial_scale))
+        x2 = int(round(roi[2] * spatial_scale))
+        y2 = int(round(roi[3] * spatial_scale))
+        roi_w = max(x2 - x1 + 1, 1)
+        roi_h = max(y2 - y1 + 1, 1)
+        for py in range(pooled):
+            for px in range(pooled):
+                hs = min(max(y1 + (py * roi_h) // pooled, 0), h)
+                he = min(max(y1 + -(-((py + 1) * roi_h) // pooled), 0), h)
+                ws = min(max(x1 + (px * roi_w) // pooled, 0), w)
+                we = min(max(x1 + -(-((px + 1) * roi_w) // pooled), 0), w)
+                if he > hs and we > ws:
+                    out[i, py, px] = feat[hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
+def sigmoid_focal_loss_ref(logits, targets, gamma, alpha):
+    """Scalar transcription of SigmoidFocalLoss_cuda.cu forward."""
+    n, c = logits.shape
+    out = np.zeros((n, c), np.float32)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    for i in range(n):
+        for j in range(c):
+            cls = j + 1
+            zp = float(targets[i] == cls)
+            zn = float(targets[i] != cls and targets[i] >= 0)
+            out[i, j] = (-zp * alpha * (1 - p[i, j]) ** gamma * np.log(max(p[i, j], 1e-12))
+                         - zn * (1 - alpha) * p[i, j] ** gamma * np.log(max(1 - p[i, j], 1e-12)))
+    return out

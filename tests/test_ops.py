@@ -139,3 +139,42 @@ def test_roi_align_adaptive_sampling_matches_golden(rng):
                      spatial_scale=scale, pooled=7, sampling=0)
     ref = roi_align_ref(feats, rois, scale, 7, 0)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_pool_matches_golden(rng):
+    from cpt_tpu.ops.roi_pool import roi_pool
+    from golden_ops import roi_pool_ref
+
+    feats = rng.randn(16, 20, 5).astype(np.float32)
+    rois = np.array([[8, 8, 40, 36], [0, 0, 300, 300], [30, 20, 34, 22]],
+                    np.float32)
+    ours = roi_pool(jnp.asarray(feats), jnp.asarray(rois),
+                    spatial_scale=0.25, pooled=3)
+    ref = roi_pool_ref(feats, rois, 0.25, 3)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_sigmoid_focal_loss_matches_golden(rng):
+    from cpt_tpu.ops.focal_loss import sigmoid_focal_loss
+    from golden_ops import sigmoid_focal_loss_ref
+
+    logits = rng.randn(10, 4).astype(np.float32)
+    targets = rng.randint(0, 5, 10).astype(np.int32)
+    ours = sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets))
+    ref = sigmoid_focal_loss_ref(logits, targets, 2.0, 0.25)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_nms_pallas_matches_xla(rng):
+    from cpt_tpu.ops.nms_pallas import nms_pallas
+
+    boxes = make_rois(rng, 120, 50, 50, 4.0)
+    scores = rng.rand(120).astype(np.float32)
+    valid = rng.rand(120) > 0.2
+    i1, k1 = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.asarray(valid), 0.5, 40)
+    i2, k2 = nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.asarray(valid), 0.5, 40)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(k1)],
+                                  np.asarray(i2)[np.asarray(k2)])
