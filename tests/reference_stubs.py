@@ -85,6 +85,15 @@ def install():
                        ("object", object)):
         if not hasattr(np, alias):
             setattr(np, alias, typ)
+    # ...and torch 1.x's _six module
+    if not hasattr(torch, "_six"):
+        six = types.ModuleType("torch._six")
+        six.string_classes = str
+        six.int_classes = int
+        six.inf = float("inf")
+        six.PY3 = True
+        torch._six = six
+        sys.modules["torch._six"] = six
     yacs = types.ModuleType("yacs")
     yacs_config = types.ModuleType("yacs.config")
     yacs_config.CfgNode = CfgNode
@@ -119,8 +128,23 @@ def install():
     tv_ops.roi_align = _tv_roi_align
     tv.ops = tv_ops
     tv.__version__ = "0.0-stub"
+    tv_datasets = types.ModuleType("torchvision.datasets")
+
+    class _CocoDetection:
+        def __init__(self, *a, **k):
+            pass
+
+    tv_datasets.CocoDetection = _CocoDetection
+    tv_datasets.coco = types.SimpleNamespace(CocoDetection=_CocoDetection)
+    tv.datasets = tv_datasets
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms.functional = types.SimpleNamespace()
+    tv_transforms.Compose = lambda ts: ts
+    tv.transforms = tv_transforms
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.ops", tv_ops)
+    sys.modules.setdefault("torchvision.datasets", tv_datasets)
+    sys.modules.setdefault("torchvision.transforms", tv_transforms)
 
     # _C stub: present so `from maskrcnn_benchmark import _C` succeeds;
     # torchvision resolves first for nms/roi_align

@@ -225,3 +225,67 @@ def test_lr_schedule_matches_reference():
         ref = get_lr_sched(step, opts)
         got = float(ours(step))
         assert abs(got - ref) < 1e-9, (step, got, ref)
+
+
+def test_refcoco_draw_rectangles_parity(rng):
+    """Stage-1 color painting vs the reference RefCoCoDataset.draw_rectangles
+    (rect path): per-pixel identical."""
+    sys.path.insert(0, "/root/reference/prompt_feat")
+    from PIL import Image
+
+    # stubs for data-package imports not on the tested path
+    for name, attrs in (
+        ("pycocotools", {}), ("pycocotools.mask", {"decode": lambda *a: None}),
+        ("pycocotools.coco", {"COCO": object}),
+        ("cityscapesscripts", {}), ("cityscapesscripts.helpers",
+                                    {"csHelpers": types.SimpleNamespace()}),
+        ("cityscapesscripts.helpers.csHelpers", {}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            # permissive: unknown attributes become inert placeholders
+            mod.__getattr__ = (lambda attr: (_ for _ in ()).throw(
+                AttributeError(attr)) if attr.startswith("__")
+                else (lambda *a, **k: None))
+            sys.modules[name] = mod
+            parent, _, child = name.rpartition(".")
+            if parent in sys.modules:
+                setattr(sys.modules[parent], child, mod)
+    import reference_stubs
+
+    reference_stubs.install()
+
+    # detached instance: draw_rectangles only needs PIL
+    import importlib
+    ref_mod = importlib.import_module(
+        "maskrcnn_benchmark.data.datasets.refcocodataset")
+
+    class Holder:
+        draw_rectangles = ref_mod.RefCoCoDataset.draw_rectangles
+
+    import torch as _t
+
+    class FakeTarget:
+        def __init__(self, boxes):
+            self.bbox = _t.tensor(boxes)
+
+    img_arr = rng.randint(0, 256, (40, 50, 3)).astype(np.uint8)
+    boxes = [[5.0, 7.0, 23.0, 31.0], [10.0, 2.0, 44.0, 20.0]]
+    color = (240, 0, 30, 127)
+
+    pil_img = Image.fromarray(img_arr.copy(), "RGB")
+    Holder().draw_rectangles(pil_img, FakeTarget(boxes),
+                             [color, color], mask=None)
+    ref_out = np.array(pil_img)
+
+    import jax.numpy as jnp
+    from cpt_tpu.ops.render import paste_rects
+
+    ours = paste_rects(jnp.asarray(img_arr),
+                       jnp.asarray(np.asarray(boxes, np.float32)),
+                       jnp.asarray(np.tile(np.asarray(color, np.uint8),
+                                           (2, 1))),
+                       jnp.ones((2,), bool), inclusive=False)
+    np.testing.assert_array_equal(np.asarray(ours), ref_out)
