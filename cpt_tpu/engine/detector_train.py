@@ -54,7 +54,9 @@ def make_detector_train_step(trainer_model, tx, trainable: Any):
         total = sum(losses.values())
         return total, losses
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng)
@@ -71,7 +73,8 @@ def do_train(trainer_model, params, data_iter: Iterable, *,
              solver: SolverConfig, checkpoint_dir: Optional[str] = None,
              checkpoint_period: int = 10000, log_period: int = 20,
              freeze_conv_body_at: int = 2, seed: int = 0,
-             logger: Optional[Callable[[str], None]] = print) -> TrainState:
+             logger: Optional[Callable[[str], None]] = print,
+             metrics_jsonl: Optional[str] = None) -> TrainState:
     """Iteration-based training over ``data_iter`` yielding batch tuples
     (image, hw, gt_boxes, gt_labels, gt_valid, gt_attributes, anchors)."""
     tx = build_detector_optimizer(params, solver)
@@ -86,6 +89,11 @@ def do_train(trainer_model, params, data_iter: Iterable, *,
     meters = MetricLogger()
     timer = Timer()
     rng = jax.random.PRNGKey(seed)
+    jsonl = None
+    if metrics_jsonl:
+        from cpt_tpu.utils.metrics import JSONLLogger
+
+        jsonl = JSONLLogger(metrics_jsonl)
 
     it = int(state.step)
     for batch in data_iter:
@@ -100,6 +108,9 @@ def do_train(trainer_model, params, data_iter: Iterable, *,
         it += 1
         if it % log_period == 0:
             logger(meters.log_line(it, solver.max_iter))
+            if jsonl is not None:
+                jsonl.log(it, loss=float(total),
+                          **{k: float(v) for k, v in losses.items()})
         if checkpoint_dir and it % checkpoint_period == 0:
             ckpt_lib.save_checkpoint(checkpoint_dir, f"model_{it:07d}", state)
     if checkpoint_dir:

@@ -20,6 +20,7 @@ psum. No explicit collectives needed.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -143,7 +144,9 @@ def make_mlm_train_step(model, tx, *, dropout: bool = True):
 
         return cross_entropy_ignore_index(at_mask, labels)
 
-    @jax.jit
+    # donate the train state: params/opt buffers are updated in place on
+    # device (halves peak memory vs copy-on-update)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -166,7 +169,7 @@ def make_nsp_train_step(model, tx, *, head: Optional[str] = None,
                               deterministic=not dropout, rngs=rngs, **kwargs)
         return loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

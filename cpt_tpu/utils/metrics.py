@@ -98,6 +98,28 @@ class MetricLogger:
         return f"{eta}iter: {iteration}/{max_iter}  {self}{lr_s}"
 
 
+class JSONLLogger:
+    """Structured metrics log (the reference's optional TensorboardLogger
+    counterpart, dependency-free): one json object per update, suitable for
+    plotting or the ``eval_logs.json`` convention (``gqa_cpt.py:520-524``)."""
+
+    def __init__(self, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._fh = open(path, "a")
+
+    def log(self, step: int, **metrics):
+        import json
+
+        self._fh.write(json.dumps({"step": step, **metrics}) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+
 class TraceContext:
     """``with TraceContext("/tmp/traces"):`` captures a jax.profiler trace."""
 

@@ -81,15 +81,24 @@ def test_dp_tp_train_step(model_and_params, devices8):
         jnp.full((B,), 3, jnp.int32),
         jnp.full((B,), 7, jnp.int32),
     )
+    def deep_copy(tree):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+    with mesh:
+        # real copies: device_put may alias, and train steps donate their
+        # input state
+        sharded_params = meshlib.shard_params(deep_copy(params), mesh)
+        state_sh = train_lib.TrainState(
+            params=sharded_params,
+            opt_state=jax.device_put(deep_copy(state.opt_state),
+                                     meshlib.replicated(mesh)),
+            step=jax.device_put(deep_copy(state.step),
+                                meshlib.replicated(mesh)))
+
     # unsharded baseline
     s0, loss0 = step(state, batch, jax.random.PRNGKey(2))
 
     with mesh:
-        sharded_params = meshlib.shard_params(params, mesh)
-        state_sh = train_lib.TrainState(
-            params=sharded_params,
-            opt_state=jax.device_put(state.opt_state, meshlib.replicated(mesh)),
-            step=jax.device_put(state.step, meshlib.replicated(mesh)))
         batch_sh = meshlib.shard_batch(batch, mesh)
         s1, loss1 = step(state_sh, batch_sh, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
