@@ -197,11 +197,16 @@ class Extractor:
                           jnp.asarray(rect_valid), jnp.asarray(colors),
                           jnp.asarray(valid), jnp.asarray(masks),
                           jnp.asarray(mask_colors), dets_j, det_valid_j, hw)
+            # keep device arrays: dispatch of the next chunk overlaps with
+            # this one's execution; host conversion happens once at the end
             for buf, arr in zip(all_out, out):
-                buf.append(np.asarray(arr)[: end - start])
+                buf.append((arr, end - start))
+        gathered = tuple(
+            np.concatenate([np.asarray(a)[:k] for a, k in buf])
+            for buf in all_out)
         self.infer_seconds += time.time() - t0
         self.n_copies += n_copies
-        return tuple(np.concatenate(b) for b in all_out)
+        return gathered
 
     def boxlists_for(self, task: ExtractTask, feats, labels, scores
                      ) -> List[List[dict]]:

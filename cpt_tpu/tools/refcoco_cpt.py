@@ -135,7 +135,14 @@ def main(argv=None):
                                          args.per_gpu_train_batch_size,
                                          seed=args.seed + epoch):
                 rng, sub = jax.random.split(rng)
-                state, loss = step_fn(state, train_lib.batch_arrays_mlm(fb), sub)
+                try:
+                    state, loss = step_fn(state,
+                                          train_lib.batch_arrays_mlm(fb), sub)
+                except RuntimeError as e:
+                    # reference skips the batch on runtime errors
+                    # (refcoco_cpt.py:244-253)
+                    print(f"runtime error, skipping batch: {e}")
+                    continue
             print(f"epoch {epoch}: loss {float(loss):.4f} "
                   f"({time.time() - t0:.1f}s elapsed)")
         params = state.params

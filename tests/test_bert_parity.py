@@ -175,3 +175,31 @@ def test_extend_attention_mask_values():
     bias = extend_attention_mask(m, jnp.float32)
     assert bias.shape == (1, 1, 1, 3)
     np.testing.assert_array_equal(np.asarray(bias[0, 0, 0]), [0.0, 0.0, -10000.0])
+
+
+def test_dis_code_variants_run():
+    """The discrete-code image-feature variants (reference
+    `modeling_bert.py:167-176,249-259`) build and run."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    for variant in ("dis_code", "dis_code_t"):
+        cfg = dataclasses.replace(tiny_bert_config(), img_feature_type=variant,
+                                  code_voc=16, code_dim=12, code_size=6)
+        model = BertImgModel(cfg)
+        B, T = 2, 7
+        # dis_code: [B, n_codes] ids → embed → project;
+        # dis_code_t: [B, code_size] ids → embed → transpose → seq len =
+        # code_dim (reference modeling_bert.py:253-256)
+        codes = jnp.ones((B, 6), jnp.int32)
+        n_img = 12 if variant == "dis_code_t" else codes.shape[1]
+        mask = jnp.ones((B, T + n_img), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.ones((B, T), jnp.int32),
+                                     jnp.zeros((B, T), jnp.int32), mask,
+                                     img_feats=codes)
+        seq, pooled = model.apply(params, jnp.ones((B, T), jnp.int32),
+                                  jnp.zeros((B, T), jnp.int32), mask,
+                                  img_feats=codes)
+        assert np.isfinite(np.asarray(pooled)).all()
