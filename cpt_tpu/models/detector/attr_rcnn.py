@@ -141,6 +141,16 @@ class AttrRCNN(nn.Module):
         if force_boxes is not None:
             out = postprocess_force_boxes(cls_logits, pooled, proposals,
                                           prop_valid)
+        elif c.roi_heads.nms_filter == 0:
+            from cpt_tpu.models.detector.heads import postprocess_per_class
+
+            out = postprocess_per_class(c, cls_logits, box_deltas, pooled,
+                                        proposals, prop_valid, image_hw)
+        elif c.roi_heads.nms_filter == 1:
+            from cpt_tpu.models.detector.heads import postprocess_peter
+
+            out = postprocess_peter(c, cls_logits, box_deltas, pooled,
+                                    proposals, prop_valid, image_hw)
         else:
             out = postprocess_fast(c, cls_logits, box_deltas, pooled,
                                    proposals, prop_valid, image_hw)

@@ -16,7 +16,7 @@ All outputs are fixed-shape with validity masks (XLA static-shape contract).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -104,6 +104,147 @@ def postprocess_force_boxes(class_logits: Array, pooled_features: Array,
         "labels": jnp.where(valid, labels, 0),
         "box_features": pooled_features,
         "scores_all": prob,
+        "valid": valid,
+    }
+
+
+def _decode_clip_per_class(cfg, class_logits, box_deltas, proposals, image_hw):
+    rh = cfg.roi_heads
+    prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+    n, c = prob.shape
+    decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
+                           rh.bbox_reg_weights).reshape(n, c, 4)
+    h = image_hw[0].astype(jnp.float32)
+    w = image_hw[1].astype(jnp.float32)
+    decoded = jnp.stack([
+        jnp.clip(decoded[..., 0], 0, w - 1),
+        jnp.clip(decoded[..., 1], 0, h - 1),
+        jnp.clip(decoded[..., 2], 0, w - 1),
+        jnp.clip(decoded[..., 3], 0, h - 1),
+    ], axis=-1)
+    return prob, decoded
+
+
+def postprocess_per_class(cfg: DetectorConfig, class_logits: Array,
+                          box_deltas: Array, pooled_features: Array,
+                          proposals: Array, proposal_valid: Array,
+                          image_hw: Array, score_thresh: Optional[Array] = None,
+                          per_class_cap: int = 32) -> Dict[str, Array]:
+    """``filter_results`` (NMS_FILTER=0, reference ``inference.py:188-244``):
+    per-class score threshold + per-class NMS, then a global top
+    ``detections_per_img`` cut by score.
+
+    Static shapes: each foreground class keeps ≤ ``per_class_cap`` NMS
+    survivors; the global cut is an exact top-k (the reference's kthvalue
+    ``>=`` keeps score-ties beyond the limit — a documented edge difference).
+    The host-side binary-search score_thresh retry wraps this fn (pass
+    ``score_thresh`` as a traced scalar).
+    """
+    rh = cfg.roi_heads
+    thresh = (jnp.float32(rh.score_thresh) if score_thresh is None
+              else score_thresh.astype(jnp.float32))
+    prob, decoded = _decode_clip_per_class(cfg, class_logits, box_deltas,
+                                           proposals, image_hw)
+    n, c = prob.shape
+
+    def per_class(j):
+        scores_j = prob[:, j]
+        keep = (scores_j > thresh) & proposal_valid
+        idx, kept = nms_padded(decoded[:, j], scores_j, keep, rh.nms_thresh,
+                               max_out=per_class_cap)
+        return idx, kept, scores_j[idx]
+
+    class_ids = jnp.arange(1, c)
+    idxs, kepts, scoress = jax.vmap(per_class)(class_ids)   # [C-1, cap]
+    flat_idx = idxs.reshape(-1)
+    flat_keep = kepts.reshape(-1)
+    flat_scores = jnp.where(flat_keep, scoress.reshape(-1), -1.0)
+    flat_labels = jnp.repeat(class_ids, per_class_cap)
+
+    k = rh.detections_per_img
+    top_scores, top_slots = jax.lax.top_k(flat_scores, k)
+    src = flat_idx[top_slots]
+    valid = top_scores > -0.5
+    return {
+        "boxes": decoded[src, flat_labels[top_slots]],
+        "scores": jnp.where(valid, top_scores, 0.0),
+        "labels": jnp.where(valid, flat_labels[top_slots], 0),
+        "box_features": pooled_features[src],
+        "scores_all": prob[src],
+        "valid": valid,
+    }
+
+
+def postprocess_per_class_with_retry(cfg, class_logits, box_deltas,
+                                     pooled_features, proposals,
+                                     proposal_valid, image_hw,
+                                     max_retries: int = 10):
+    """The reference's binary-search threshold loop
+    (``inference.py:130-143``): halve score_thresh until at least
+    ``min_detections_per_img`` survive. Host loop re-invoking the jitted
+    post-processor with the threshold as a traced scalar."""
+    import numpy as np
+
+    thresh = cfg.roi_heads.score_thresh
+    out = postprocess_per_class(cfg, class_logits, box_deltas,
+                                pooled_features, proposals, proposal_valid,
+                                image_hw, jnp.float32(thresh))
+    for _ in range(max_retries):
+        if int(np.asarray(out["valid"]).sum()) >= cfg.roi_heads.min_detections_per_img:
+            break
+        thresh /= 2.0
+        out = postprocess_per_class(cfg, class_logits, box_deltas,
+                                    pooled_features, proposals,
+                                    proposal_valid, image_hw,
+                                    jnp.float32(thresh))
+    return out
+
+
+def postprocess_peter(cfg: DetectorConfig, class_logits: Array,
+                      box_deltas: Array, pooled_features: Array,
+                      proposals: Array, proposal_valid: Array,
+                      image_hw: Array) -> Dict[str, Array]:
+    """``filter_results_peter`` (NMS_FILTER=1, reference
+    ``inference.py:246-308``): per-class NMS (0.3) builds a survivor mask,
+    each box takes its best surviving class, zero-score boxes drop, sort
+    desc, clamp to [min_detections, detections_per_img]."""
+    rh = cfg.roi_heads
+    prob, decoded = _decode_clip_per_class(cfg, class_logits, box_deltas,
+                                           proposals, image_hw)
+    n, c = prob.shape
+
+    def per_class_mask(j):
+        idx, kept = nms_padded(decoded[:, j], prob[:, j], proposal_valid,
+                               0.3, max_out=n)
+        # scatter-max: padded slots (idx=0, kept=False) must not clobber a
+        # genuine survivor at index 0
+        mask = jnp.zeros((n,), jnp.int32)
+        return mask.at[idx].max(kept.astype(jnp.int32)).astype(bool)
+
+    masks = jax.vmap(per_class_mask)(jnp.arange(1, c))      # [C-1, N]
+    dists = jnp.concatenate(
+        [jnp.zeros((n, 1)), (masks.T * prob[:, 1:])], axis=1)
+    scores = jnp.max(dists, axis=1)
+    labels = jnp.argmax(dists, axis=1)
+    nonzero = scores > 0
+
+    order = jnp.argsort(-jnp.where(nonzero, scores, -1.0))
+    sorted_scores = scores[order]
+    sorted_valid = nonzero[order]
+    num_above = jnp.sum(sorted_valid & (sorted_scores >= rh.score_thresh))
+    n_keep = jnp.clip(num_above, rh.min_detections_per_img,
+                      rh.detections_per_img)
+    n_keep = jnp.minimum(n_keep, jnp.sum(sorted_valid))
+    k = rh.detections_per_img
+    slot = jnp.arange(k)
+    valid = slot < n_keep
+    top = order[:k]
+    return {
+        "boxes": decoded[top, labels[top]],
+        "scores": jnp.where(valid, scores[top], 0.0),
+        "labels": jnp.where(valid, labels[top], 0),
+        "box_features": pooled_features[top],
+        "scores_all": prob[top],
         "valid": valid,
     }
 
