@@ -38,7 +38,7 @@ def test_bbox_aug_merges_and_dedups(rng):
     # flipped image really was flipped
     np.testing.assert_array_equal(calls[1], image[:, ::-1])
     v = out["valid"]
-    kept = sorted(zip(np.round(out["scores"][v], 5).tolist(),
+    kept = sorted(zip(np.round(out["scores"][v].astype(np.float64), 5).tolist(),
                       out["labels"][v].tolist()))
     # duplicate of A suppressed (IoU 1.0 after unmapping); B kept
     assert kept == [(0.7, 4), (0.9, 3)]
