@@ -76,6 +76,37 @@ def shard_params(params: Any, mesh: Mesh,
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
+# FSDP-style placement: shard every large kernel's first (input) dimension
+# over the dp axis — params and optimizer state live distributed and XLA
+# all-gathers per layer. Composes with the tp rules (tp takes precedence).
+def fsdp_specs(params: Any, dp_size: int, min_size: int = 2 ** 16,
+               tp_rules: Sequence[Tuple[str, P]] = BERT_TP_RULES) -> Any:
+    def spec_for(kp, leaf):
+        path = path_str(kp)
+        shape = getattr(leaf, "shape", ())
+        for pattern, spec in tp_rules:
+            if re.search(pattern, path) and len(shape) == len(spec):
+                # graft dp onto the first unsharded, divisible dim
+                dims = list(spec)
+                for i, d in enumerate(dims):
+                    if d is None and shape[i] % dp_size == 0:
+                        dims[i] = "dp"
+                        break
+                return P(*dims)
+        if (len(shape) >= 2 and getattr(leaf, "size", 0) >= min_size
+                and shape[0] % dp_size == 0):
+            return P("dp")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, **kw) -> Any:
+    specs = fsdp_specs(params, num_dp(mesh), **kw)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
 def batch_specs(batch: Any) -> Any:
     """Shard the leading (batch) dim of every array over ``dp``."""
     return jax.tree_util.tree_map(

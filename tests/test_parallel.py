@@ -113,3 +113,50 @@ def test_process_allgather_single_process():
     tree = {"a": jnp.arange(3)}
     out = meshlib.process_allgather(tree)
     np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
+
+
+def test_fsdp_sharded_train_step_matches(model_and_params, devices8):
+    """FSDP-style param sharding: same loss/updates as unsharded."""
+    from cpt_tpu.engine import train as train_lib
+
+    model, params = model_and_params
+    mesh = meshlib.make_mesh(dp=8, tp=1, devices=devices8)
+    ocfg = train_lib.OptimConfig(learning_rate=1e-3, warmup_steps=1,
+                                 num_train_steps=5)
+    tx = train_lib.build_optimizer(params, ocfg)
+    step = train_lib.make_mlm_train_step(model, tx, dropout=False)
+
+    B, T, R = 8, 10, 4
+    rng = np.random.RandomState(3)
+    batch = (
+        jnp.asarray(rng.randint(0, 150, (B, T)).astype(np.int32)),
+        jnp.zeros((B, T), jnp.int32),
+        jnp.ones((B, T + R), jnp.int32),
+        jnp.asarray(rng.randn(B, R, CFG.img_feature_dim).astype(np.float32)),
+        jnp.full((B,), 3, jnp.int32),
+        jnp.full((B,), 7, jnp.int32),
+    )
+
+    def deep_copy(tree):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+    with mesh:
+        fsdp_params = meshlib.shard_params_fsdp(deep_copy(params), mesh,
+                                                min_size=256)
+        # at least one kernel really is dp-sharded
+        specs = meshlib.fsdp_specs(params, 8, min_size=256)
+        assert any("dp" in str(s) for s in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda s: s, specs,
+                                   is_leaf=lambda x: isinstance(x, P))))
+        state_sh = train_lib.create_train_state(fsdp_params, tx)
+        batch_sh = meshlib.shard_batch(batch, mesh)
+
+    state = train_lib.create_train_state(deep_copy(params), tx)
+    s0, loss0 = step(state, batch, jax.random.PRNGKey(5))
+    with mesh:
+        s1, loss1 = step(state_sh, batch_sh, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
+    l0 = jax.tree_util.tree_leaves(s0.params)[5]
+    l1 = jax.tree_util.tree_leaves(s1.params)[5]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5,
+                               rtol=1e-4)
