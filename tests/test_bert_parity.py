@@ -203,3 +203,62 @@ def test_dis_code_variants_run():
                                   jnp.zeros((B, T), jnp.int32), mask,
                                   img_feats=codes)
         assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_history_states_match_full_forward():
+    """KV-history incremental attention (reference CaptionBertSelfAttention
+    history_state path): attending over [history ; current] must equal the
+    full-sequence forward at the current positions."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_bert_config(), hidden_dropout_prob=0.0,
+                              attention_probs_dropout_prob=0.0)
+    model = BertImgModel(cfg)
+    rng = np.random.RandomState(7)
+    B, T = 2, 10
+    split = 6
+    ids = rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    tt = np.zeros((B, T), np.int32)
+    # incremental equivalence requires the causal mask the captioning path
+    # uses (under a bidirectional mask the prefix would see the suffix)
+    causal = np.tril(np.ones((T, T), np.int32))
+    mask3d = np.broadcast_to(causal, (B, T, T)).copy()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(tt), jnp.asarray(mask3d))
+
+    full_seq, _ = model.apply(params, jnp.asarray(ids), jnp.asarray(tt),
+                              jnp.asarray(mask3d))
+
+    # history = per-layer hidden states of the prefix; realize them by
+    # capturing intermediates of a prefix forward
+    from cpt_tpu.models.bert.model import (BertEmbeddings, BertEncoder,
+                                           BertLayer, extend_attention_mask)
+
+    prefix_ids = jnp.asarray(ids[:, :split])
+    prefix_tt = jnp.asarray(tt[:, :split])
+
+    emb = BertEmbeddings(cfg).apply(
+        {"params": params["params"]["embeddings"]}, prefix_ids, prefix_tt)
+    bias_full = extend_attention_mask(jnp.asarray(mask3d), jnp.float32)
+    histories = []
+    h = emb
+    for i in range(cfg.num_hidden_layers):
+        histories.append(h)
+        h = BertLayer(cfg).apply(
+            {"params": params["params"]["encoder"][f"layer_{i}"]},
+            h, bias_full[:, :, :split, :split])
+
+    # incremental forward over the suffix with history states
+    suffix_ids = jnp.asarray(ids[:, split:])
+    suffix_tt = jnp.asarray(tt[:, split:])
+    # suffix queries: their causal rows over the full key range
+    suffix_bias = bias_full[:, :, split:, :]
+    suffix_emb = BertEmbeddings(cfg).apply(
+        {"params": params["params"]["embeddings"]}, suffix_ids, suffix_tt,
+        jnp.arange(split, T)[None, :])
+    out = BertEncoder(cfg).apply(
+        {"params": params["params"]["encoder"]}, suffix_emb, suffix_bias,
+        tuple(histories))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(full_seq[:, split:]),
+                               atol=2e-5, rtol=1e-4)
