@@ -121,3 +121,38 @@ def test_reldn_learns(head_setup):
     assert losses[-1] < losses[0] * 0.5
     logits = model.apply(params, *args)
     assert int(jnp.argmax(logits[0])) == 2
+
+
+def test_scene_parser_inference_and_training(rng):
+    from cpt_tpu.models.detector.rpn import grid_anchors
+    from cpt_tpu.models.detector.scene_parser import (SceneParser,
+                                                      triplet_predictions)
+
+    cfg = tiny_detector_config()
+    model = SceneParser(cfg, num_rel_classes=6, max_rel_dets=4)
+    image = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32) * 10)
+    hw = jnp.asarray([60, 60])
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, 4, 4))
+    freq = jnp.asarray(rng.rand(cfg.roi_heads.num_classes,
+                                cfg.roi_heads.num_classes, 6)
+                       .astype(np.float32))
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), image, hw, anchors,
+                                 freq)
+    out = model.apply(params, image, hw, anchors, freq)
+    assert out["rel_logits"].shape == (4 * 3, 6)
+    preds = triplet_predictions(out)
+    for key, lg in preds.items():
+        s, o = key.split("_")
+        assert s != o and lg.shape == (6,)
+
+    # relation training loss with forced boxes + frozen detector semantics
+    det_boxes = jnp.asarray([[4, 4, 24, 24], [30, 8, 50, 30],
+                             [10, 34, 40, 58], [2, 2, 10, 10]], jnp.float32)
+    det_labels = jnp.asarray([1, 2, 3, 1])
+    det_valid = jnp.asarray([True, True, True, False])
+    gt_rels = jnp.asarray([[0, 1, 2]])
+    loss = model.apply(params, image, hw, det_boxes, det_labels, det_valid,
+                       gt_rels, det_boxes[:2], jnp.asarray([True, True]),
+                       freq, method=model.relation_train_loss)
+    assert np.isfinite(float(loss))
