@@ -63,7 +63,10 @@ def test_dp_sharded_eval_matches_single(model_and_params, devices8):
 def test_dp_tp_train_step(model_and_params, devices8):
     from cpt_tpu.engine import train as train_lib
 
-    model, params = model_and_params
+    model, fixture_params = model_and_params
+    # never hand the shared fixture params to a donating step
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    fixture_params)
     mesh = meshlib.make_mesh(dp=4, tp=2, devices=devices8)
     ocfg = train_lib.OptimConfig(learning_rate=1e-3, warmup_steps=1,
                                  num_train_steps=5)
