@@ -41,6 +41,10 @@ def build_args():
     p.add_argument("--to_mark", default=None,
                    help="gqa: parsed entity marks json {q_id: [[box, "
                         "positions], ...]} (auto-parsed if omitted)")
+    p.add_argument("--yaml", default=None,
+                   help="dataset descriptor yaml with ann/det/image_root/"
+                        "to_mark keys (the reference's "
+                        "prompt_feat/data/*/yamls convention)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--labelmap", default=None)
     p.add_argument("--checkpoint", default=None, help="vinvl_vg_x152c4.pth")
@@ -104,6 +108,15 @@ def load_image(path, pad_h, pad_w, resize_min=None, resize_max=None):
 
 def main(argv=None):
     args = build_args().parse_args(argv)
+    if args.yaml:
+        import yaml as _yaml
+
+        desc = _yaml.safe_load(open(args.yaml)) or {}
+        for key, attr in (("ann", "ann_file"), ("det", "det_file"),
+                          ("image_root", "image_root"),
+                          ("to_mark", "to_mark")):
+            if key in desc and getattr(args, attr) is None:
+                setattr(args, attr, desc[key])
     if args.shard_by_process:
         args.total_step = jax.process_count()
         args.cur_step = jax.process_index()

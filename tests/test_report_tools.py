@@ -67,3 +67,37 @@ def test_extract_memoization(tmp_path, capsys):
     assert "skipping" in capsys.readouterr().out
     # untouched
     assert TSVFile(out).seek(0)[0] == "existing"
+
+
+def test_ext_objects_cli(tmp_path):
+    from cpt_tpu.tools.ext_objects import main
+    from cpt_tpu.utils.tsv import encode_feature
+    import numpy as np
+
+    rows = [["im0", json.dumps({"objects": [
+        {"rect": [1, 2, 3, 4], "class": "dog", "conf": 0.9,
+         "feature": encode_feature(np.zeros(4, np.float32))}]})]]
+    tsv_writer(rows, str(tmp_path / "p.tsv"))
+    main(["--tsv", str(tmp_path / "p.tsv"),
+          "--output", str(tmp_path / "objects.json")])
+    objs = json.load(open(tmp_path / "objects.json"))
+    assert objs["im0"][0]["class"] == "dog"
+    assert "feature" not in objs["im0"][0]
+    main(["--tsv", str(tmp_path / "p.tsv"),
+          "--output", str(tmp_path / "det.json"), "--classes_only"])
+    assert json.load(open(tmp_path / "det.json")) == {"im0": ["dog"]}
+
+
+def test_extract_yaml_descriptor(tmp_path, capsys):
+    """--yaml descriptor fills ann/det/image_root (reference data yamls)."""
+    import yaml
+
+    from cpt_tpu.tools.extract_features import build_args, main
+
+    yaml.safe_dump({"ann": "a.json", "det": "d.json",
+                    "image_root": "imgs"}, open(tmp_path / "task.yaml", "w"))
+    # memoization path exits before data loading — output pre-created
+    tsv_writer([["x", "y"]], str(tmp_path / "out.tsv"))
+    main(["--yaml", str(tmp_path / "task.yaml"),
+          "--output", str(tmp_path / "out.tsv"), "--tiny"])
+    assert "skipping" in capsys.readouterr().out
