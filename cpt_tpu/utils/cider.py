@@ -20,6 +20,38 @@ def ngrams(tokens: Sequence[str], n_max: int = 4) -> Counter:
     return counts
 
 
+def bleu4(hyp: Sequence[str], refs: List[Sequence[str]],
+          n_max: int = 4) -> float:
+    """Corpus-style BLEU-4 for one hypothesis against multiple references
+    (clipped n-gram precision, geometric mean, brevity penalty) — the
+    ``caption_evaluate.py`` BLEU component (pure-python; METEOR/SPICE need
+    external jars and remain documented gaps)."""
+    hyp = list(hyp)
+    if not hyp:
+        return 0.0
+    log_p = 0.0
+    for n in range(1, n_max + 1):
+        h_counts = Counter(tuple(hyp[i:i + n])
+                           for i in range(len(hyp) - n + 1))
+        if not h_counts:
+            return 0.0
+        max_ref: Counter = Counter()
+        for ref in refs:
+            r_counts = Counter(tuple(ref[i:i + n])
+                               for i in range(len(ref) - n + 1))
+            for g, c in r_counts.items():
+                max_ref[g] = max(max_ref[g], c)
+        clipped = sum(min(c, max_ref.get(g, 0)) for g, c in h_counts.items())
+        total = sum(h_counts.values())
+        p = clipped / total if total else 0.0
+        if p == 0.0:
+            p = 1e-9  # smoothed
+        log_p += math.log(p) / n_max
+    ref_len = min((abs(len(r) - len(hyp)), len(r)) for r in refs)[1]
+    bp = 1.0 if len(hyp) > ref_len else math.exp(1 - ref_len / max(len(hyp), 1))
+    return bp * math.exp(log_p)
+
+
 class CiderD:
     def __init__(self, refs: Dict[str, List[Sequence[str]]], n_max: int = 4,
                  sigma: float = 6.0):

@@ -199,3 +199,14 @@ def test_constrained_beam_search_forces_constraint():
         beams_per_state=2, max_len=6, bos_id=1, eos_id=2, pad_id=0,
         min_constraints=1)
     assert 5 in np.asarray(tokens).tolist(), "constraint token not emitted"
+
+
+def test_bleu4():
+    from cpt_tpu.utils.cider import bleu4
+
+    refs = [["the", "red", "dog", "runs", "fast"]]
+    assert bleu4(["the", "red", "dog", "runs", "fast"], refs) == pytest.approx(1.0)
+    partial = bleu4(["the", "red", "dog"], refs)
+    assert 0.0 < partial < 1.0
+    assert bleu4(["purple", "train"], refs) < partial
+    assert bleu4([], refs) == 0.0
