@@ -29,12 +29,11 @@ def bleu4(hyp: Sequence[str], refs: List[Sequence[str]],
     hyp = list(hyp)
     if not hyp:
         return 0.0
+    n_eff = min(n_max, len(hyp))   # short hyps score over available orders
     log_p = 0.0
-    for n in range(1, n_max + 1):
+    for n in range(1, n_eff + 1):
         h_counts = Counter(tuple(hyp[i:i + n])
                            for i in range(len(hyp) - n + 1))
-        if not h_counts:
-            return 0.0
         max_ref: Counter = Counter()
         for ref in refs:
             r_counts = Counter(tuple(ref[i:i + n])
@@ -46,7 +45,7 @@ def bleu4(hyp: Sequence[str], refs: List[Sequence[str]],
         p = clipped / total if total else 0.0
         if p == 0.0:
             p = 1e-9  # smoothed
-        log_p += math.log(p) / n_max
+        log_p += math.log(p) / n_eff
     ref_len = min((abs(len(r) - len(hyp)), len(r)) for r in refs)[1]
     bp = 1.0 if len(hyp) > ref_len else math.exp(1 - ref_len / max(len(hyp), 1))
     return bp * math.exp(log_p)
