@@ -101,3 +101,22 @@ def test_extract_yaml_descriptor(tmp_path, capsys):
     main(["--yaml", str(tmp_path / "task.yaml"),
           "--output", str(tmp_path / "out.tsv"), "--tiny"])
     assert "skipping" in capsys.readouterr().out
+
+
+def test_img_info_cli(tmp_path):
+    from PIL import Image
+
+    from cpt_tpu.tools.img_info import main
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.new("RGB", (32, 20)).save(d / "a.jpg")
+    Image.new("RGB", (8, 6)).save(d / "b.png")
+    out = tmp_path / "img_info.json"
+    infos = main(["--image_dir", str(d), "--output", str(out),
+                  "--shard_count", "4",
+                  "--cnt_path", str(tmp_path / "cnt.pk")])
+    assert infos["a.jpg"] == {"width": 32, "height": 20}
+    assert infos["b.png"] == {"width": 8, "height": 6}
+    assert json.load(open(out)) == infos
+    assert pickle.load(open(tmp_path / "cnt.pk", "rb")) == 4
