@@ -1,0 +1,86 @@
+"""IMP / MSDN / GRCNN relation variants + learned RelPN."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.models.detector.relation_variants import (
+    GRCNNHead, IMPHead, MSDNHead, Relationshipness, incidence_maps,
+    relpn_select_pairs)
+
+N, P, F = 6, 8, 32
+RNG = np.random.RandomState(0)
+OBJ = jnp.asarray(RNG.randn(N, F).astype(np.float32))
+PRED = jnp.asarray(RNG.randn(P, F).astype(np.float32))
+PAIRS = jnp.asarray(RNG.randint(0, N, (P, 2)).astype(np.int32))
+OV = jnp.ones((N,), bool)
+PV = jnp.asarray([True] * 6 + [False] * 2)
+
+
+def test_incidence_maps():
+    s, o = incidence_maps(PAIRS, N, PV)
+    assert s.shape == (N, P) and o.shape == (N, P)
+    # each valid pair contributes exactly one subject and one object
+    np.testing.assert_array_equal(np.asarray(s.sum(0)),
+                                  np.asarray(PV, np.float32))
+    assert float(s[:, 6].sum()) == 0.0  # invalid pair zeroed
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (IMPHead, dict(dim=16, update_step=2)),
+    (MSDNHead, dict(dim=16, update_step=2)),
+    (GRCNNHead, dict(dim=16, feat_update_step=1, score_update_step=1)),
+])
+def test_variant_shapes_and_grads(cls, kw):
+    head = cls(num_obj_classes=7, num_rel_classes=5, **kw)
+    params = jax.jit(head.init)(jax.random.PRNGKey(0), OBJ, PRED, PAIRS,
+                                OV, PV)
+    obj_logits, rel_logits = head.apply(params, OBJ, PRED, PAIRS, OV, PV)
+    assert obj_logits.shape == (N, 7) and rel_logits.shape == (P, 5)
+    assert np.isfinite(np.asarray(obj_logits)).all()
+
+    def loss(p):
+        o, r = head.apply(p, OBJ, PRED, PAIRS, OV, PV)
+        return (o ** 2).sum() + (r ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_message_passing_actually_passes_messages():
+    """Perturbing one object's features must move a connected pair's
+    relation logits (through the graph, not just the readout)."""
+    head = IMPHead(num_obj_classes=7, num_rel_classes=5, dim=16,
+                   update_step=1)
+    pairs = jnp.asarray([[0, 1]] + [[2, 3]] * 7, np.int32)
+    params = jax.jit(head.init)(jax.random.PRNGKey(0), OBJ, PRED, pairs,
+                                OV, PV)
+    _, r1 = head.apply(params, OBJ, PRED, pairs, OV, PV)
+    obj2 = OBJ.at[0].add(3.0)
+    _, r2 = head.apply(params, obj2, PRED, pairs, OV, PV)
+    # pair 0 involves object 0 -> changed; pair 1 does not -> unchanged
+    assert float(jnp.abs(r1[0] - r2[0]).max()) > 1e-5
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                               atol=1e-5)
+
+
+def test_relationshipness_and_relpn_select():
+    model = Relationshipness(pos_encoding=True)
+    boxes = jnp.asarray(np.sort(RNG.uniform(0, 60, (N, 2, 2)), axis=1)
+                        .transpose(0, 2, 1).reshape(N, 4).astype(np.float32))
+    hw = jnp.asarray([64.0, 64.0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), OBJ, boxes, hw)
+    rel = model.apply(params, OBJ, boxes, hw)
+    assert rel.shape == (N, N)
+    assert float(rel.min()) >= 0.0 and float(rel.max()) <= 1.0
+
+    # select: force a known maximum, mask an object out
+    relness = jnp.full((N, N), 0.1).at[2, 4].set(0.9).at[0, 0].set(1.0)
+    ov = jnp.asarray([True, True, True, True, True, False])
+    pairs, scores, valid = relpn_select_pairs(relness, ov, top_k=3)
+    assert pairs.shape == (3, 2)
+    np.testing.assert_array_equal(np.asarray(pairs[0]), [2, 4])  # diag excl.
+    assert not any((a == b) for a, b in np.asarray(pairs))
+    assert 5 not in np.asarray(pairs)  # invalid object never selected
