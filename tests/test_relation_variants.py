@@ -84,3 +84,61 @@ def test_relationshipness_and_relpn_select():
     np.testing.assert_array_equal(np.asarray(pairs[0]), [2, 4])  # diag excl.
     assert not any((a == b) for a, b in np.asarray(pairs))
     assert 5 not in np.asarray(pairs)  # invalid object never selected
+
+
+def _motif_inputs():
+    head = __import__("cpt_tpu.models.detector.motif",
+                      fromlist=["NeuralMotifHead"])
+    rng = np.random.RandomState(3)
+    obj = jnp.asarray(rng.randn(N, F).astype(np.float32))
+    dists = jax.nn.softmax(jnp.asarray(rng.randn(N, 7).astype(np.float32)))
+    boxes = jnp.asarray(np.sort(rng.uniform(0, 60, (N, 2, 2)), axis=1)
+                        .transpose(0, 2, 1).reshape(N, 4).astype(np.float32))
+    hw = jnp.asarray([64.0, 64.0])
+    ov = jnp.asarray([True] * 5 + [False])
+    uf = jnp.asarray(rng.randn(P, F).astype(np.float32))
+    pairs = jnp.asarray(rng.randint(0, 5, (P, 2)).astype(np.int32))
+    pv = jnp.ones((P,), bool)
+    return head, obj, dists, boxes, hw, ov, uf, pairs, pv
+
+
+def test_motif_head_eval_and_teacher_forcing():
+    mod, obj, dists, boxes, hw, ov, uf, pairs, pv = _motif_inputs()
+    head = mod.NeuralMotifHead(num_obj_classes=7, num_rel_classes=5,
+                               obj_dim=F, hidden_dim=16)
+    params = jax.jit(head.init)(jax.random.PRNGKey(0), obj, dists, boxes,
+                                hw, ov, uf, pairs, pv)
+    o, r, preds = head.apply(params, obj, dists, boxes, hw, ov, uf, pairs, pv)
+    assert o.shape == (N, 7) and r.shape == (P, 5) and preds.shape == (N,)
+    assert np.isfinite(np.asarray(r)).all()
+    # greedy decode never emits background for valid slots
+    assert (np.asarray(preds)[:5] >= 1).all()
+
+    gt = jnp.asarray([1, 2, 3, 4, 5, 0], jnp.int32)
+
+    def loss(p):
+        ologits, rlogits, _ = head.apply(p, obj, dists, boxes, hw, ov, uf,
+                                         pairs, pv, gt)
+        return (ologits ** 2).sum() + (rlogits ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_motif_sort_orders():
+    from cpt_tpu.models.detector.motif import sort_rois
+
+    boxes = jnp.asarray([[10, 0, 20, 10], [0, 0, 4, 4], [30, 0, 50, 40]],
+                        jnp.float32)
+    valid = jnp.asarray([True, True, True])
+    perm, inv = sort_rois(boxes, valid, order="leftright")
+    np.testing.assert_array_equal(np.asarray(perm), [1, 0, 2])
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                  [0, 1, 2])
+    perm_s, _ = sort_rois(boxes, valid, order="size")
+    assert int(perm_s[0]) == 2  # biggest first
+    # invalid slots always last
+    perm_v, _ = sort_rois(boxes, jnp.asarray([True, False, True]),
+                          order="leftright")
+    assert int(perm_v[-1]) == 1
