@@ -42,6 +42,8 @@ def main():
         configs = [(32, 640, 1024)]
     if "--c64" in sys.argv:
         configs = [(64, 640, 1024)]
+    if "--c128" in sys.argv:
+        configs = [(128, 640, 1024)]
     for c, h, w in configs:
         img = jnp.asarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
         rects = jnp.asarray(rng.uniform(0, 600, (c, 1, 4)).astype(np.float32))
