@@ -102,6 +102,87 @@ def deform_conv2d(x: Array, offsets: Array, weight: Array,
     return out
 
 
+def deform_roi_pool(features: Array, rois: Array, offsets: Optional[Array],
+                    *, spatial_scale: float, out_size: int,
+                    sample_per_part: int = 4, trans_std: float = 0.1
+                    ) -> Array:
+    """Deformable RoI pooling (``csrc/cuda/deform_pool_cuda.cu`` semantics,
+    wrapped by ``layers/dcn/deform_pool_module.py``).
+
+    features [H, W, C] · rois [N, 4] xyxy · offsets [N, P, P, 2]
+    (normalized (dy, dx) per bin, scaled by trans_std and the RoI extent)
+    → [N, P, P, C]. Each bin averages an S×S grid of bilinear samples,
+    shifted per-bin by the learned offset. ``offsets=None`` = no_trans.
+    """
+    n = rois.shape[0]
+    p, s = out_size, sample_per_part
+    x1 = rois[:, 0] * spatial_scale
+    y1 = rois[:, 1] * spatial_scale
+    roi_w = jnp.maximum((rois[:, 2] - rois[:, 0]) * spatial_scale, 0.1)
+    roi_h = jnp.maximum((rois[:, 3] - rois[:, 1]) * spatial_scale, 0.1)
+    bin_w = roi_w / p
+    bin_h = roi_h / p
+
+    bi = jnp.arange(p, dtype=jnp.float32)
+    si = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    # sample coords [N, P(bin_y), P(bin_x), S(sy), S(sx)]
+    ys = (y1[:, None] + bi[None, :] * bin_h[:, None])[:, :, None, None, None] \
+        + (si[None, :] * bin_h[:, None])[:, None, None, :, None]
+    xs = (x1[:, None] + bi[None, :] * bin_w[:, None])[:, None, :, None, None] \
+        + (si[None, :] * bin_w[:, None])[:, None, None, None, :]
+    ys = jnp.broadcast_to(ys, (n, p, p, s, s))
+    xs = jnp.broadcast_to(xs, (n, p, p, s, s))
+    if offsets is not None:
+        dy = offsets[..., 0] * trans_std * roi_h[:, None, None]
+        dx = offsets[..., 1] * trans_std * roi_w[:, None, None]
+        ys = ys + dy[..., None, None]
+        xs = xs + dx[..., None, None]
+
+    vals = _bilinear_gather(features, ys, xs)       # [N,P,P,S,S,C]
+    return vals.mean(axis=(3, 4))
+
+
+class ModulatedDeformRoIPoolingPack(nn.Module):
+    """``ModulatedDeformRoIPoolingPack`` (``deform_pool_module.py:89-150``):
+    a no-trans pooled pass feeds FC branches predicting per-bin offsets and
+    a sigmoid modulation mask; the deformable pass applies both."""
+
+    out_size: int = 7
+    spatial_scale: float = 1.0 / 16
+    sample_per_part: int = 4
+    trans_std: float = 0.1
+    deform_fc_channels: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Array, rois: Array) -> Array:
+        p = self.out_size
+        base = deform_roi_pool(features, rois, None,
+                               spatial_scale=self.spatial_scale,
+                               out_size=p,
+                               sample_per_part=self.sample_per_part)
+        n = base.shape[0]
+        flat = base.reshape(n, -1)
+        h = nn.relu(nn.Dense(self.deform_fc_channels, name="offset_fc1",
+                             dtype=self.dtype)(flat))
+        h = nn.relu(nn.Dense(self.deform_fc_channels, name="offset_fc2",
+                             dtype=self.dtype)(h))
+        off = nn.Dense(p * p * 2, name="offset_fc3", dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros)(h)
+        offsets = off.reshape(n, p, p, 2)
+        m = nn.relu(nn.Dense(self.deform_fc_channels, name="mask_fc1",
+                             dtype=self.dtype)(flat))
+        mask = jax.nn.sigmoid(
+            nn.Dense(p * p, name="mask_fc2", dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros)(m))
+        out = deform_roi_pool(features, rois, offsets,
+                              spatial_scale=self.spatial_scale,
+                              out_size=p,
+                              sample_per_part=self.sample_per_part,
+                              trans_std=self.trans_std)
+        return out * mask.reshape(n, p, p, 1)
+
+
 class DFConv2d(nn.Module):
     """Offset-predicting conv + deformable conv (``layers/misc.py:114-200``).
 
