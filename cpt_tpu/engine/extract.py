@@ -124,10 +124,17 @@ class Extractor:
     """Host-side driver: chunks copies, invokes the jitted extractor, and
     assembles per-task TSV rows."""
 
+    # largest measured-safe chunk: C=64 at 640×1024 fits v5e HBM, C=128
+    # OOMs (PERF.md) → budget ≈ 64 · 640 · 1024 canvas pixels per chunk
+    AUTO_CHUNK_PIXEL_BUDGET = 64 * 640 * 1024
+
     def __init__(self, model: AttrRCNN, params, cfg: DetectorConfig,
                  labelmap: Optional[Dict[int, str]] = None,
-                 copies_per_chunk: int = 4, inclusive_paint: bool = False,
+                 copies_per_chunk: Optional[int] = 4,
+                 inclusive_paint: bool = False,
                  with_masks: bool = False):
+        """``copies_per_chunk=None`` → auto: the largest power-of-two chunk
+        whose canvas pixels fit the measured HBM budget per bucket."""
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -141,6 +148,15 @@ class Extractor:
 
     def class_name(self, label: int) -> str:
         return self.labelmap.get(int(label), str(int(label)))
+
+    def chunk_for(self, h: int, w: int) -> int:
+        """Chunk size for a canvas: fixed if configured, else the largest
+        power of two fitting the pixel budget (min 1, max 64)."""
+        if self.chunk is not None:
+            return self.chunk
+        c = self.AUTO_CHUNK_PIXEL_BUDGET // (h * w)
+        c = max(1, min(64, c))
+        return 1 << (c.bit_length() - 1)       # stable compile shapes
 
     def pick_bucket(self, h: int, w: int):
         """Smallest configured canvas bucket containing (h, w); each bucket
@@ -172,15 +188,16 @@ class Extractor:
         k = (task.copy_rects.shape[1] if task.copy_rects is not None else 1)
 
         all_out = ([], [], [])
+        chunk = self.chunk_for(h, w)
         t0 = time.time()
-        for start in range(0, n_copies, self.chunk):
-            end = min(start + self.chunk, n_copies)
-            rects = np.zeros((self.chunk, k, 4), np.float32)
-            rect_valid = np.zeros((self.chunk, k), bool)
-            colors = np.zeros((self.chunk, k, 4), np.uint8)
-            masks = np.zeros((self.chunk, h, w), np.uint8)
-            mask_colors = np.zeros((self.chunk, 4), np.uint8)
-            valid = np.zeros((self.chunk,), bool)
+        for start in range(0, n_copies, chunk):
+            end = min(start + chunk, n_copies)
+            rects = np.zeros((chunk, k, 4), np.float32)
+            rect_valid = np.zeros((chunk, k), bool)
+            colors = np.zeros((chunk, k, 4), np.uint8)
+            masks = np.zeros((chunk, h, w), np.uint8)
+            mask_colors = np.zeros((chunk, 4), np.uint8)
+            valid = np.zeros((chunk,), bool)
             valid[: end - start] = True
             if task.copy_rects is not None:
                 rects[: end - start] = task.copy_rects[start:end]

@@ -60,7 +60,8 @@ def build_args():
                         "(default skips, reference inference_ref.py:223-229)")
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--rand_seed", type=int, default=None)
-    p.add_argument("--copies_per_chunk", type=int, default=32)
+    p.add_argument("--copies_per_chunk", type=int, default=None,
+                   help="fixed chunk size; default auto (HBM-budget power of two)")
     p.add_argument("--resize", action="store_true",
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")

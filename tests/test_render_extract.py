@@ -149,3 +149,17 @@ def test_two_stage_pipeline_end_to_end(tmp_path, rng):
                           jnp.zeros((1, 4, bcfg.img_feature_dim)))
     acc, preds = refcoco_evaluate(bmodel, bparams, data, tok, batch_size=8)
     assert len(preds) == 2 and 0.0 <= acc <= 100.0
+
+
+def test_auto_chunking_by_canvas():
+    """copies_per_chunk=None sizes the chunk from the HBM pixel budget."""
+    from cpt_tpu.engine.extract import Extractor
+
+    ex = Extractor.__new__(Extractor)           # chunk_for needs no model
+    ex.chunk = None
+    assert ex.chunk_for(640, 1024) == 64
+    assert ex.chunk_for(1024, 1024) == 32
+    assert ex.chunk_for(2048, 2048) == 8
+    assert ex.chunk_for(10000, 10000) == 1       # floor
+    ex.chunk = 8
+    assert ex.chunk_for(640, 1024) == 8          # explicit wins
