@@ -4,8 +4,10 @@ Parity with the reference backbone zoo's FPN builders
 (``modeling/backbone/fpn.py``, ``backbone.py:build_resnet_fpn_backbone``)
 and the multi-level ``Pooler``/``LevelMapper`` (``poolers.py:10-43,95-120``):
 
-  * lateral 1×1 convs on C2..C5, top-down nearest-neighbor upsampling,
-    3×3 output convs, optional extra max-pool level (``LastLevelMaxPool``)
+  * lateral 1×1 convs on C2..C5, top-down **bilinear** upsampling
+    (``fpn.py:63-65``: F.interpolate(..., mode='bilinear',
+    align_corners=False) in this fork), 3×3 output convs, optional extra
+    max-pool level (``LastLevelMaxPool``)
   * level assignment ``⌊4 + log2(√area / 224)⌋`` clamped to the pyramid
     (Eq. 1 of the FPN paper, the reference's LevelMapper with k0=4)
 
@@ -27,6 +29,41 @@ from cpt_tpu.ops.roi_align import roi_align
 Array = jax.Array
 
 
+class FPNTopDown(nn.Module):
+    """The FPN top-down module alone (``fpn.py:8-77``): lateral 1×1s,
+    bilinear upsample-and-add, 3×3 output convs, P6 max-pool. Takes the
+    C2..C5 list; separable from the body for parity testing."""
+
+    out_channels: int = 256
+    with_p6: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array]) -> List[Array]:
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f"fpn_inner{i+1}",
+                    dtype=self.dtype)(f)
+            for i, f in enumerate(features)
+        ]
+        outs: List[Array] = [None] * len(laterals)
+        last = laterals[-1]
+        outs[-1] = nn.Conv(self.out_channels, (3, 3),
+                           padding=((1, 1), (1, 1)),
+                           name=f"fpn_layer{len(laterals)}",
+                           dtype=self.dtype)(last)
+        for i in range(len(laterals) - 2, -1, -1):
+            # bilinear, align_corners=False (this fork, fpn.py:63-65)
+            up = jax.image.resize(last, laterals[i].shape, method="linear")
+            last = laterals[i] + up
+            outs[i] = nn.Conv(self.out_channels, (3, 3),
+                              padding=((1, 1), (1, 1)),
+                              name=f"fpn_layer{i+1}", dtype=self.dtype)(last)
+        if self.with_p6:
+            # LastLevelMaxPool: P6 = maxpool(P5, 1x1 window stride 2)
+            outs = outs + [nn.max_pool(outs[-1], (1, 1), strides=(2, 2))]
+        return outs
+
+
 class ResNetFPN(nn.Module):
     """ResNet body returning C2..C5 + FPN pyramid P2..P6."""
 
@@ -46,28 +83,8 @@ class ResNetFPN(nn.Module):
                       1 if i == 0 else 2, c.stride_in_1x1, self.dtype,
                       name=f"layer{i + 1}")(x)
             features.append(x)
-
-        # top-down pathway
-        laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"fpn_inner{i+1}",
-                    dtype=self.dtype)(f)
-            for i, f in enumerate(features)
-        ]
-        outs: List[Array] = [None] * len(laterals)
-        last = laterals[-1]
-        outs[-1] = nn.Conv(self.out_channels, (3, 3),
-                           padding=((1, 1), (1, 1)),
-                           name=f"fpn_layer{len(laterals)}",
-                           dtype=self.dtype)(last)
-        for i in range(len(laterals) - 2, -1, -1):
-            up = jax.image.resize(last, laterals[i].shape, method="nearest")
-            last = laterals[i] + up
-            outs[i] = nn.Conv(self.out_channels, (3, 3),
-                              padding=((1, 1), (1, 1)),
-                              name=f"fpn_layer{i+1}", dtype=self.dtype)(last)
-        # LastLevelMaxPool: P6 = maxpool(P5, 1x1 window stride 2)
-        p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
-        return outs + [p6]
+        return FPNTopDown(self.out_channels, dtype=self.dtype,
+                          name="fpn")(features)
 
 
 def fpn_level_map(boxes: Array, *, k_min: int = 2, k_max: int = 5,
