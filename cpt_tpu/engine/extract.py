@@ -296,3 +296,44 @@ def refcoco_task(key: str, image_rgb: np.ndarray, image_hw, det_boxes,
         copy_colors_rgba=np.tile(np.asarray(rgba, np.uint8), (n, 1, 1)),
         copy_color_names=[[name]] * n,
     )
+
+
+def make_sharded_extract_fn(model: AttrRCNN, cfg: DetectorConfig, mesh, *,
+                            inclusive_paint: bool = False,
+                            with_masks: bool = False,
+                            with_attributes: bool = False):
+    """Multi-chip extraction: copies are sharded over the mesh's ``dp``
+    axis (embarrassingly parallel — each chip renders + runs its slice of
+    the copy batch; params replicated). Replaces the reference's
+    per-process dataset sharding (``inference.py`` multi-GPU launch) with
+    one jit over a ``jax.sharding.Mesh`` — scaling is linear in chips
+    because no collective is on the hot path.
+
+    The chunk size must be a multiple of ``mesh.shape['dp']``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    base = make_extract_fn(model, cfg, inclusive_paint=inclusive_paint,
+                           with_masks=with_masks,
+                           with_attributes=with_attributes)
+    copy_sharded = NamedSharding(mesh, P("dp"))
+    replicated = NamedSharding(mesh, P())
+
+    def fn(params, image_u8, rects, rect_valid, colors, copy_valid,
+           masks, mask_colors, dets, det_valid, hw):
+        def shard_copies(x):
+            return jax.device_put(x, copy_sharded)
+
+        rects, rect_valid, colors, copy_valid, masks, mask_colors = (
+            jax.tree_util.tree_map(
+                shard_copies,
+                (rects, rect_valid, colors, copy_valid, masks, mask_colors)))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated), params)
+        image_u8, dets, det_valid, hw = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated),
+            (image_u8, dets, det_valid, hw))
+        return base(params, image_u8, rects, rect_valid, colors,
+                    copy_valid, masks, mask_colors, dets, det_valid, hw)
+
+    return fn

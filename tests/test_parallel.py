@@ -163,3 +163,46 @@ def test_fsdp_sharded_train_step_matches(model_and_params, devices8):
     l1 = jax.tree_util.tree_leaves(s1.params)[5]
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_sharded_extraction_over_dp_mesh():
+    """Copies shard over dp; outputs match the single-device path."""
+    import numpy as np
+
+    from cpt_tpu.engine.extract import make_extract_fn, make_sharded_extract_fn
+    from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    h = w = cfg.input.buckets[0][0]
+    rng = np.random.RandomState(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((h, w, 3)),
+        jnp.asarray([h, w]), jnp.zeros((m, 4)), jnp.ones((m,), bool))
+
+    c = 8
+    img = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+    rects = jnp.asarray(
+        np.sort(rng.uniform(0, h - 8, (c, 1, 2, 2)), axis=2)
+        .transpose(0, 1, 3, 2).reshape(c, 1, 4).astype(np.float32))
+    rv = jnp.ones((c, 1), bool)
+    colors = jnp.asarray(np.tile(np.asarray([240, 0, 30, 127], np.uint8),
+                                 (c, 1, 1)))
+    cv = jnp.ones((c,), bool)
+    masks = jnp.zeros((c, h, w), jnp.uint8)
+    mc = jnp.zeros((c, 4), jnp.uint8)
+    dets = jnp.asarray(np.sort(rng.uniform(0, h - 4, (m, 2, 2)), axis=1)
+                       .transpose(0, 2, 1).reshape(m, 4).astype(np.float32))
+    dv = jnp.ones((m,), bool)
+    hw = jnp.asarray([h, w])
+    args = (params, img, rects, rv, colors, cv, masks, mc, dets, dv, hw)
+
+    single = make_extract_fn(model, cfg)(*args)
+    mesh = make_mesh(dp=8)
+    sharded = make_sharded_extract_fn(model, cfg, mesh)(*args)
+    for s, d in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(d),
+                                   rtol=2e-3, atol=2e-3)
