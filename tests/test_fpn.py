@@ -49,3 +49,40 @@ def test_multilevel_pooling_selects_by_level(rng):
                                pooled=2, sampling=1)
     np.testing.assert_allclose(np.asarray(out[0]), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), 2.0, atol=1e-5)
+
+
+def test_fpn_detector_composes_end_to_end():
+    """ResNetFPN + multi-level pooling + 2-MLP box head compose into a
+    working detector forward (the reference's generalized R-*-FPN path)."""
+    import flax.linen as nn
+
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.models.detector.fpn import (ResNetFPN, multilevel_roi_align)
+
+    cfg = tiny_detector_config()
+
+    class TinyFPNDet(nn.Module):
+        @nn.compact
+        def __call__(self, x, rois):
+            pyramid = ResNetFPN(cfg.backbone, out_channels=32,
+                                name="body")(x)
+            # P2..P4 from the 3-stage tiny body (+P-extra maxpool)
+            scales = [1.0 / 4, 1.0 / 8, 1.0 / 16]
+            pooled = multilevel_roi_align(pyramid[:3], rois, scales=scales,
+                                          pooled=7, sampling=2)
+            f = pooled.reshape(pooled.shape[0], -1)
+            f = nn.relu(nn.Dense(64, name="fc6")(f))
+            f = nn.relu(nn.Dense(64, name="fc7")(f))
+            return (nn.Dense(7, name="cls_score")(f),
+                    nn.Dense(7 * 4, name="bbox_pred")(f))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    rois = jnp.asarray(
+        np.sort(rng.uniform(0, 60, (5, 2, 2)), axis=1)
+        .transpose(0, 2, 1).reshape(5, 4).astype(np.float32))
+    model = TinyFPNDet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, rois)
+    cls, box = model.apply(params, x, rois)
+    assert cls.shape == (5, 7) and box.shape == (5, 28)
+    assert np.isfinite(np.asarray(cls)).all()
