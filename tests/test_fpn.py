@@ -68,8 +68,9 @@ def test_fpn_detector_composes_end_to_end():
                                 name="body")(x)
             # P2..P4 from the 3-stage tiny body (+P-extra maxpool)
             scales = [1.0 / 4, 1.0 / 8, 1.0 / 16]
-            pooled = multilevel_roi_align(pyramid[:3], rois, scales=scales,
-                                          pooled=7, sampling=2)
+            pooled = multilevel_roi_align([p[0] for p in pyramid[:3]], rois,
+                                          scales=scales, pooled=7,
+                                          sampling=2)
             f = pooled.reshape(pooled.shape[0], -1)
             f = nn.relu(nn.Dense(64, name="fc6")(f))
             f = nn.relu(nn.Dense(64, name="fc7")(f))
