@@ -139,3 +139,27 @@ class TraceContext:
 
             jax.profiler.stop_trace()
         return False
+
+
+def collect_env_info() -> str:
+    """Startup environment dump (the reference's ``collect_env_info()``
+    call at ``test_refcoco_net.py:180-181``), TPU edition."""
+    import jax
+
+    lines = [
+        f"jax: {jax.__version__}",
+        f"backend: {jax.default_backend()}",
+        f"devices: {[str(d) for d in jax.devices()]}",
+        f"device_count: {jax.device_count()}",
+    ]
+    try:
+        import flax
+        lines.append(f"flax: {flax.__version__}")
+    except ImportError:
+        pass
+    try:
+        import optax
+        lines.append(f"optax: {optax.__version__}")
+    except ImportError:
+        pass
+    return "\n".join(lines)
