@@ -91,3 +91,45 @@ def test_mask_predictor_matches_reference():
     mine = MaskHead(num_classes=5, conv_layers=(), dim_reduced=8)
     got = mine.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_long2dsc_attention_matches_reference():
+    """Full sliding-chunk attention (padding + global token) vs the
+    reference's own torch Long2DSCSelfAttention (mode=0, exact=0)."""
+    install()
+    sys = __import__("sys")
+    if "/root/reference/prompt_feat" not in sys.path:
+        sys.path.insert(0, "/root/reference/prompt_feat")
+    from maskrcnn_benchmark.modeling.backbone.longformer2d import (
+        Long2DSCSelfAttention)
+
+    from cpt_tpu.models.detector.msvit import Long2DSCAttention
+
+    dim, heads, w, nglo = 16, 2, 2, 1
+    rows, cols = 5, 6                       # 5 % 2 = 1 exercises padding
+    torch.manual_seed(0)
+    ref = Long2DSCSelfAttention(dim, num_heads=heads, qkv_bias=True, w=w,
+                                nglo=nglo, exact=0, mode=0, rpe=False,
+                                autograd=True).eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, nglo + rows * cols, dim).astype(np.float32)
+    with torch.no_grad():
+        # reference layout: token = x_idx * ny + y_idx, x-dim first → call
+        # with nx=rows, ny=cols to match row-major tokens
+        want = ref(torch.from_numpy(x), nx=rows, ny=cols).numpy()
+
+    def dense(mod):
+        return {"kernel": jnp.asarray(mod.weight.detach().numpy().T),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    params = {"params": {
+        "query": dense(ref.query), "kv": dense(ref.kv),
+        "proj": dense(ref.proj),
+        "query_global": dense(ref.query_global),
+        "kv_global": dense(ref.kv_global),
+        "proj_global": dense(ref.proj_global),
+    }}
+    mine = Long2DSCAttention(dim=dim, num_heads=heads, window=w, nglo=nglo)
+    got = mine.apply(params, jnp.asarray(x), rows, cols)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
