@@ -188,3 +188,31 @@ def match_pair_labels(pairs: Array, det_boxes: Array, gt_rels: Array,
     first = jnp.argmax(hit, axis=1)
     labels = jnp.where(any_hit, for_rel[first, 2], 0)
     return labels
+
+
+def balanced_pair_sample(pair_labels: Array, rng: Array, batch_size: int,
+                         positive_fraction: float) -> Array:
+    """Fixed-proportion pair subsampling
+    (``balanced_positive_negative_pair_sampler.py``): labels −1 = ignore,
+    0 = negative, ≥1 = positive → bool keep-mask with ≤ bs·frac positives
+    and positives + negatives ≤ bs. Static shapes (mask, not indices)."""
+    import jax
+
+    n = pair_labels.shape[0]
+    pos = pair_labels >= 1
+    neg = pair_labels == 0
+    k_pos, k_neg = jax.random.split(rng)
+
+    def pick(mask, limit, key):
+        pri = jax.random.uniform(key, (n,)) + (~mask) * 10.0
+        order = jnp.argsort(pri)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return mask & (rank < limit)
+
+    max_pos = int(batch_size * positive_fraction)
+    num_pos = jnp.minimum(jnp.sum(pos), max_pos)
+    pos_mask = pick(pos, num_pos, k_pos)
+    num_neg = jnp.minimum(jnp.sum(neg), batch_size - num_pos)
+    neg_mask = pick(neg, num_neg, k_neg)
+    return pos_mask | neg_mask

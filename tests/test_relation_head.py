@@ -156,3 +156,17 @@ def test_scene_parser_inference_and_training(rng):
                        gt_rels, det_boxes[:2], jnp.asarray([True, True]),
                        freq, method=model.relation_train_loss)
     assert np.isfinite(float(loss))
+
+
+def test_balanced_pair_sample():
+    from cpt_tpu.models.detector.relation_head import balanced_pair_sample
+
+    labels = jnp.asarray([3, 5, 0, 0, 0, 0, 0, 0, -1, -1])
+    keep = balanced_pair_sample(labels, jax.random.PRNGKey(0),
+                                batch_size=6, positive_fraction=0.5)
+    kept = np.asarray(labels)[np.asarray(keep)]
+    assert (kept >= 0).all()                      # ignores never sampled
+    assert (kept >= 1).sum() <= 3                  # <= bs * frac positives
+    assert keep.sum() <= 6
+    # all positives kept when under the cap
+    assert (kept >= 1).sum() == 2
