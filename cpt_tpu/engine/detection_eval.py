@@ -116,3 +116,145 @@ def check_expected_results(results: Dict[str, float],
         logger(msg)
         ok &= passed
     return ok
+
+
+def _iou_xyxy(box: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """Exclusive-coordinate IoU (COCO convention, areas = w*h)."""
+    ix1 = np.maximum(box[0], gts[:, 0])
+    iy1 = np.maximum(box[1], gts[:, 1])
+    ix2 = np.minimum(box[2], gts[:, 2])
+    iy2 = np.minimum(box[3], gts[:, 3])
+    iw = np.maximum(ix2 - ix1, 0.0)
+    ih = np.maximum(iy2 - iy1, 0.0)
+    inter = iw * ih
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-9)
+
+
+COCO_AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _coco_ap_single(preds, gts, iou_thresh, area_range, max_dets=100):
+    """AP for one class at one IoU threshold with COCO matching rules:
+    greedy score-order matching, crowd-free, gts outside the area range
+    are 'ignored' (matches don't count as TP or FP)."""
+    npos = 0
+    gt_by_img = {}
+    for img, boxes in gts.items():
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        ignore = ~((areas >= area_range[0]) & (areas < area_range[1]))
+        npos += int((~ignore).sum())
+        gt_by_img[img] = (boxes, ignore, np.zeros(len(boxes), bool))
+    if npos == 0:
+        return np.nan
+
+    per_img_count = {}
+    rows = []
+    for img, score, box in sorted(preds, key=lambda r: -r[1]):
+        per_img_count[img] = per_img_count.get(img, 0) + 1
+        if per_img_count[img] > max_dets:
+            continue
+        rows.append((img, score, np.asarray(box, np.float64)))
+
+    tp = np.zeros(len(rows))
+    fp = np.zeros(len(rows))
+    for i, (img, _score, box) in enumerate(rows):
+        boxes, ignore, used = gt_by_img.get(img, (np.zeros((0, 4)),
+                                                  np.zeros(0, bool),
+                                                  np.zeros(0, bool)))
+        if len(boxes) == 0:
+            fp[i] = 1
+            continue
+        ious = _iou_xyxy(box, boxes)
+        # prefer non-ignored matches (pycocotools ordering)
+        cand = np.where(~used & (ious >= iou_thresh))[0]
+        if cand.size == 0:
+            fp[i] = 1
+            continue
+        nonign = cand[~ignore[cand]]
+        j = (nonign[np.argmax(ious[nonign])] if nonign.size
+             else cand[np.argmax(ious[cand])])
+        used[j] = True
+        if ignore[j]:
+            continue                         # ignored match: neither TP/FP
+        tp[i] = 1
+
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    rec = ctp / npos
+    prec = ctp / np.maximum(ctp + cfp, 1e-9)
+    # 101-point interpolation (pycocotools accumulate)
+    prec_interp = np.zeros(101)
+    if rec.size:
+        prec_mono = np.maximum.accumulate(prec[::-1])[::-1]
+        rec_points = np.linspace(0, 1, 101)
+        idx = np.searchsorted(rec, rec_points, side="left")
+        valid = idx < len(prec_mono)
+        prec_interp[valid] = prec_mono[idx[valid]]
+    return float(prec_interp.mean())
+
+
+def eval_detection_coco(pred_per_image: Sequence[dict],
+                        gt_per_image: Sequence[dict],
+                        iou_thresholds: Optional[Sequence[float]] = None,
+                        max_dets: int = 100) -> Dict[str, float]:
+    """COCO-protocol bbox mAP (the reference's pycocotools path,
+    ``evaluation/coco/coco_eval.py``): per-class AP at IoU .50:.95 with
+    101-point interpolation, greedy matching, area-range breakdowns.
+
+    Each pred dict: {"boxes" [N,4] xyxy, "scores" [N], "labels" [N]};
+    each gt dict: {"boxes", "labels"}. Returns AP, AP50, AP75,
+    AP_small/medium/large.
+    """
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 0.951, 0.05)
+    classes = sorted({int(l) for g in gt_per_image
+                      for l in np.asarray(g["labels"]).tolist()})
+
+    def collect(cls):
+        preds, gts = [], {}
+        for img, (p, g) in enumerate(zip(pred_per_image, gt_per_image)):
+            pb = np.asarray(p["boxes"], np.float64).reshape(-1, 4)
+            pl = np.asarray(p["labels"]).reshape(-1)
+            ps = np.asarray(p["scores"]).reshape(-1)
+            for b, s in zip(pb[pl == cls], ps[pl == cls]):
+                preds.append((img, float(s), b))
+            gb = np.asarray(g["boxes"], np.float64).reshape(-1, 4)
+            gl = np.asarray(g["labels"]).reshape(-1)
+            gts[img] = gb[gl == cls]
+        return preds, gts
+
+    out = {}
+    for area_name, area_range in COCO_AREA_RANGES.items():
+        aps = []
+        for cls in classes:
+            preds, gts = collect(cls)
+            vals = [_coco_ap_single(preds, gts, t, area_range, max_dets)
+                    for t in iou_thresholds]
+            vals = [v for v in vals if not np.isnan(v)]
+            if vals:
+                aps.append(np.mean(vals))
+        key = "AP" if area_name == "all" else f"AP_{area_name}"
+        out[key] = float(np.mean(aps)) if aps else float("nan")
+
+    ap50, ap75 = [], []
+    for cls in classes:
+        preds, gts = collect(cls)
+        v50 = _coco_ap_single(preds, gts, 0.5, COCO_AREA_RANGES["all"],
+                              max_dets)
+        v75 = _coco_ap_single(preds, gts, 0.75, COCO_AREA_RANGES["all"],
+                              max_dets)
+        if not np.isnan(v50):
+            ap50.append(v50)
+        if not np.isnan(v75):
+            ap75.append(v75)
+    out["AP50"] = float(np.mean(ap50)) if ap50 else float("nan")
+    out["AP75"] = float(np.mean(ap75)) if ap75 else float("nan")
+    return out

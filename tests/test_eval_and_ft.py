@@ -134,3 +134,36 @@ def test_run_gqa_wrapper(tmp_path):
         "--learning_rate", "5e-3", "--per_gpu_train_batch_size", "6",
     ])
     assert acc >= 75.0
+
+
+def test_coco_map_perfect_and_degraded():
+    from cpt_tpu.engine.detection_eval import eval_detection_coco
+
+    gt = [{"boxes": np.asarray([[10, 10, 50, 50], [60, 60, 100, 120]]),
+           "labels": np.asarray([1, 2])}]
+    perfect = [{"boxes": gt[0]["boxes"].copy(),
+                "scores": np.asarray([0.9, 0.8]),
+                "labels": np.asarray([1, 2])}]
+    r = eval_detection_coco(perfect, gt)
+    assert r["AP"] == pytest.approx(1.0, abs=1e-6)
+    assert r["AP50"] == pytest.approx(1.0, abs=1e-6)
+    # 40x40 and 40x60 boxes are both "medium"; small/large have no gts
+    assert r["AP_medium"] == pytest.approx(1.0, abs=1e-6)
+    assert np.isnan(r["AP_small"]) and np.isnan(r["AP_large"])
+
+    # slightly shifted boxes: pass at 0.5 IoU, fail at 0.95
+    shifted = [{"boxes": gt[0]["boxes"] + 6.0,
+                "scores": np.asarray([0.9, 0.8]),
+                "labels": np.asarray([1, 2])}]
+    r2 = eval_detection_coco(shifted, gt)
+    assert r2["AP50"] == pytest.approx(1.0, abs=1e-6)
+    assert r2["AP"] < r2["AP50"]
+
+    # a confident false positive before the true positive lowers AP
+    fp_first = [{"boxes": np.vstack([[200, 200, 240, 240],
+                                     gt[0]["boxes"][0]]),
+                 "scores": np.asarray([0.95, 0.9]),
+                 "labels": np.asarray([1, 1])}]
+    gt1 = [{"boxes": gt[0]["boxes"][:1], "labels": np.asarray([1])}]
+    r3 = eval_detection_coco(fp_first, gt1)
+    assert 0.0 < r3["AP50"] < 1.0
