@@ -105,14 +105,27 @@ def list_checkpoints(ckpt_dir: str) -> List[str]:
                   if op.isdir(op.join(ckpt_dir, d)))
 
 
-def save_model(save_dir: str, params: Any, config: Any = None) -> str:
+def save_model(save_dir: str, params: Any, config: Any = None,
+               retries: int = 10, retry_sleep: float = 1.0) -> str:
     """``save_pretrained`` equivalent (reference ``utils/save_model.py``):
-    params via Orbax + the model config as json."""
+    params via Orbax + the model config as json. Saves are retried on
+    transient IO errors (the reference's save-retry-×10 loop,
+    ``gqa_cpt.py:508-517``)."""
     import json
+    import time
 
     from cpt_tpu.config.core import to_dict
 
-    path = save_checkpoint(save_dir, "model", params)
+    last_err = None
+    for attempt in range(max(retries, 1)):
+        try:
+            path = save_checkpoint(save_dir, "model", params)
+            break
+        except OSError as e:                  # transient fs hiccups
+            last_err = e
+            time.sleep(retry_sleep)
+    else:
+        raise last_err
     if config is not None:
         with open(op.join(save_dir, "config.json"), "w") as f:
             json.dump(to_dict(config), f, indent=2)
