@@ -26,16 +26,82 @@ Array = jax.Array
 
 
 class SceneParser(nn.Module):
+    """``algorithm`` selects the relation head, mirroring the reference's
+    ``MODEL.ROI_RELATION_HEAD.ALGORITHM`` registry (``relation_head.py``):
+    'sg_reldn' → RelDN (default), 'sg_imp' / 'sg_msdn' / 'sg_grcnn' /
+    'sg_nm' (Neural Motif) → the message-passing variants
+    (``relation_variants.py`` / ``motif.py``), fed by the shared union-box
+    stage-5 extractor."""
+
     config: DetectorConfig
     num_rel_classes: int = 51
     max_rel_dets: int = 16            # top detections considered for pairing
+    algorithm: str = "sg_reldn"
     dtype: Any = jnp.float32
 
     def setup(self):
         # shares the AttrRCNN param layout (same converter applies)
         self.detector = AttrRCNN(self.config, self.dtype, name="detector")
-        self.relation = RelDNHead(self.config, self.num_rel_classes,
-                                  self.dtype, name="relation")
+        if self.algorithm == "sg_reldn":
+            self.relation = RelDNHead(self.config, self.num_rel_classes,
+                                      self.dtype, name="relation")
+            return
+        from cpt_tpu.models.detector.motif import NeuralMotifHead
+        from cpt_tpu.models.detector.relation_variants import (GRCNNHead,
+                                                               IMPHead,
+                                                               MSDNHead)
+        from cpt_tpu.models.detector.resnet import ResNetC5Head
+
+        self.pred_feature_extractor = ResNetC5Head(
+            self.config.backbone, self.dtype, name="pred_feature_extractor")
+        n_cls = self.config.roi_heads.num_classes
+        kw = dict(num_obj_classes=n_cls,
+                  num_rel_classes=self.num_rel_classes, dtype=self.dtype,
+                  name="relation")
+        heads = {
+            "sg_imp": lambda: IMPHead(**kw),
+            "sg_msdn": lambda: MSDNHead(**kw),
+            "sg_grcnn": lambda: GRCNNHead(**kw),
+            "sg_nm": lambda: NeuralMotifHead(obj_dim=self._obj_dim(), **kw),
+        }
+        self.relation = heads[self.algorithm]()
+
+    def _obj_dim(self) -> int:
+        # stage-5 output channels = res2_out_channels * 8 (C4 convention)
+        return self.config.backbone.res2_out_channels * 8
+
+    def _union_feats(self, feat_map: Array, det_boxes: Array,
+                     pairs: Array) -> Array:
+        from cpt_tpu.models.detector.relation_head import boxes_union
+        from cpt_tpu.ops.roi_align import roi_align
+
+        rh = self.config.roi_heads
+        union = boxes_union(det_boxes[pairs[:, 0]], det_boxes[pairs[:, 1]])
+        pooled = roi_align(feat_map, union, spatial_scale=rh.pooler_scale,
+                           pooled=rh.pooler_resolution,
+                           sampling=rh.pooler_sampling_ratio)
+        return jnp.mean(self.pred_feature_extractor(pooled), axis=(1, 2))
+
+    def _relation_logits(self, feat_map: Array, det: Dict[str, Array],
+                         boxes: Array, labels: Array, feats: Array,
+                         valid: Array, pairs: Array, pair_valid: Array,
+                         image_hw: Array,
+                         freq_prior: Optional[Array]) -> Array:
+        if self.algorithm == "sg_reldn":
+            return self.relation(feat_map, boxes, labels, feats, pairs,
+                                 pair_valid, image_hw, freq_prior)
+        union = self._union_feats(feat_map, boxes, pairs)
+        if self.algorithm == "sg_nm":
+            k = boxes.shape[0]
+            dists = det["scores_all"][:k].astype(self.dtype)
+            _obj_logits, rel_logits, _preds = self.relation(
+                feats.astype(self.dtype), dists, boxes,
+                image_hw.astype(jnp.float32), valid, union, pairs,
+                pair_valid)
+            return rel_logits
+        _obj_logits, rel_logits = self.relation(
+            feats.astype(self.dtype), union, pairs, valid, pair_valid)
+        return rel_logits
 
     def __call__(self, image: Array, image_hw: Array, anchors: Array,
                  freq_prior: Optional[Array] = None) -> Dict[str, Array]:
@@ -51,8 +117,9 @@ class SceneParser(nn.Module):
         feat_map = self.detector.features(image)
         pairs = all_pairs(k)
         pair_valid = valid[pairs[:, 0]] & valid[pairs[:, 1]]
-        rel_logits = self.relation(feat_map, boxes, labels, feats, pairs,
-                                   pair_valid, image_hw, freq_prior)
+        rel_logits = self._relation_logits(feat_map, det, boxes, labels,
+                                           feats, valid, pairs, pair_valid,
+                                           image_hw, freq_prior)
         return {**det, "pairs": pairs, "pair_valid": pair_valid,
                 "rel_logits": rel_logits}
 
@@ -70,9 +137,10 @@ class SceneParser(nn.Module):
         feat_map = self.detector.features(image)
         pairs = all_pairs(k)
         pair_valid = det_valid[pairs[:, 0]] & det_valid[pairs[:, 1]]
-        rel_logits = self.relation(feat_map, det_boxes[:k], det_labels[:k],
-                                   det["box_features"][:k], pairs,
-                                   pair_valid, image_hw, freq_prior)
+        rel_logits = self._relation_logits(
+            feat_map, det, det_boxes[:k], det_labels[:k],
+            det["box_features"][:k], det_valid[:k], pairs, pair_valid,
+            image_hw, freq_prior)
         labels = match_pair_labels(pairs, det_boxes[:k], gt_rels, gt_boxes,
                                    gt_valid)
         labels = jnp.where(pair_valid, labels, -1)

@@ -142,3 +142,24 @@ def test_motif_sort_orders():
     perm_v, _ = sort_rois(boxes, jnp.asarray([True, False, True]),
                           order="leftright")
     assert int(perm_v[-1]) == 1
+
+
+@pytest.mark.parametrize("algo", ["sg_imp", "sg_msdn", "sg_grcnn", "sg_nm"])
+def test_scene_parser_algorithm_switch(algo):
+    """Every relation algorithm plugs into SceneParser end to end."""
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.models.detector.scene_parser import SceneParser
+
+    from cpt_tpu.models.detector.rpn import grid_anchors
+
+    cfg = tiny_detector_config()
+    sp = SceneParser(cfg, num_rel_classes=5, max_rel_dets=4,
+                     algorithm=algo)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32) * 10)
+    hw = jnp.asarray([60, 60])
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, 4, 4))
+    params = jax.jit(sp.init)(jax.random.PRNGKey(0), img, hw, anchors)
+    out = sp.apply(params, img, hw, anchors)
+    assert out["rel_logits"].shape == (12, 5)        # 4*3 ordered pairs
+    assert np.isfinite(np.asarray(out["rel_logits"])).all()
