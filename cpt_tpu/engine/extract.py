@@ -149,14 +149,22 @@ class Extractor:
     def class_name(self, label: int) -> str:
         return self.labelmap.get(int(label), str(int(label)))
 
-    def chunk_for(self, h: int, w: int) -> int:
+    def chunk_for(self, h: int, w: int, remaining: Optional[int] = None
+                  ) -> int:
         """Chunk size for a canvas: fixed if configured, else the largest
-        power of two fitting the pixel budget (min 1, max 64)."""
+        power of two fitting the pixel budget (min 1, max 64), shrunk to
+        the next power of two ≥ ``remaining`` so small tasks and tail
+        chunks don't pay for padded copies (each size is one cached
+        compile; ≤7 specializations per bucket)."""
         if self.chunk is not None:
             return self.chunk
         c = self.AUTO_CHUNK_PIXEL_BUDGET // (h * w)
         c = max(1, min(64, c))
-        return 1 << (c.bit_length() - 1)       # stable compile shapes
+        c = 1 << (c.bit_length() - 1)          # stable compile shapes
+        if remaining is not None and remaining > 0:
+            need = 1 << max(remaining - 1, 0).bit_length()  # next pow2 ≥ n
+            c = min(c, max(need, 1))
+        return c
 
     def pick_bucket(self, h: int, w: int):
         """Smallest configured canvas bucket containing (h, w); each bucket
@@ -188,9 +196,10 @@ class Extractor:
         k = (task.copy_rects.shape[1] if task.copy_rects is not None else 1)
 
         all_out = ([], [], [])
-        chunk = self.chunk_for(h, w)
         t0 = time.time()
-        for start in range(0, n_copies, chunk):
+        start = 0
+        while start < n_copies:
+            chunk = self.chunk_for(h, w, n_copies - start)
             end = min(start + chunk, n_copies)
             rects = np.zeros((chunk, k, 4), np.float32)
             rect_valid = np.zeros((chunk, k), bool)
@@ -218,6 +227,7 @@ class Extractor:
             # this one's execution; host conversion happens once at the end
             for buf, arr in zip(all_out, out):
                 buf.append((arr, end - start))
+            start = end
         gathered = tuple(
             np.concatenate([np.asarray(a)[:k] for a, k in buf])
             for buf in all_out)

@@ -163,3 +163,17 @@ def test_auto_chunking_by_canvas():
     assert ex.chunk_for(10000, 10000) == 1       # floor
     ex.chunk = 8
     assert ex.chunk_for(640, 1024) == 8          # explicit wins
+
+
+def test_auto_chunking_adapts_to_remaining_copies():
+    from cpt_tpu.engine.extract import Extractor
+
+    ex = Extractor.__new__(Extractor)
+    ex.chunk = None
+    # a 10-copy RefCOCO task at 640x1024: 16-slot chunk, not 64
+    assert ex.chunk_for(640, 1024, remaining=10) == 16
+    assert ex.chunk_for(640, 1024, remaining=80) == 64   # capped by budget
+    assert ex.chunk_for(640, 1024, remaining=3) == 4
+    assert ex.chunk_for(640, 1024, remaining=1) == 1
+    # tail of an 80-copy task after one 64-chunk: 16 remaining -> 16
+    assert ex.chunk_for(640, 1024, remaining=16) == 16
