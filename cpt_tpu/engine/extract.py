@@ -249,16 +249,30 @@ class Extractor:
         return objs
 
     def run(self, tasks: Iterable[ExtractTask], out_tsv: str,
-            payload_fn: Optional[Callable] = None) -> None:
+            payload_fn: Optional[Callable] = None,
+            group_by_image: bool = True) -> None:
         """``payload_fn(task, objs) -> json-serializable payload``; defaults
-        to the RefCOCO row layout."""
+        to the RefCOCO row layout. ``group_by_image`` packs consecutive
+        queries over the same image into one device batch (fills large
+        chunks — ~2x on real RefCOCO val where each image has several
+        referring expressions of ~10 copies each)."""
         payload_fn = payload_fn or refcoco_payload
+        max_copies = self.chunk or 64
 
         def rows():
-            for task in tasks:
-                feats, labels, scores = self.extract_task(task)
-                objs = self.boxlists_for(task, feats, labels, scores)
-                yield [task.key, json.dumps(payload_fn(task, objs))]
+            groups = (_group_consecutive(tasks, max_copies)
+                      if group_by_image else ([t] for t in tasks))
+            for group in groups:
+                merged = merge_tasks(group)
+                feats, labels, scores = self.extract_task(merged)
+                at = 0
+                for task in group:
+                    n = task.n_copies
+                    objs = self.boxlists_for(task, feats[at:at + n],
+                                             labels[at:at + n],
+                                             scores[at:at + n])
+                    yield [task.key, json.dumps(payload_fn(task, objs))]
+                    at += n
 
         tsv_writer(rows(), out_tsv)
 
@@ -347,3 +361,53 @@ def make_sharded_extract_fn(model: AttrRCNN, cfg: DetectorConfig, mesh, *,
                     copy_valid, masks, mask_colors, dets, det_valid, hw)
 
     return fn
+
+
+def merge_tasks(tasks: List[ExtractTask]) -> ExtractTask:
+    """Concatenate the copies of several queries over the SAME image and
+    det boxes into one task (RefCOCO/GQA have many referring expressions
+    per image; packing them fills large chunks — per-copy throughput at
+    C=64 is ~2x C=16, PERF.md)."""
+    t0 = tasks[0]
+    if len(tasks) == 1:
+        return t0
+    for t in tasks[1:]:
+        assert t.image_rgb is t0.image_rgb or np.array_equal(
+            t.image_rgb, t0.image_rgb), "grouped tasks must share the image"
+        assert np.array_equal(t.det_boxes, t0.det_boxes), (
+            "grouped tasks must share det boxes")
+
+    def cat(field):
+        vals = [getattr(t, field) for t in tasks]
+        if any(v is None for v in vals):
+            assert all(v is None for v in vals), f"mixed {field} in group"
+            return None
+        return np.concatenate(vals)
+
+    return dataclasses.replace(
+        t0, key="|".join(t.key for t in tasks),
+        copy_rects=cat("copy_rects"),
+        copy_rect_valid=cat("copy_rect_valid"),
+        copy_colors_rgba=cat("copy_colors_rgba"),
+        copy_masks=cat("copy_masks"),
+        copy_mask_colors=cat("copy_mask_colors"))
+
+
+def _group_consecutive(tasks: Iterable[ExtractTask], max_copies: int):
+    """Yield lists of consecutive tasks sharing an image (identity check —
+    loaders memoize the decoded image per image_id), capped at max_copies."""
+    group: List[ExtractTask] = []
+    n = 0
+    for task in tasks:
+        same = (group and task.image_rgb is group[0].image_rgb
+                and np.array_equal(task.det_boxes, group[0].det_boxes))
+        if same and n + task.n_copies <= max_copies:
+            group.append(task)
+            n += task.n_copies
+        else:
+            if group:
+                yield group
+            group = [task]
+            n = task.n_copies
+    if group:
+        yield group

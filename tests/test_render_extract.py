@@ -177,3 +177,46 @@ def test_auto_chunking_adapts_to_remaining_copies():
     assert ex.chunk_for(640, 1024, remaining=1) == 1
     # tail of an 80-copy task after one 64-chunk: 16 remaining -> 16
     assert ex.chunk_for(640, 1024, remaining=16) == 16
+
+
+def test_grouped_run_matches_ungrouped(tmp_path, rng):
+    """Packing same-image queries into one batch yields identical rows."""
+    from cpt_tpu.utils.tsv import TSVFile
+
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    image = rng.randint(0, 256, (cfg.input.pad_h, cfg.input.pad_w, 3)
+                        ).astype(np.uint8)
+    dets = np.array([[4, 4, 24, 24], [30, 8, 50, 30]], np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(image).astype(jnp.float32),
+        jnp.asarray([60, 60]), jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+    ex = Extractor(model, params, cfg, copies_per_chunk=8)
+
+    # three queries on the SAME image array + one on a different image
+    other = rng.randint(0, 256, image.shape).astype(np.uint8)
+    def mk_tasks():
+        return ([refcoco_task(f"q{i}", image, (60, 60), dets, f"cap {i}")
+                 for i in range(3)]
+                + [refcoco_task("q3", other, (60, 60), dets, "cap 3")])
+
+    a, b = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+    ex.run(mk_tasks(), a, group_by_image=True)
+    ex.run(mk_tasks(), b, group_by_image=False)
+    fa, fb = TSVFile(a), TSVFile(b)
+    assert len(fa) == len(fb) == 4
+    for i in range(4):
+        ka, va = fa.seek(i)
+        kb, vb = fb.seek(i)
+        assert ka == kb
+        oa = json.loads(va)["objects"]
+        ob = json.loads(vb)["objects"]
+        assert oa[1] == ob[1]                       # caption preserved
+        fa0 = np.frombuffer(
+            __import__("base64").b64decode(oa[0][0][0]["feature"]),
+            np.float32)
+        fb0 = np.frombuffer(
+            __import__("base64").b64decode(ob[0][0][0]["feature"]),
+            np.float32)
+        np.testing.assert_allclose(fa0, fb0, rtol=2e-3, atol=2e-3)
