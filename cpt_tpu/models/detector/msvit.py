@@ -56,43 +56,8 @@ def sliding_chunk_attention_2d(q: Array, k: Array, v: Array,
     chunk multiples; padded keys are masked out.
     """
     b, h, _, hd = q.shape
-    py = (-ny) % w
-    px = (-nx) % w
-    cy, cx = (ny + py) // w, (nx + px) // w
-
-    def to_chunks(t):
-        ch = t.shape[-1]
-        t = t.reshape(b, h, ny, nx, ch)
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, py), (0, px), (0, 0)))
-        t = t.reshape(b, h, cy, w, cx, w, ch)
-        return t.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
-            b, h, cy, cx, w * w, ch)
-
-    qc = to_chunks(q)
-    kc = to_chunks(k)
-    vc = to_chunks(v)
-    validity = to_chunks(jnp.ones((b, h, ny * nx, 1), q.dtype))[..., 0]
-
-    def neighborhood(t):
-        # pad the chunk grid by one chunk, stack the 9 shifted views
-        pad = [(0, 0), (0, 0), (1, 1), (1, 1)] + [(0, 0)] * (t.ndim - 4)
-        tp = jnp.pad(t, pad)
-        views = [tp[:, :, 1 + dy:1 + dy + cy, 1 + dx:1 + dx + cx]
-                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-        return jnp.concatenate(views, axis=4)     # [..., 9*w*w, (hd)]
-
-    kn = neighborhood(kc)                          # [B,H,Cy,Cx,9w²,hd]
-    vn = neighborhood(vc)
-    vmask = neighborhood(validity)                 # [B,H,Cy,Cx,9w²]
-
-    logits = jnp.einsum("bhyxqd,bhyxkd->bhyxqk", qc, kn)
-    logits = jnp.where(vmask[:, :, :, :, None, :] > 0, logits, NEG)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-        q.dtype)
-    out = jnp.einsum("bhyxqk,bhyxkd->bhyxqd", probs, vn)
-    out = out.reshape(b, h, cy, cx, w, w, hd).transpose(0, 1, 2, 4, 3, 5, 6)
-    out = out.reshape(b, h, cy * w, cx * w, hd)[:, :, :ny, :nx]
-    return out.reshape(b, h, ny * nx, hd)
+    empty = jnp.zeros((b, h, 0, hd), q.dtype)
+    return _local_with_globals(q, k, v, empty, empty, ny, nx, w)
 
 
 class Long2DSCAttention(nn.Module):
