@@ -39,6 +39,8 @@ def build_args():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--expected_results", default=None,
                    help='json [["mAP", 0.35, 0.01], ...]')
+    p.add_argument("--coco_eval", action="store_true",
+                   help="also report COCO-protocol AP/AP50/AP75")
     return p
 
 
@@ -100,6 +102,13 @@ def main(argv=None):
 
     results = eval_detection_voc(preds, gts, cfg.roi_heads.num_classes)
     print(f"mAP: {results['mAP']:.4f}")
+    if args.coco_eval:
+        from cpt_tpu.engine.detection_eval import eval_detection_coco
+
+        coco = eval_detection_coco(preds, gts)
+        results.update({f"coco_{k}": v for k, v in coco.items()})
+        print(f"COCO AP: {coco['AP']:.4f}  AP50: {coco['AP50']:.4f}  "
+              f"AP75: {coco['AP75']:.4f}")
     ok = True
     if args.expected_results:
         expected = [tuple(e) for e in json.loads(args.expected_results)]

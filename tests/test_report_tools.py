@@ -120,3 +120,20 @@ def test_img_info_cli(tmp_path):
     assert infos["b.png"] == {"width": 8, "height": 6}
     assert json.load(open(out)) == infos
     assert pickle.load(open(tmp_path / "cnt.pk", "rb")) == 4
+
+
+def test_detector_eval_cli(tmp_path, capsys):
+    """test_detector synthetic mode: RPN-mode eval + VOC & COCO metrics +
+    expected-results assertion."""
+    from cpt_tpu.tools.test_detector import main
+
+    out = str(tmp_path / "det_results.pk")
+    results, ok = main(["--tiny", "--synthetic", "2", "--dtype", "float32",
+                        "--coco_eval", "--output", out,
+                        "--expected_results", '[["mAP", 0.0, 1.0]]'])
+    assert ok
+    assert "mAP" in results and "coco_AP" in results
+    stdout = capsys.readouterr().out
+    assert "COCO AP" in stdout
+    saved = pickle.load(open(out, "rb"))
+    assert len(saved["predictions"]) == 2
