@@ -137,3 +137,22 @@ def test_detector_eval_cli(tmp_path, capsys):
     assert "COCO AP" in stdout
     saved = pickle.load(open(out, "rb"))
     assert len(saved["predictions"]) == 2
+
+
+def test_explore_cli_template_sweep(tmp_path, capsys):
+    """explore.py ranks ZSL templates by zero-shot accuracy (synthetic)."""
+    from cpt_tpu.data.synthetic import generate_refcoco_fixture
+    from cpt_tpu.tools.explore import main
+
+    paths = generate_refcoco_fixture(str(tmp_path), n_queries=2,
+                                     feat_dim=134)
+    results = main(["--synthetic", "--mode", "templates",
+                    "--templates", "1,2",
+                    "--data_file", paths["data_file"],
+                    "--ann_file", paths["ann_file"],
+                    "--det_file", paths["det_file"],
+                    "--output", str(tmp_path / "sweep.json")])
+    assert set(results) == {"template1", "template2"}
+    assert all(0.0 <= v <= 100.0 for v in results.values())
+    assert "best:" in capsys.readouterr().out
+    assert json.load(open(tmp_path / "sweep.json")) == results
