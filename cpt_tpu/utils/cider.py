@@ -51,6 +51,46 @@ def bleu4(hyp: Sequence[str], refs: List[Sequence[str]],
     return bp * math.exp(log_p)
 
 
+def meteor_exact(hyp: Sequence[str], refs: List[Sequence[str]], *,
+                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5
+                 ) -> float:
+    """METEOR with the exact-match stage only (pycocoevalcap's METEOR core
+    scoring: unigram alignment → weighted harmonic mean P/R →
+    fragmentation penalty γ·(chunks/matches)^β; best ref wins). The
+    synonym/stem/paraphrase stages need WordNet + paraphrase tables
+    (external data) — documented limitation; exact-stage METEOR is a lower
+    bound on full METEOR."""
+    hyp = list(hyp)
+    if not hyp:
+        return 0.0
+
+    def score_one(ref: List[str]) -> float:
+        # leftmost greedy alignment (one-to-one)
+        used = [False] * len(ref)
+        align = []                               # hyp idx -> ref idx
+        for i, w in enumerate(hyp):
+            for j, r in enumerate(ref):
+                if not used[j] and r == w:
+                    used[j] = True
+                    align.append((i, j))
+                    break
+        m = len(align)
+        if m == 0:
+            return 0.0
+        p = m / len(hyp)
+        r = m / len(ref)
+        fmean = p * r / (alpha * p + (1 - alpha) * r)
+        # chunks: maximal runs contiguous in both hyp and ref
+        chunks = 1
+        for (i0, j0), (i1, j1) in zip(align, align[1:]):
+            if i1 != i0 + 1 or j1 != j0 + 1:
+                chunks += 1
+        penalty = gamma * (chunks / m) ** beta
+        return fmean * (1 - penalty)
+
+    return max(score_one(list(r)) for r in refs)
+
+
 class CiderD:
     def __init__(self, refs: Dict[str, List[Sequence[str]]], n_max: int = 4,
                  sigma: float = 6.0):

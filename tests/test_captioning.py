@@ -210,3 +210,22 @@ def test_bleu4():
     assert 0.0 < partial < 1.0
     assert bleu4(["purple", "train"], refs) < partial
     assert bleu4([], refs) == 0.0
+
+
+def test_meteor_exact():
+    from cpt_tpu.utils.cider import meteor_exact
+
+    refs = [["the", "cat", "sat", "on", "the", "mat"]]
+    perfect = meteor_exact(["the", "cat", "sat", "on", "the", "mat"], refs)
+    # perfect match: fmean 1, single chunk -> penalty gamma*(1/6)^3
+    assert perfect == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3, abs=1e-9)
+    partial = meteor_exact(["the", "cat", "sat"], refs)
+    assert 0.0 < partial < perfect
+    # scrambled order: same P/R but more chunks -> lower score
+    scrambled = meteor_exact(["mat", "the", "on", "sat", "cat", "the"], refs)
+    assert scrambled < perfect
+    assert meteor_exact(["zebra"], refs) == 0.0
+    assert meteor_exact([], refs) == 0.0
+    # multiple references: best one wins
+    two = meteor_exact(["a", "dog"], [["a", "dog"], ["the", "cat"]])
+    assert two == pytest.approx(1.0 - 0.5 * (1 / 2) ** 3, abs=1e-9)
