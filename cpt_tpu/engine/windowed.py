@@ -1,0 +1,133 @@
+"""Windowed-recompute extraction — cross-copy compute reuse (experimental).
+
+The CPT workload's copies of one query differ ONLY inside one painted
+rectangle, yet the plain extractor re-runs the backbone on every full
+canvas. This path computes the base image's C4 feature map ONCE per task,
+and per copy recomputes the backbone only on a fixed window around the
+painted rect, pasting the window's interior into a copy of the base map
+(``AttrRCNN.heads_from_feats`` then pools detections from the patched
+maps). Windows cover ~4-5× fewer pixels than the 640×1024 canvas — the
+lever PERF.md identifies as the only route past the extraction roofline.
+
+Exactness: a changed pixel influences features within the backbone's
+receptive field. Features are pasted from the window interior (``halo``
+pixels trimmed from each side), so the result is EXACT when
+halo ≥ RF(backbone) — true for the tiny test config — and an
+approximation for X152-C4 (RF spans the image; influence magnitude decays
+much faster). ``feature_drift`` quantifies the approximation; accuracy
+must be re-validated with real checkpoints before production use
+(``fits`` routes oversized rects to the exact full path).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNN, region_features_2054
+from cpt_tpu.models.detector.config import DetectorConfig
+from cpt_tpu.ops.render import paste_rects, to_detector_input
+
+Array = jax.Array
+STRIDE = 16
+
+
+def window_origins(rects: np.ndarray, window: Tuple[int, int],
+                   canvas_hw: Tuple[int, int], halo: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: per copy, the stride-aligned window origin centered on
+    the copy's painted rect(s), clamped in-canvas → (origins [C, 2] (y, x),
+    fits [C] bool). ``fits`` is False when the rect plus halo margin
+    exceeds the window (caller falls back to the full-canvas path)."""
+    wh, ww = window
+    ch, cw = canvas_hw
+    c = rects.shape[0]
+    origins = np.zeros((c, 2), np.int32)
+    fits = np.zeros((c,), bool)
+    for i in range(c):
+        rs = rects[i].reshape(-1, 4)
+        x1, y1 = rs[:, 0].min(), rs[:, 1].min()
+        x2, y2 = rs[:, 2].max(), rs[:, 3].max()
+        cy, cx = (y1 + y2) / 2, (x1 + x2) / 2
+        oy = int(np.clip(cy - wh / 2, 0, max(ch - wh, 0))) // STRIDE * STRIDE
+        ox = int(np.clip(cx - ww / 2, 0, max(cw - ww, 0))) // STRIDE * STRIDE
+        origins[i] = (oy, ox)
+        fits[i] = ((y1 >= oy + halo) and (y2 <= oy + wh - halo)
+                   and (x1 >= ox + halo) and (x2 <= ox + ww - halo))
+    return origins, fits
+
+
+def make_base_features_fn(model: AttrRCNN, cfg: DetectorConfig):
+    """Jitted: uint8 canvas → C4 feature map (once per task)."""
+
+    @jax.jit
+    def fn(params, image_u8):
+        x = to_detector_input(image_u8, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        return model.apply(params, x, method=AttrRCNN.features)
+
+    return fn
+
+
+def make_windowed_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
+                             window: Tuple[int, int] = (384, 512),
+                             halo: int = 96,
+                             inclusive_paint: bool = False):
+    """Jitted: per copy, recompute the backbone on the painted window and
+    pool detections from the patched base map. Same outputs as
+    ``make_extract_fn`` (feats [C, M, 2054], labels, scores)."""
+    wh, ww = window
+    t = halo // STRIDE
+    assert halo % STRIDE == 0 and wh % STRIDE == 0 and ww % STRIDE == 0
+
+    @jax.jit
+    def fn(params, image_u8, base_feat, origins, rects, rect_valid,
+           colors, copy_valid, dets, det_valid, hw):
+        def crop_and_paint(origin, rect_set, rv, color_set):
+            crop = jax.lax.dynamic_slice(image_u8,
+                                         (origin[0], origin[1], 0),
+                                         (wh, ww, 3))
+            off = jnp.asarray([origin[1], origin[0], origin[1], origin[0]],
+                              jnp.float32)
+            return paste_rects(crop, rect_set - off[None], color_set, rv,
+                               inclusive=inclusive_paint)
+
+        crops = jax.vmap(crop_and_paint)(origins, rects, rect_valid,
+                                         colors)          # [C, wh, ww, 3]
+        x = to_detector_input(crops, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        wfeats = model.apply(params, x,
+                             method=lambda m, xs: m.backbone(xs))
+
+        def patch(origin, wf):
+            inner = wf[t:wf.shape[0] - t, t:wf.shape[1] - t]
+            return jax.lax.dynamic_update_slice(
+                base_feat, inner.astype(base_feat.dtype),
+                (origin[0] // STRIDE + t, origin[1] // STRIDE + t, 0))
+
+        patched = jax.vmap(patch)(origins, wfeats)        # [C, h16, w16, ch]
+        out = model.apply(params, patched, dets, det_valid,
+                          method=AttrRCNN.heads_from_feats)
+        feats = jax.vmap(lambda bf, bx: region_features_2054(
+            bf.astype(jnp.float32), bx, hw))(out["box_features"],
+                                             out["boxes"])
+        feats = jnp.where(copy_valid[:, None, None], feats,
+                          jnp.zeros_like(feats))
+        return feats, out["labels"], out["scores"]
+
+    return fn
+
+
+def feature_drift(exact, approx) -> dict:
+    """Drift report between exact and windowed outputs (feats tuples)."""
+    ef, el, es = (np.asarray(a) for a in exact)
+    af, al, asc = (np.asarray(a) for a in approx)
+    denom = np.maximum(np.abs(ef).max(), 1e-9)
+    return {
+        "feat_max_rel": float(np.abs(ef - af).max() / denom),
+        "feat_mean_rel": float(np.abs(ef - af).mean() / denom),
+        "label_agreement": float((el == al).mean()),
+        "score_max_abs": float(np.abs(es - asc).max()),
+    }

@@ -69,12 +69,24 @@ class AttrRCNN(nn.Module):
         """
         from cpt_tpu.ops.roi_align import roi_align
 
+        feats = self.backbone(images)                       # [C, h, w, 1024]
+        return self.heads_from_feats(feats, force_boxes, force_valid,
+                                     with_attributes=with_attributes)
+
+    def heads_from_feats(self, feats: Array, force_boxes: Array,
+                         force_valid: Array,
+                         with_attributes: bool = False) -> Dict[str, Array]:
+        """Force-boxes heads over precomputed per-copy C4 feature maps
+        [C, h, w, 1024] (used by the windowed-recompute extractor, which
+        patches copies of a cached base map instead of re-running the
+        backbone on full canvases)."""
+        from cpt_tpu.ops.roi_align import roi_align
+
         c_cfg = self.config
         rh = c_cfg.roi_heads
-        n_copies = images.shape[0]
+        n_copies = feats.shape[0]
         m = force_boxes.shape[0]
 
-        feats = self.backbone(images)                       # [C, h, w, 1024]
         self.rpn_head(feats[:1, :1, :1, :])                 # param coverage
 
         pooled = jax.vmap(lambda f: roi_align(

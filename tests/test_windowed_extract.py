@@ -1,0 +1,99 @@
+"""Windowed-recompute extraction: exact when halo covers the receptive
+field; measurable drift when it doesn't; origin/fits host logic."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cpt_tpu.engine.extract import make_extract_fn
+from cpt_tpu.engine.windowed import (feature_drift, make_base_features_fn,
+                                     make_windowed_extract_fn,
+                                     window_origins)
+from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+from cpt_tpu.models.detector.config import tiny_detector_config
+
+CANVAS = 256
+
+
+def _setup():
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    # rects near the canvas center, 16x16
+    c = 4
+    rects = np.zeros((c, 1, 4), np.float32)
+    for i in range(c):
+        x = 112 + 6 * i
+        rects[i, 0] = [x, 120, x + 16, 136]
+    colors = np.tile(np.asarray([240, 0, 30, 127], np.uint8), (c, 1, 1))
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    args = dict(
+        rects=jnp.asarray(rects), rv=jnp.ones((c, 1), bool),
+        colors=jnp.asarray(colors), cv=jnp.ones((c,), bool),
+        dets=jnp.asarray(dets), dv=jnp.ones((m,), bool),
+        hw=jnp.asarray([CANVAS, CANVAS]))
+    return cfg, model, params, image, rects, args
+
+
+def _exact(cfg, model, params, image, args):
+    c = args["rects"].shape[0]
+    masks = jnp.zeros((c, CANVAS, CANVAS), jnp.uint8)
+    mc = jnp.zeros((c, 4), jnp.uint8)
+    fn = make_extract_fn(model, cfg)
+    return fn(params, image, args["rects"], args["rv"], args["colors"],
+              args["cv"], masks, mc, args["dets"], args["dv"], args["hw"])
+
+
+def _windowed(cfg, model, params, image, rects, args, window, halo):
+    origins, fits = window_origins(rects, window, (CANVAS, CANVAS), halo)
+    base = make_base_features_fn(model, cfg)(params, image)
+    fn = make_windowed_extract_fn(model, cfg, window=window, halo=halo)
+    out = fn(params, image, base, jnp.asarray(origins), args["rects"],
+             args["rv"], args["colors"], args["cv"], args["dets"],
+             args["dv"], args["hw"])
+    return out, fits
+
+
+def test_windowed_exact_with_sufficient_halo():
+    cfg, model, params, image, rects, args = _setup()
+    exact = _exact(cfg, model, params, image, args)
+    # tiny backbone RF radius ~33 px; halo 48 + interior margin >> RF
+    approx, fits = _windowed(cfg, model, params, image, rects, args,
+                             window=(192, 192), halo=48)
+    assert fits.all()
+    d = feature_drift(exact, approx)
+    assert d["feat_max_rel"] < 5e-3, d
+    assert d["label_agreement"] == 1.0
+
+
+def test_windowed_drift_grows_with_small_halo():
+    cfg, model, params, image, rects, args = _setup()
+    exact = _exact(cfg, model, params, image, args)
+    good, _ = _windowed(cfg, model, params, image, rects, args,
+                        window=(192, 192), halo=48)
+    tight, _ = _windowed(cfg, model, params, image, rects, args,
+                         window=(96, 96), halo=16)
+    d_good = feature_drift(exact, good)
+    d_tight = feature_drift(exact, tight)
+    assert d_tight["feat_max_rel"] > d_good["feat_max_rel"]
+
+
+def test_window_origins_clamp_and_fit():
+    rects = np.asarray([
+        [[120.0, 120.0, 136.0, 136.0]],     # center: fits
+        [[0.0, 0.0, 16.0, 16.0]],           # corner: window clamps to 0
+        [[20.0, 20.0, 230.0, 230.0]],       # huge: cannot fit
+    ], np.float32)
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits[0] and not fits[2]
+    assert tuple(origins[1]) == (0, 0)
+    assert origins.max() <= CANVAS - 192
+    assert (origins % 16 == 0).all()
