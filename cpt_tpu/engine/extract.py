@@ -132,9 +132,15 @@ class Extractor:
                  labelmap: Optional[Dict[int, str]] = None,
                  copies_per_chunk: Optional[int] = 4,
                  inclusive_paint: bool = False,
-                 with_masks: bool = False):
+                 with_masks: bool = False,
+                 windowed: bool = False,
+                 window: tuple = (384, 512), halo: int = 96):
         """``copies_per_chunk=None`` → auto: the largest power-of-two chunk
-        whose canvas pixels fit the measured HBM budget per bucket."""
+        whose canvas pixels fit the measured HBM budget per bucket.
+        ``windowed=True`` enables windowed-recompute reuse
+        (``engine/windowed.py`` — ~1.7×; approximate for deep backbones,
+        see PERF.md) for rect-painted copies whose rect fits the window;
+        others fall back to the exact full path."""
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -143,6 +149,16 @@ class Extractor:
         self.with_masks = with_masks
         self.fn = make_extract_fn(model, cfg, inclusive_paint=inclusive_paint,
                                   with_masks=with_masks)
+        self.windowed = windowed
+        if windowed:
+            from cpt_tpu.engine.windowed import (make_base_features_fn,
+                                                 make_windowed_extract_fn)
+
+            self.window, self.halo = window, halo
+            self.base_fn = make_base_features_fn(model, cfg)
+            self.wfn = make_windowed_extract_fn(
+                model, cfg, window=window, halo=halo,
+                inclusive_paint=inclusive_paint)
         self.infer_seconds = 0.0
         self.n_copies = 0
 
@@ -177,6 +193,9 @@ class Extractor:
 
     def extract_task(self, task: ExtractTask):
         """→ (feats [n_copies, M, 2054], labels, scores) numpy."""
+        if (self.windowed and task.copy_rects is not None
+                and task.copy_masks is None):
+            return self._extract_task_windowed(task)
         m = self.cfg.max_force_boxes
         dets, det_valid = pad_boxes(task.det_boxes, m)
         dets_j = jnp.asarray(dets)
@@ -234,6 +253,89 @@ class Extractor:
         self.infer_seconds += time.time() - t0
         self.n_copies += n_copies
         return gathered
+
+    def _extract_task_windowed(self, task: ExtractTask):
+        """Windowed-recompute path: copies whose rect fits the window reuse
+        the task's cached base feature map; the rest run the full path."""
+        from cpt_tpu.engine.windowed import window_origins
+
+        m = self.cfg.max_force_boxes
+        dets, det_valid = pad_boxes(task.det_boxes, m)
+        dets_j = jnp.asarray(dets)
+        det_valid_j = jnp.asarray(det_valid)
+        hw = jnp.asarray(task.image_hw, jnp.int32)
+        ih, iw = task.image_rgb.shape[:2]
+        h, w = self.pick_bucket(ih, iw)
+        if (h, w) != (ih, iw):
+            canvas = np.zeros((h, w, 3), np.uint8)
+            canvas[: min(ih, h), : min(iw, w)] = task.image_rgb[: h, : w]
+            image = jnp.asarray(canvas)
+        else:
+            image = jnp.asarray(task.image_rgb)
+
+        n = task.n_copies
+        k = task.copy_rects.shape[1]
+        rv_all = (task.copy_rect_valid if task.copy_rect_valid is not None
+                  else np.ones((n, k), bool))
+        origins, fits = window_origins(task.copy_rects, self.window,
+                                       (h, w), self.halo)
+        fit_idx = np.nonzero(fits)[0]
+        full_idx = np.nonzero(~fits)[0]
+
+        fdim = None
+        out_f = out_l = out_s = None
+        t0 = time.time()
+        base = self.base_fn(self.params, image) if len(fit_idx) else None
+
+        def scatter(sel, chunk_out, count):
+            nonlocal out_f, out_l, out_s, fdim
+            f, l, s = (np.asarray(a)[:count] for a in chunk_out)
+            if out_f is None:
+                fdim = f.shape[-1]
+                out_f = np.zeros((n, m, fdim), np.float32)
+                out_l = np.zeros((n, m), np.int32)
+                out_s = np.zeros((n, m), np.float32)
+            out_f[sel] = f
+            out_l[sel] = l
+            out_s[sel] = s
+
+        for idx, use_window in ((fit_idx, True), (full_idx, False)):
+            at = 0
+            while at < len(idx):
+                chunk = self.chunk_for(
+                    self.window[0] if use_window else h,
+                    self.window[1] if use_window else w,
+                    len(idx) - at)
+                sel = idx[at:at + chunk]
+                pad = chunk - len(sel)
+                rects = np.concatenate(
+                    [task.copy_rects[sel],
+                     np.zeros((pad, k, 4), np.float32)])
+                rv = np.concatenate([rv_all[sel], np.zeros((pad, k), bool)])
+                colors = np.concatenate(
+                    [task.copy_colors_rgba[sel],
+                     np.zeros((pad, k, 4), np.uint8)])
+                cv = np.concatenate([np.ones(len(sel), bool),
+                                     np.zeros(pad, bool)])
+                if use_window:
+                    org = np.concatenate(
+                        [origins[sel], np.zeros((pad, 2), np.int32)])
+                    out = self.wfn(self.params, image, base,
+                                   jnp.asarray(org), jnp.asarray(rects),
+                                   jnp.asarray(rv), jnp.asarray(colors),
+                                   jnp.asarray(cv), dets_j, det_valid_j, hw)
+                else:
+                    out = self.fn(self.params, image, jnp.asarray(rects),
+                                  jnp.asarray(rv), jnp.asarray(colors),
+                                  jnp.asarray(cv),
+                                  jnp.zeros((chunk, h, w), jnp.uint8),
+                                  jnp.zeros((chunk, 4), jnp.uint8),
+                                  dets_j, det_valid_j, hw)
+                scatter(sel, out, len(sel))
+                at += chunk
+        self.infer_seconds += time.time() - t0
+        self.n_copies += n
+        return out_f, out_l, out_s
 
     def boxlists_for(self, task: ExtractTask, feats, labels, scores
                      ) -> List[List[dict]]:

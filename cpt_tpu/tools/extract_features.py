@@ -62,6 +62,9 @@ def build_args():
     p.add_argument("--rand_seed", type=int, default=None)
     p.add_argument("--copies_per_chunk", type=int, default=None,
                    help="fixed chunk size; default auto (HBM-budget power of two)")
+    p.add_argument("--windowed", action="store_true",
+                   help="windowed-recompute reuse (~1.7x; approximate for "
+                        "deep backbones — see PERF.md)")
     p.add_argument("--resize", action="store_true",
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")
@@ -151,7 +154,8 @@ def main(argv=None):
         labelmap = {int(k): v for k, v in src.items()}
 
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
-                          copies_per_chunk=args.copies_per_chunk)
+                          copies_per_chunk=args.copies_per_chunk,
+                          windowed=args.windowed)
 
     from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
                                            plain_task, vcr_color_task,

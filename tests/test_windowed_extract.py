@@ -97,3 +97,36 @@ def test_window_origins_clamp_and_fit():
     assert tuple(origins[1]) == (0, 0)
     assert origins.max() <= CANVAS - 192
     assert (origins % 16 == 0).all()
+
+
+def test_extractor_windowed_mode_matches_full(tmp_path):
+    """Extractor(windowed=True) routes fitting copies through the windowed
+    path, the rest through the full path, and matches the exact extractor
+    (tiny net: halo >= RF ⇒ exact)."""
+    rng = np.random.RandomState(1)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    # candidate dets: one small central (fits), one huge (full-path)
+    dets = np.asarray([[110.0, 110.0, 140.0, 140.0],
+                       [10.0, 10.0, 240.0, 240.0],
+                       [120.0, 100.0, 150.0, 130.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q0", image, (CANVAS, CANVAS), dets, "query")
+
+    exact = Extractor(model, params, cfg, copies_per_chunk=2)
+    ef, el, es = exact.extract_task(mk())
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=(192, 192), halo=48)
+    wf, wl, ws = wnd.extract_task(mk())
+    assert wf.shape == ef.shape
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
