@@ -158,7 +158,7 @@ class Extractor:
             self.base_fn = make_base_features_fn(model, cfg)
             self.wfn = make_windowed_extract_fn(
                 model, cfg, window=window, halo=halo,
-                inclusive_paint=inclusive_paint)
+                inclusive_paint=inclusive_paint, with_masks=with_masks)
         self.infer_seconds = 0.0
         self.n_copies = 0
 
@@ -193,8 +193,8 @@ class Extractor:
 
     def extract_task(self, task: ExtractTask):
         """→ (feats [n_copies, M, 2054], labels, scores) numpy."""
-        if (self.windowed and task.copy_rects is not None
-                and task.copy_masks is None):
+        if self.windowed and (task.copy_rects is not None
+                              or task.copy_masks is not None):
             return self._extract_task_windowed(task)
         m = self.cfg.max_force_boxes
         dets, det_valid = pad_boxes(task.det_boxes, m)
@@ -274,11 +274,26 @@ class Extractor:
             image = jnp.asarray(task.image_rgb)
 
         n = task.n_copies
-        k = task.copy_rects.shape[1]
+        k = task.copy_rects.shape[1] if task.copy_rects is not None else 1
+        rects_all = (task.copy_rects if task.copy_rects is not None
+                     else np.zeros((n, k, 4), np.float32))
+        colors_all = (task.copy_colors_rgba
+                      if task.copy_colors_rgba is not None
+                      else np.zeros((n, k, 4), np.uint8))
         rv_all = (task.copy_rect_valid if task.copy_rect_valid is not None
-                  else np.ones((n, k), bool))
-        origins, fits = window_origins(task.copy_rects, self.window,
-                                       (h, w), self.halo)
+                  else np.full((n, k), task.copy_rects is not None))
+        # window target: union of painted rects and mask extents
+        target = rects_all
+        if task.copy_masks is not None:
+            from cpt_tpu.engine.windowed import mask_bboxes
+
+            mb = mask_bboxes(task.copy_masks)
+            target = np.concatenate([target, mb], axis=1)
+            # drop all-zero rect slots from the union bbox computation
+            if task.copy_rects is None:
+                target = mb
+        origins, fits = window_origins(target, self.window, (h, w),
+                                       self.halo)
         fit_idx = np.nonzero(fits)[0]
         full_idx = np.nonzero(~fits)[0]
 
@@ -309,27 +324,34 @@ class Extractor:
                 sel = idx[at:at + chunk]
                 pad = chunk - len(sel)
                 rects = np.concatenate(
-                    [task.copy_rects[sel],
-                     np.zeros((pad, k, 4), np.float32)])
+                    [rects_all[sel], np.zeros((pad, k, 4), np.float32)])
                 rv = np.concatenate([rv_all[sel], np.zeros((pad, k), bool)])
                 colors = np.concatenate(
-                    [task.copy_colors_rgba[sel],
-                     np.zeros((pad, k, 4), np.uint8)])
+                    [colors_all[sel], np.zeros((pad, k, 4), np.uint8)])
                 cv = np.concatenate([np.ones(len(sel), bool),
                                      np.zeros(pad, bool)])
+                masks_c = np.zeros((chunk, h, w), np.uint8)
+                mcolors_c = np.zeros((chunk, 4), np.uint8)
+                if task.copy_masks is not None:
+                    tm = task.copy_masks[sel]
+                    masks_c[:len(sel), :tm.shape[1], :tm.shape[2]] = (
+                        tm[:, :h, :w])
+                    mcolors_c[:len(sel)] = task.copy_mask_colors[sel]
                 if use_window:
                     org = np.concatenate(
                         [origins[sel], np.zeros((pad, 2), np.int32)])
+                    margs = ((jnp.asarray(masks_c), jnp.asarray(mcolors_c))
+                             if self.with_masks else ())
                     out = self.wfn(self.params, image, base,
                                    jnp.asarray(org), jnp.asarray(rects),
                                    jnp.asarray(rv), jnp.asarray(colors),
-                                   jnp.asarray(cv), dets_j, det_valid_j, hw)
+                                   jnp.asarray(cv), dets_j, det_valid_j, hw,
+                                   *margs)
                 else:
                     out = self.fn(self.params, image, jnp.asarray(rects),
                                   jnp.asarray(rv), jnp.asarray(colors),
-                                  jnp.asarray(cv),
-                                  jnp.zeros((chunk, h, w), jnp.uint8),
-                                  jnp.zeros((chunk, 4), jnp.uint8),
+                                  jnp.asarray(cv), jnp.asarray(masks_c),
+                                  jnp.asarray(mcolors_c),
                                   dets_j, det_valid_j, hw)
                 scatter(sel, out, len(sel))
                 at += chunk

@@ -71,31 +71,58 @@ def make_base_features_fn(model: AttrRCNN, cfg: DetectorConfig):
     return fn
 
 
+def mask_bboxes(masks: np.ndarray) -> np.ndarray:
+    """Host-side: per-copy bounding boxes [C, 1, 4] of binary paint masks
+    (empty mask → degenerate box at the origin), for ``window_origins``."""
+    c = masks.shape[0]
+    out = np.zeros((c, 1, 4), np.float32)
+    for i in range(c):
+        ys, xs = np.nonzero(masks[i])
+        if ys.size:
+            out[i, 0] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return out
+
+
 def make_windowed_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                              window: Tuple[int, int] = (384, 512),
                              halo: int = 96,
-                             inclusive_paint: bool = False):
+                             inclusive_paint: bool = False,
+                             with_masks: bool = False):
     """Jitted: per copy, recompute the backbone on the painted window and
     pool detections from the patched base map. Same outputs as
-    ``make_extract_fn`` (feats [C, M, 2054], labels, scores)."""
+    ``make_extract_fn`` (feats [C, M, 2054], labels, scores). With
+    ``with_masks``, each copy additionally alpha-pastes a binary mask
+    ([C, H, W] full-canvas; cropped on device)."""
+    from cpt_tpu.ops.render import paste_mask
+
     wh, ww = window
     t = halo // STRIDE
     assert halo % STRIDE == 0 and wh % STRIDE == 0 and ww % STRIDE == 0
 
     @jax.jit
     def fn(params, image_u8, base_feat, origins, rects, rect_valid,
-           colors, copy_valid, dets, det_valid, hw):
-        def crop_and_paint(origin, rect_set, rv, color_set):
+           colors, copy_valid, dets, det_valid, hw, masks=None,
+           mask_colors=None):
+        def crop_and_paint(origin, rect_set, rv, color_set, m, mc):
             crop = jax.lax.dynamic_slice(image_u8,
                                          (origin[0], origin[1], 0),
                                          (wh, ww, 3))
             off = jnp.asarray([origin[1], origin[0], origin[1], origin[0]],
                               jnp.float32)
-            return paste_rects(crop, rect_set - off[None], color_set, rv,
+            crop = paste_rects(crop, rect_set - off[None], color_set, rv,
                                inclusive=inclusive_paint)
+            if with_masks:
+                mcrop = jax.lax.dynamic_slice(m, (origin[0], origin[1]),
+                                              (wh, ww))
+                crop = paste_mask(crop, mcrop, mc)
+            return crop
 
+        if not with_masks:
+            masks = jnp.zeros((origins.shape[0], 1, 1), jnp.uint8)
+            mask_colors = jnp.zeros((origins.shape[0], 4), jnp.uint8)
         crops = jax.vmap(crop_and_paint)(origins, rects, rect_valid,
-                                         colors)          # [C, wh, ww, 3]
+                                         colors, masks,
+                                         mask_colors)     # [C, wh, ww, 3]
         x = to_detector_input(crops, cfg.input.pixel_mean,
                               dtype=model.dtype)
         wfeats = model.apply(params, x,

@@ -130,3 +130,89 @@ def test_extractor_windowed_mode_matches_full(tmp_path):
     assert wf.shape == ef.shape
     np.testing.assert_array_equal(wl, el)
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
+
+
+def test_windowed_mask_painting_exact():
+    """Mask-painted copies (VCR-style) through the windowed path match the
+    exact full path with sufficient halo."""
+    from cpt_tpu.engine.windowed import mask_bboxes
+
+    cfg, model, params, image, rects, args = _setup()
+    c = 4
+    masks = np.zeros((c, CANVAS, CANVAS), np.uint8)
+    for i in range(c):
+        masks[i, 118:134, 112 + 6 * i:128 + 6 * i] = 1
+    mcolors = np.tile(np.asarray([0, 10, 255, 127], np.uint8), (c, 1))
+    # exact reference: full-canvas path with masks (no rects)
+    fn = make_extract_fn(model, cfg, with_masks=True)
+    zero_rects = jnp.zeros((c, 1, 4))
+    no_rv = jnp.zeros((c, 1), bool)
+    exact = fn(params, image, zero_rects, no_rv,
+               jnp.zeros((c, 1, 4), jnp.uint8), args["cv"],
+               jnp.asarray(masks), jnp.asarray(mcolors), args["dets"],
+               args["dv"], args["hw"])
+
+    boxes = mask_bboxes(masks)
+    from cpt_tpu.engine.windowed import (make_base_features_fn,
+                                         make_windowed_extract_fn,
+                                         window_origins)
+    origins, fits = window_origins(boxes, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_features_fn(model, cfg)(params, image)
+    wfn = make_windowed_extract_fn(model, cfg, window=(192, 192), halo=48,
+                                   with_masks=True)
+    approx = wfn(params, image, base, jnp.asarray(origins), zero_rects,
+                 no_rv, jnp.zeros((c, 1, 4), jnp.uint8), args["cv"],
+                 args["dets"], args["dv"], args["hw"],
+                 jnp.asarray(masks), jnp.asarray(mcolors))
+    d = feature_drift(exact, approx)
+    assert d["feat_max_rel"] < 5e-3, d
+    assert d["label_agreement"] == 1.0
+
+
+def test_mask_bboxes():
+    from cpt_tpu.engine.windowed import mask_bboxes
+
+    m = np.zeros((2, 20, 30), np.uint8)
+    m[0, 5:10, 7:12] = 1
+    bb = mask_bboxes(m)
+    np.testing.assert_array_equal(bb[0, 0], [7, 5, 11, 9])
+    np.testing.assert_array_equal(bb[1, 0], [0, 0, 0, 0])  # empty
+
+
+def test_extractor_windowed_mask_tasks():
+    """Extractor(windowed=True, with_masks=True) on a VCR-style mask task
+    matches the exact extractor."""
+    rng = np.random.RandomState(2)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, ExtractTask
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[100.0, 100.0, 150.0, 150.0],
+                       [120.0, 110.0, 160.0, 140.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    masks = np.zeros((2, CANVAS, CANVAS), np.uint8)
+    masks[0, 118:134, 112:130] = 1
+    masks[1, 100:140, 120:160] = 1
+    mcolors = np.tile(np.asarray([0, 10, 255, 127], np.uint8), (2, 1))
+
+    def mk():
+        return ExtractTask(key="q0", image_rgb=image,
+                           image_hw=(CANVAS, CANVAS), det_boxes=dets,
+                           copy_masks=masks.copy(),
+                           copy_mask_colors=mcolors.copy())
+
+    exact = Extractor(model, params, cfg, copies_per_chunk=2,
+                      with_masks=True)
+    ef, el, es = exact.extract_task(mk())
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    with_masks=True, window=(192, 192), halo=48)
+    wf, wl, ws = wnd.extract_task(mk())
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
