@@ -158,3 +158,30 @@ def feature_drift(exact, approx) -> dict:
         "label_agreement": float((el == al).mean()),
         "score_max_abs": float(np.abs(es - asc).max()),
     }
+
+
+def make_sharded_windowed_fn(model: AttrRCNN, cfg: DetectorConfig, mesh,
+                             **kw):
+    """Multi-chip windowed extraction: copies (and their windows) shard
+    over the mesh's ``dp`` axis; base feature map and params replicate.
+    Same linear-scaling argument as ``make_sharded_extract_fn`` — no
+    collectives on the hot path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    base = make_windowed_extract_fn(model, cfg, **kw)
+    copy_sharded = NamedSharding(mesh, P("dp"))
+    replicated = NamedSharding(mesh, P())
+
+    def fn(params, image_u8, base_feat, origins, rects, rect_valid,
+           colors, copy_valid, dets, det_valid, hw, *margs):
+        shard = lambda x: jax.device_put(x, copy_sharded)
+        rep = lambda x: jax.device_put(x, replicated)
+        per_copy = jax.tree_util.tree_map(
+            shard, (origins, rects, rect_valid, colors, copy_valid) + margs)
+        params, image_u8, base_feat, dets, det_valid, hw = (
+            jax.tree_util.tree_map(
+                rep, (params, image_u8, base_feat, dets, det_valid, hw)))
+        return base(params, image_u8, base_feat, *per_copy[:5], dets,
+                    det_valid, hw, *per_copy[5:])
+
+    return fn

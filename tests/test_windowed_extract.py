@@ -216,3 +216,25 @@ def test_extractor_windowed_mask_tasks():
     wf, wl, ws = wnd.extract_task(mk())
     np.testing.assert_array_equal(wl, el)
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_windowed_matches_single_device():
+    from cpt_tpu.engine.windowed import make_sharded_windowed_fn
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, image, rects, args = _setup()
+    exact, fits = _windowed(cfg, model, params, image, rects, args,
+                            window=(192, 192), halo=48)
+    from cpt_tpu.engine.windowed import (make_base_features_fn,
+                                         window_origins)
+    origins, _ = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    base = make_base_features_fn(model, cfg)(params, image)
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    fn = make_sharded_windowed_fn(model, cfg, mesh, window=(192, 192),
+                                  halo=48)
+    out = fn(params, image, base, jnp.asarray(origins), args["rects"],
+             args["rv"], args["colors"], args["cv"], args["dets"],
+             args["dv"], args["hw"])
+    for s, d in zip(exact, out):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(d),
+                                   rtol=2e-3, atol=2e-3)
