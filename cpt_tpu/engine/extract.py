@@ -182,6 +182,16 @@ class Extractor:
             c = min(c, max(need, 1))
         return c
 
+    def det_bucket_for(self, n_dets: int) -> int:
+        """Static det-slot count for a task: smallest power of two ≥
+        n_dets (min 8), capped at max_force_boxes. Right-sizes the
+        stage-5 head (which runs on every slot) and the result download —
+        a 10-det RefCOCO task at 128 slots wastes 92%% of both."""
+        cap = self.cfg.max_force_boxes
+        n = max(min(n_dets, cap), 1)
+        b = 1 << max(n - 1, 0).bit_length()
+        return min(max(b, min(8, cap)), cap)
+
     def pick_bucket(self, h: int, w: int):
         """Smallest configured canvas bucket containing (h, w); each bucket
         shape is its own compiled specialization of the extract fn."""
@@ -196,7 +206,7 @@ class Extractor:
         if self.windowed and (task.copy_rects is not None
                               or task.copy_masks is not None):
             return self._extract_task_windowed(task)
-        m = self.cfg.max_force_boxes
+        m = self.det_bucket_for(len(task.det_boxes))
         dets, det_valid = pad_boxes(task.det_boxes, m)
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)
@@ -259,7 +269,7 @@ class Extractor:
         the task's cached base feature map; the rest run the full path."""
         from cpt_tpu.engine.windowed import window_origins
 
-        m = self.cfg.max_force_boxes
+        m = self.det_bucket_for(len(task.det_boxes))
         dets, det_valid = pad_boxes(task.det_boxes, m)
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)

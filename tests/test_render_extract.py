@@ -220,3 +220,18 @@ def test_grouped_run_matches_ungrouped(tmp_path, rng):
             __import__("base64").b64decode(ob[0][0][0]["feature"]),
             np.float32)
         np.testing.assert_allclose(fa0, fb0, rtol=2e-3, atol=2e-3)
+
+
+def test_det_bucketing_right_sizes_outputs():
+    from cpt_tpu.engine.extract import Extractor
+
+    ex = Extractor.__new__(Extractor)
+    from cpt_tpu.models.detector.config import VINVL_X152C4, tiny_detector_config
+    ex.cfg = VINVL_X152C4
+    assert ex.det_bucket_for(10) == 16
+    assert ex.det_bucket_for(3) == 8          # floor
+    assert ex.det_bucket_for(36) == 64
+    assert ex.det_bucket_for(200) == 128      # capped
+    ex.cfg = tiny_detector_config()           # max_force_boxes=8
+    assert ex.det_bucket_for(3) == 8
+    assert ex.det_bucket_for(20) == 8
