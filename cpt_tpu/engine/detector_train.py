@@ -116,3 +116,61 @@ def do_train(trainer_model, params, data_iter: Iterable, *,
     if checkpoint_dir:
         ckpt_lib.save_checkpoint(checkpoint_dir, "model_final", state)
     return state
+
+
+def make_detector_train_step_batched(trainer_model, tx, trainable: Any,
+                                     mesh=None):
+    """Image-batched (and optionally dp-sharded) detector train step: the
+    reference's multi-GPU ``IMS_PER_BATCH`` + DDP gradient averaging
+    becomes one jit over a batch with images sharded over the mesh's
+    ``dp`` axis (gradient psums inserted by XLA). Batch tuple leaves carry
+    a leading image axis; per-image RNGs are split inside."""
+
+    def loss_fn(params, batch, rng):
+        image, hw, gt_boxes, gt_labels, gt_valid, gt_attrs, anchors = batch
+        b = image.shape[0]
+        rngs = jax.random.split(rng, b)
+
+        def one(img, h, gb, gl, gv, ga, anc, r):
+            losses = trainer_model.apply(params, img, h, gb, gl, gv, ga,
+                                         anc, r)
+            return sum(losses.values()), losses
+
+        totals, losses = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None, 0)
+                                  )(image, hw, gt_boxes, gt_labels,
+                                    gt_valid, gt_attrs, anchors, rngs)
+        mean_losses = jax.tree_util.tree_map(lambda x: x.mean(), losses)
+        return totals.mean(), mean_losses
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        grads = jax.tree_util.tree_map(
+            lambda g, t: g if t else jnp.zeros_like(g), grads, trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), total, losses
+
+    if mesh is None:
+        return step
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def sharded_step(state, batch, rng):
+        image, hw, gt_boxes, gt_labels, gt_valid, gt_attrs, anchors = batch
+        per_image = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dp),
+            (image, hw, gt_boxes, gt_labels, gt_valid, gt_attrs))
+        anchors = jax.device_put(anchors, rep)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state)
+        return step(state, per_image + (anchors,),
+                    jax.device_put(rng, rep))
+
+    return sharded_step

@@ -190,3 +190,54 @@ def test_save_load_model_roundtrip(tmp_path):
                                   np.arange(6.0).reshape(2, 3))
     import os
     assert os.path.exists(tmp_path / "config.json")
+
+
+def test_batched_dp_sharded_train_step():
+    """Image-batched detector training sharded over a dp mesh: loss is
+    finite and params update; matches the unsharded batched step."""
+    from cpt_tpu.engine.detector_train import (
+        TrainState, build_detector_optimizer, freeze_mask,
+        make_detector_train_step_batched)
+    from cpt_tpu.engine.solver import SolverConfig
+    from cpt_tpu.models.detector.attr_rcnn import AttrRCNNTrainer
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.models.detector.rpn import grid_anchors
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_detector_config()
+    model = AttrRCNNTrainer(cfg)
+    rng = np.random.RandomState(0)
+    b, g = 4, 3
+    h = w = 64
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, 4, 4))
+    imgs = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    hws = jnp.tile(jnp.asarray([60, 60]), (b, 1))
+    gtb = jnp.asarray(np.sort(rng.uniform(0, 56, (b, g, 2, 2)), axis=2)
+                      .transpose(0, 1, 3, 2).reshape(b, g, 4)
+                      .astype(np.float32))
+    gtl = jnp.asarray(rng.randint(1, 6, (b, g)).astype(np.int32))
+    gtv = jnp.ones((b, g), bool)
+    gta = jnp.zeros((b, g, cfg.attributes.max_num_attr_per_obj), jnp.int32)
+    batch = (imgs, hws, gtb, gtl, gtv, gta, anchors)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[0], hws[0],
+                                 gtb[0], gtl[0], gtv[0], gta[0], anchors,
+                                 jax.random.PRNGKey(1))
+    solver = SolverConfig(base_lr=0.01, max_iter=4)
+    tx = build_detector_optimizer(params, solver)
+    trainable = freeze_mask(params, 2)
+
+    import copy
+
+    def fresh_state():
+        p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        return TrainState(p, tx.init(p), jnp.zeros((), jnp.int32))
+
+    plain = make_detector_train_step_batched(model, tx, trainable)
+    s1, t1, _ = plain(fresh_state(), batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(t1))
+
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    sharded = make_detector_train_step_batched(model, tx, trainable, mesh)
+    s2, t2, _ = sharded(fresh_state(), batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-4)
