@@ -178,3 +178,54 @@ def test_nms_pallas_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
     np.testing.assert_array_equal(np.asarray(i1)[np.asarray(k1)],
                                   np.asarray(i2)[np.asarray(k2)])
+
+
+def test_roi_align_fuzz_shapes():
+    """Random shapes/scales/sampling vs the scalar golden (20 draws)."""
+    from cpt_tpu.ops.roi_align import roi_align
+    from tests.golden_ops import roi_align_ref
+
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        h = int(rng.randint(6, 40))
+        w = int(rng.randint(6, 40))
+        c = int(rng.choice([1, 3, 8]))
+        n = int(rng.randint(1, 9))
+        pooled = int(rng.choice([2, 3, 7]))
+        sampling = int(rng.choice([0, 1, 2, 4]))
+        scale = float(rng.choice([1.0, 0.5, 1 / 16]))
+        feat = rng.randn(h, w, c).astype(np.float32)
+        span = min(h, w) / max(scale, 1e-6)
+        rois = np.sort(rng.uniform(0, span, (n, 2, 2)), axis=1)
+        rois = rois.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+        got = roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                        spatial_scale=scale, pooled=pooled,
+                        sampling=sampling)
+        want = roi_align_ref(feat, rois, scale, pooled, sampling)
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=2e-4, atol=2e-4,
+            err_msg=f"trial {trial}: h{h} w{w} c{c} n{n} p{pooled} "
+                    f"s{sampling} scale{scale}")
+
+
+def test_nms_fuzz():
+    """Random box soups vs the scalar greedy golden (30 draws, both IoU
+    conventions)."""
+    from cpt_tpu.ops.nms import nms_padded
+    from tests.golden_ops import nms_ref
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        n = int(rng.randint(1, 40))
+        boxes = np.sort(rng.uniform(0, 80, (n, 2, 2)), axis=1)
+        boxes = boxes.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        thresh = float(rng.choice([0.3, 0.5, 0.7]))
+        offset = float(rng.choice([0.0, 1.0]))
+        want = nms_ref(boxes, scores, thresh, offset=offset)
+        idx, keep = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.ones((n,), bool), thresh, max_out=n,
+                               iou_offset=offset)
+        got = [int(i) for i, k in zip(np.asarray(idx), np.asarray(keep))
+               if k]
+        assert got == want, f"trial {trial}: {got} != {want}"
