@@ -117,3 +117,25 @@ def test_pad_boxes():
     )
     assert xyxy.shape == (5, 4) and mask.tolist() == [True, True, False, False, False]
     assert extra["score"].shape == (5,) and extra["score"][1] == 0.25
+
+
+def test_box_codec_roundtrip_fuzz():
+    """decode(encode(gt, ref), ref) == gt across random boxes (the +1
+    width convention must cancel exactly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpt_tpu.structures.boxes import decode_boxes, encode_boxes
+
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        n = int(rng.randint(1, 20))
+        gt = np.sort(rng.uniform(0, 500, (n, 2, 2)), axis=1)
+        gt = gt.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+        ref = np.sort(rng.uniform(0, 500, (n, 2, 2)), axis=1)
+        ref = ref.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+        w = (10.0, 10.0, 5.0, 5.0)
+        deltas = encode_boxes(jnp.asarray(gt), jnp.asarray(ref), w)
+        back = decode_boxes(deltas, jnp.asarray(ref), w)
+        np.testing.assert_allclose(np.asarray(back), gt, rtol=1e-3,
+                                   atol=1e-2)
