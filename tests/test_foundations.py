@@ -130,10 +130,18 @@ def test_box_codec_roundtrip_fuzz():
     rng = np.random.RandomState(11)
     for _ in range(10):
         n = int(rng.randint(1, 20))
-        gt = np.sort(rng.uniform(0, 500, (n, 2, 2)), axis=1)
-        gt = gt.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
-        ref = np.sort(rng.uniform(0, 500, (n, 2, 2)), axis=1)
-        ref = ref.transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+
+        def boxes(k):
+            p = rng.uniform(0, 500, (k, 4))
+            return np.stack(
+                [np.minimum(p[:, 0], p[:, 2]),
+                 np.minimum(p[:, 1], p[:, 3]),
+                 np.maximum(p[:, 0], p[:, 2]) + 1.0,
+                 np.maximum(p[:, 1], p[:, 3]) + 1.0],
+                -1).astype(np.float32)
+
+        gt = boxes(n)
+        ref = boxes(n)
         w = (10.0, 10.0, 5.0, 5.0)
         deltas = encode_boxes(jnp.asarray(gt), jnp.asarray(ref), w)
         back = decode_boxes(deltas, jnp.asarray(ref), w)
