@@ -48,6 +48,9 @@ def build_args():
     p.add_argument("--txt_seq_len", type=int, default=70)
     p.add_argument("--img_seq_len", type=int, default=50)
     p.add_argument("--per_gpu_eval_batch_size", type=int, default=128)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard eval batches over a dp mesh of this many "
+                        "chips (batch size must divide)")
     p.add_argument("--per_gpu_train_batch_size", type=int, default=32)
     p.add_argument("--num_train_epochs", type=int, default=20)
     p.add_argument("--learning_rate", type=float, default=2.5e-5)
@@ -148,8 +151,14 @@ def main(argv=None):
         params = state.params
 
     t0 = time.time()
+    mesh = None
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
     acc, preds = refcoco_evaluate(model, params, data, tokenizer,
-                                  batch_size=args.per_gpu_eval_batch_size)
+                                  batch_size=args.per_gpu_eval_batch_size,
+                                  mesh=mesh)
     dt = time.time() - t0
     n_seq = sum(len(data.example(i).seqs) for i in range(min(len(data), 1)))
     print(f"miou: {acc:.2f}")

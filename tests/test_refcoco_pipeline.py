@@ -147,3 +147,21 @@ def test_lr_schedule_reference_shape():
     assert abs(float(sched(10)) - 1.0) < 1e-6
     assert abs(float(sched(60)) - 0.5) < 1e-6
     assert float(sched(200)) == pytest.approx(1e-8)
+
+
+def test_refcoco_cli_dp_mesh(tmp_path):
+    """--dp shards zero-shot eval over a CPU mesh; accuracy matches dp=1."""
+    from cpt_tpu.data.synthetic import generate_refcoco_fixture
+    from cpt_tpu.tools.refcoco_cpt import main
+
+    paths = generate_refcoco_fixture(str(tmp_path), n_queries=4,
+                                     feat_dim=134)
+    common = ["--data_file", paths["data_file"],
+              "--ann_file", paths["ann_file"],
+              "--det_file", paths["det_file"],
+              "--img_feature_dim", "134", "--hidden_size", "64",
+              "--num_hidden_layers", "1",
+              "--per_gpu_eval_batch_size", "8"]
+    a1 = main(common)
+    a2 = main(common + ["--dp", "4"])
+    assert a1 == a2
