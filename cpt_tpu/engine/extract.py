@@ -134,7 +134,8 @@ class Extractor:
                  inclusive_paint: bool = False,
                  with_masks: bool = False,
                  windowed: bool = False,
-                 window: tuple = (384, 512), halo: int = 96):
+                 window: tuple = (384, 512), halo: int = 96,
+                 mesh=None):
         """``copies_per_chunk=None`` → auto: the largest power-of-two chunk
         whose canvas pixels fit the measured HBM budget per bucket.
         ``windowed=True`` enables windowed-recompute reuse
@@ -147,8 +148,15 @@ class Extractor:
         self.labelmap = labelmap or {}
         self.chunk = copies_per_chunk
         self.with_masks = with_masks
-        self.fn = make_extract_fn(model, cfg, inclusive_paint=inclusive_paint,
-                                  with_masks=with_masks)
+        self.mesh = mesh
+        if mesh is not None:
+            self.fn = make_sharded_extract_fn(
+                model, cfg, mesh, inclusive_paint=inclusive_paint,
+                with_masks=with_masks)
+        else:
+            self.fn = make_extract_fn(model, cfg,
+                                      inclusive_paint=inclusive_paint,
+                                      with_masks=with_masks)
         self.windowed = windowed
         if windowed:
             from cpt_tpu.engine.windowed import (make_base_features_fn,
@@ -180,6 +188,8 @@ class Extractor:
         if remaining is not None and remaining > 0:
             need = 1 << max(remaining - 1, 0).bit_length()  # next pow2 ≥ n
             c = min(c, max(need, 1))
+        if self.mesh is not None:
+            c = max(c, self.mesh.shape["dp"])   # shardable over dp
         return c
 
     def det_bucket_for(self, n_dets: int) -> int:

@@ -62,6 +62,9 @@ def build_args():
     p.add_argument("--rand_seed", type=int, default=None)
     p.add_argument("--copies_per_chunk", type=int, default=None,
                    help="fixed chunk size; default auto (HBM-budget power of two)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each chunk's copies over a dp mesh of this "
+                        "many chips")
     p.add_argument("--windowed", action="store_true",
                    help="windowed-recompute reuse (~1.7x; approximate for "
                         "deep backbones — see PERF.md)")
@@ -153,9 +156,14 @@ def main(argv=None):
         src = lm.get("idx_to_label", lm)
         labelmap = {int(k): v for k, v in src.items()}
 
+    mesh = None
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
-                          windowed=args.windowed)
+                          windowed=args.windowed, mesh=mesh)
 
     from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
                                            plain_task, vcr_color_task,

@@ -206,3 +206,35 @@ def test_sharded_extraction_over_dp_mesh():
     for s, d in zip(single, sharded):
         np.testing.assert_allclose(np.asarray(s), np.asarray(d),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_extractor_with_mesh_matches_plain():
+    import numpy as np
+
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+    from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    h = w = cfg.input.buckets[0][0]
+    rng = np.random.RandomState(3)
+    image = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dets = np.asarray([[4.0, 4.0, 24.0, 24.0], [30.0, 8.0, 50.0, 30.0]],
+                      np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((h, w, 3)), jnp.asarray([h, w]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q", image, (h, w), dets, "cap")
+
+    plain = Extractor(model, params, cfg, copies_per_chunk=2)
+    pf, pl, ps = plain.extract_task(mk())
+    mesh = make_mesh(dp=2, devices=jax.devices()[:2])
+    sharded = Extractor(model, params, cfg, copies_per_chunk=2, mesh=mesh)
+    sf, sl, ss = sharded.extract_task(mk())
+    np.testing.assert_array_equal(pl, sl)
+    np.testing.assert_allclose(pf, sf, rtol=2e-3, atol=2e-3)

@@ -157,6 +157,7 @@ def test_auto_chunking_by_canvas():
 
     ex = Extractor.__new__(Extractor)           # chunk_for needs no model
     ex.chunk = None
+    ex.mesh = None
     assert ex.chunk_for(640, 1024) == 64
     assert ex.chunk_for(1024, 1024) == 32
     assert ex.chunk_for(2048, 2048) == 8
@@ -170,6 +171,7 @@ def test_auto_chunking_adapts_to_remaining_copies():
 
     ex = Extractor.__new__(Extractor)
     ex.chunk = None
+    ex.mesh = None
     # a 10-copy RefCOCO task at 640x1024: 16-slot chunk, not 64
     assert ex.chunk_for(640, 1024, remaining=10) == 16
     assert ex.chunk_for(640, 1024, remaining=80) == 64   # capped by budget
