@@ -216,3 +216,77 @@ def balanced_pair_sample(pair_labels: Array, rng: Array, batch_size: int,
     num_neg = jnp.minimum(jnp.sum(neg), batch_size - num_pos)
     neg_mask = pick(neg, num_neg, k_neg)
     return pos_mask | neg_mask
+
+
+def _grouped_margin_loss(affinity: Array, group_ids: Array, pos: Array,
+                         neg: Array, num_groups: int, margin: float
+                         ) -> Array:
+    """RelDN contrastive core (``relation_head/loss.py:529-552``): per
+    group, rank the MIN positive affinity above the MAX negative affinity
+    with a margin; mean over groups that have both (+1 dummy zero-loss
+    element, matching the reference's seeded batch)."""
+    import jax
+
+    inf = jnp.inf
+    pos_min = jax.ops.segment_min(jnp.where(pos, affinity, inf), group_ids,
+                                  num_segments=num_groups)
+    neg_max = jax.ops.segment_max(jnp.where(neg, affinity, -inf), group_ids,
+                                  num_segments=num_groups)
+    has_pos = jax.ops.segment_max(pos.astype(jnp.float32), group_ids,
+                                  num_segments=num_groups) > 0
+    has_neg = jax.ops.segment_max(neg.astype(jnp.float32), group_ids,
+                                  num_segments=num_groups) > 0
+    ok = has_pos & has_neg
+    per = jnp.maximum(margin - (pos_min - neg_max), 0.0)
+    return jnp.where(ok, per, 0.0).sum() / (ok.sum() + 1)
+
+
+def reldn_contrastive_losses(rel_logits: Array, pairs: Array,
+                             pair_labels: Array, pair_valid: Array,
+                             det_labels: Array, num_objs: int, *,
+                             num_obj_classes: int, num_rel_classes: int,
+                             margin: float = 0.2,
+                             so_margin: float = 0.2,
+                             p_margin: float = 0.2) -> dict:
+    """RelDN graphical contrastive losses
+    (``relation_head/loss.py:398-527``, VRD configs `CONTRASTIVE_LOSS
+    USE_FLAG True`): for anchor groups of pairs sharing a subject (resp.
+    object) detection, rank true-relation affinity (1 − p(no-relation))
+    above non-relation affinity.
+
+      * node: groups = anchor detection alone
+      * SO-aware: groups further split by the OTHER endpoint's class
+      * P-aware: groups split by the positives' gt predicate; affinity for
+        that predicate's probability
+
+    pair_labels [P] int (0 = no relation, ≥1 = gt predicate; −1 ignored).
+    """
+    import jax
+
+    probs = jax.nn.softmax(rel_logits.astype(jnp.float32), axis=-1)
+    affinity = 1.0 - probs[:, 0]
+    valid = pair_valid & (pair_labels >= 0)
+    pos = valid & (pair_labels >= 1)
+    neg = valid & (pair_labels == 0)
+
+    out = {}
+    for name, anchor, other in (("sbj", pairs[:, 0], pairs[:, 1]),
+                                ("obj", pairs[:, 1], pairs[:, 0])):
+        out[f"loss_contrastive_{name}"] = _grouped_margin_loss(
+            affinity, anchor, pos, neg, num_objs, margin)
+        # SO-aware: split anchor groups by the other endpoint's class
+        so_ids = anchor * num_obj_classes + jnp.clip(
+            det_labels[other], 0, num_obj_classes - 1)
+        out[f"loss_so_contrastive_{name}"] = _grouped_margin_loss(
+            affinity, so_ids, pos, neg, num_objs * num_obj_classes,
+            so_margin)
+        # P-aware: positives grouped by gt predicate, negatives by the
+        # DETECTED predicate (loss.py:628,645); affinity unchanged
+        det_prd = jnp.argmax(probs[:, 1:], axis=-1) + 1
+        prd_of_pair = jnp.where(pos, pair_labels, det_prd)
+        p_ids = anchor * num_rel_classes + jnp.clip(
+            prd_of_pair, 0, num_rel_classes - 1)
+        out[f"loss_p_contrastive_{name}"] = _grouped_margin_loss(
+            affinity, p_ids, pos, neg, num_objs * num_rel_classes,
+            p_margin)
+    return out

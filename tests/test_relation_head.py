@@ -170,3 +170,44 @@ def test_balanced_pair_sample():
     assert keep.sum() <= 6
     # all positives kept when under the cap
     assert (kept >= 1).sum() == 2
+
+
+def test_reldn_contrastive_losses():
+    from cpt_tpu.models.detector.relation_head import (
+        _grouped_margin_loss, reldn_contrastive_losses)
+
+    # hand-computed group case: anchor 0 has pos affinity .9 / neg .3
+    # -> loss max(0, .2 - (.9 - .3)) = 0; anchor 1 pos .4 / neg .5 ->
+    # max(0, .2 - (-.1)) = .3; mean over (2 valid groups + dummy) = .1
+    aff = jnp.asarray([0.9, 0.3, 0.4, 0.5])
+    gid = jnp.asarray([0, 0, 1, 1])
+    pos = jnp.asarray([True, False, True, False])
+    neg = jnp.asarray([False, True, False, True])
+    loss = _grouped_margin_loss(aff, gid, pos, neg, 2, 0.2)
+    assert float(loss) == pytest.approx(0.3 / 3, abs=1e-6)
+
+    # full API: shapes + finiteness + all six losses present
+    rng = np.random.RandomState(0)
+    n, p, r, c = 6, 12, 5, 7
+    logits = jnp.asarray(rng.randn(p, r).astype(np.float32))
+    pairs = jnp.asarray(rng.randint(0, n, (p, 2)).astype(np.int32))
+    labels = jnp.asarray(rng.randint(0, r, (p,)).astype(np.int32))
+    det_labels = jnp.asarray(rng.randint(1, c, (n,)).astype(np.int32))
+    out = reldn_contrastive_losses(logits, pairs, labels,
+                                   jnp.ones((p,), bool), det_labels, n,
+                                   num_obj_classes=c, num_rel_classes=r)
+    assert set(out) == {
+        "loss_contrastive_sbj", "loss_contrastive_obj",
+        "loss_so_contrastive_sbj", "loss_so_contrastive_obj",
+        "loss_p_contrastive_sbj", "loss_p_contrastive_obj"}
+    assert all(np.isfinite(float(v)) and float(v) >= 0
+               for v in out.values())
+
+    # gradient flows
+    def f(lg):
+        return sum(reldn_contrastive_losses(
+            lg, pairs, labels, jnp.ones((p,), bool), det_labels, n,
+            num_obj_classes=c, num_rel_classes=r).values())
+
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
