@@ -292,3 +292,18 @@ def relpn_select_pairs(relness: Array, obj_valid: Array, top_k: int
     scores, idx = jax.lax.top_k(flat, k)
     pairs = jnp.stack([idx // n, idx % n], -1)
     return pairs, scores, scores >= 0.0
+
+
+def relpn_loss(relness: Array, gt_adjacency: Array, obj_valid: Array
+               ) -> Array:
+    """RelPN training loss (``relpn/relpn.py:147-160``): BCE between the
+    [N, N] relationshipness matrix and the gt pair adjacency (1 where a
+    gt relation connects the two detections). Diagonal and invalid slots
+    are masked out."""
+    n = relness.shape[0]
+    ov = obj_valid
+    ok = ov[:, None] & ov[None, :] & ~jnp.eye(n, dtype=bool)
+    r = jnp.clip(relness.astype(jnp.float32), 1e-7, 1 - 1e-7)
+    y = gt_adjacency.astype(jnp.float32)
+    bce = -(y * jnp.log(r) + (1 - y) * jnp.log(1 - r))
+    return jnp.where(ok, bce, 0.0).sum() / jnp.maximum(ok.sum(), 1)

@@ -163,3 +163,21 @@ def test_scene_parser_algorithm_switch(algo):
     out = sp.apply(params, img, hw, anchors)
     assert out["rel_logits"].shape == (12, 5)        # 4*3 ordered pairs
     assert np.isfinite(np.asarray(out["rel_logits"])).all()
+
+
+def test_relpn_loss():
+    from cpt_tpu.models.detector.relation_variants import relpn_loss
+
+    n = 4
+    relness = jnp.full((n, n), 0.5)
+    adj = jnp.zeros((n, n)).at[0, 1].set(1.0)
+    ov = jnp.asarray([True, True, True, False])
+    loss = relpn_loss(relness, adj, ov)
+    # all off-diagonal valid cells have BCE(-log 0.5); uniform prediction
+    assert float(loss) == pytest.approx(float(np.log(2.0)), abs=1e-5)
+    # perfect prediction -> ~0
+    perfect = jnp.where(adj > 0, 1 - 1e-7, 1e-7)
+    assert float(relpn_loss(perfect, adj, ov)) < 1e-5
+    # gradients finite
+    g = jax.grad(lambda r: relpn_loss(r, adj, ov))(relness)
+    assert np.isfinite(np.asarray(g)).all()
