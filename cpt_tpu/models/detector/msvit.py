@@ -60,14 +60,34 @@ def sliding_chunk_attention_2d(q: Array, k: Array, v: Array,
     return _local_with_globals(q, k, v, empty, empty, ny, nx, w)
 
 
+def relative_position_index(w: int) -> np.ndarray:
+    """[w², 9w²] index into the (4w−1)² bias table, for the 3×3 chunk
+    neighborhood in (dy, dx) raster order (``longformer2d.py:68-101``)."""
+    coords = np.stack(np.meshgrid(np.arange(-w, 2 * w),
+                                  np.arange(-w, 2 * w), indexing="ij"))
+    # [2, 3, 3, w*w] chunk-unfolded (x-major within chunk, like rearrange)
+    cu = coords.reshape(2, 3, w, 3, w).transpose(0, 1, 3, 2, 4).reshape(
+        2, 3, 3, w * w)
+    q = cu[:, 1, 1, :]                                    # [2, w²]
+    rel = np.concatenate([
+        q[:, :, None] - cu[:, i, j, :][:, None, :]
+        for i in (0, 1, 2) for j in (0, 1, 2)
+    ], axis=-1)                                           # [2, w², 9w²]
+    rel = rel.transpose(1, 2, 0) + (2 * w - 1)
+    return (rel[..., 0] * (4 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
 class Long2DSCAttention(nn.Module):
     """Sliding-chunk attention + global tokens (``longformer2d.py``).
-    Input [B, nglo + ny*nx, D]; globals first (``msvit.py`` layout)."""
+    Input [B, nglo + ny*nx, D]; globals first (``msvit.py`` layout).
+    ``rpe`` adds the Swin-style relative position biases (local table
+    (4w−1)² per head, g2l/g2g tables)."""
 
     dim: int
     num_heads: int
     window: int = 7
     nglo: int = 1
+    rpe: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,6 +96,27 @@ class Long2DSCAttention(nn.Module):
         h, hd = self.num_heads, self.dim // self.num_heads
         scale = hd ** -0.5
         g = self.nglo
+        w = self.window
+
+        local_bias = None
+        l2g_bias = None
+        g_bias = None
+        if self.rpe:
+            table = self.param("local_relative_position_bias_table",
+                               nn.initializers.normal(0.02),
+                               ((4 * w - 1) ** 2, h))
+            idx = relative_position_index(w)
+            local_bias = table[idx.reshape(-1)].reshape(
+                w * w, 9 * w * w, h).transpose(2, 0, 1)    # [H, w², 9w²]
+            if g >= 1:
+                g2l = self.param("g2l_relative_position_bias",
+                                 nn.initializers.normal(0.02), (2, h, g))
+                g2g = self.param("g2g_relative_position_bias",
+                                 nn.initializers.normal(0.02), (h, g, g))
+                l2g_bias = g2l[1].T                        # [g, H] -> l→g
+                g_bias = jnp.concatenate(
+                    [g2g, jnp.broadcast_to(g2l[0][:, :, None],
+                                           (h, g, ny * nx))], axis=-1)
 
         def heads(t):
             return t.reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
@@ -91,7 +132,9 @@ class Long2DSCAttention(nn.Module):
             # one exact softmax per local query over its 3×3 chunk
             # neighborhood ∪ the global keys
             local = _local_with_globals(lq, lk, lv, k[:, :, :g],
-                                        v[:, :, :g], ny, nx, self.window)
+                                        v[:, :, :g], ny, nx, self.window,
+                                        local_bias=local_bias,
+                                        l2g_bias=l2g_bias)
 
             # global queries attend to everything (separate projections,
             # sharew=False default)
@@ -102,13 +145,17 @@ class Long2DSCAttention(nn.Module):
             kg = heads(kvg[..., :self.dim])
             vg = heads(kvg[..., self.dim:])
             glogits = jnp.einsum("bhqd,bhkd->bhqk", qg, kg)
+            if g_bias is not None:
+                glogits = glogits + g_bias[None].astype(glogits.dtype)
             gprobs = jax.nn.softmax(glogits.astype(jnp.float32), -1).astype(
                 x.dtype)
             gout = jnp.einsum("bhqk,bhkd->bhqd", gprobs, vg)
             out = jnp.concatenate([gout, local], axis=2)
         else:
-            out = sliding_chunk_attention_2d(lq, lk, lv, ny, nx,
-                                             self.window)
+            b0, h0 = lq.shape[0], lq.shape[1]
+            empty = jnp.zeros((b0, h0, 0, hd), lq.dtype)
+            out = _local_with_globals(lq, lk, lv, empty, empty, ny, nx,
+                                      self.window, local_bias=local_bias)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         glob = nn.Dense(self.dim, name="proj_global", dtype=self.dtype)(
@@ -118,9 +165,12 @@ class Long2DSCAttention(nn.Module):
 
 
 def _local_with_globals(q: Array, k: Array, v: Array, kg: Array, vg: Array,
-                        ny: int, nx: int, w: int) -> Array:
+                        ny: int, nx: int, w: int,
+                        local_bias: Optional[Array] = None,
+                        l2g_bias: Optional[Array] = None) -> Array:
     """Sliding-chunk attention where every local query additionally sees
     the global keys/values (one exact softmax over neighborhood ∪ globals).
+    ``local_bias`` [H, w², 9w²] / ``l2g_bias`` [g, H] are the rpe terms.
     """
     b, h, _, hd = q.shape
     g = kg.shape[2]
@@ -158,6 +208,17 @@ def _local_with_globals(q: Array, k: Array, v: Array, kg: Array, vg: Array,
         [vmask, jnp.ones((b, h, cy, cx, g), q.dtype)], axis=4)
 
     logits = jnp.einsum("bhyxqd,bhyxkd->bhyxqk", qc, kn)
+    if local_bias is not None:
+        bias = local_bias
+        if l2g_bias is not None and g > 0:
+            l2g = jnp.broadcast_to(l2g_bias.T[:, None, :],
+                                   (bias.shape[0], bias.shape[1], g))
+            bias = jnp.concatenate([bias, l2g], axis=-1)
+        elif g > 0:
+            bias = jnp.concatenate(
+                [bias, jnp.zeros((bias.shape[0], bias.shape[1], g),
+                                 bias.dtype)], axis=-1)
+        logits = logits + bias[None, :, None, None].astype(logits.dtype)
     logits = jnp.where(vmask[:, :, :, :, None, :] > 0, logits, NEG)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
     out = jnp.einsum("bhyxqk,bhyxkd->bhyxqd", probs, vn)

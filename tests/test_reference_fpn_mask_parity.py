@@ -133,3 +133,55 @@ def test_long2dsc_attention_matches_reference():
     mine = Long2DSCAttention(dim=dim, num_heads=heads, window=w, nglo=nglo)
     got = mine.apply(params, jnp.asarray(x), rows, cols)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_long2dsc_attention_rpe_matches_reference():
+    """rpe=True: Swin-style local/g2l/g2g relative position biases."""
+    install()
+    sys = __import__("sys")
+    if "/root/reference/prompt_feat" not in sys.path:
+        sys.path.insert(0, "/root/reference/prompt_feat")
+    from maskrcnn_benchmark.modeling.backbone.longformer2d import (
+        Long2DSCSelfAttention)
+
+    from cpt_tpu.models.detector.msvit import Long2DSCAttention
+
+    dim, heads, w, nglo = 16, 2, 2, 1
+    rows, cols = 4, 6
+    torch.manual_seed(1)
+    ref = Long2DSCSelfAttention(dim, num_heads=heads, qkv_bias=True, w=w,
+                                nglo=nglo, exact=0, mode=0, rpe=True,
+                                autograd=True).eval()
+    with torch.no_grad():
+        # non-zero biases to actually test the terms
+        for p in (ref.local_relative_position_bias_table,
+                  ref.g2l_relative_position_bias,
+                  ref.g2g_relative_position_bias):
+            p.copy_(torch.randn_like(p))
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, nglo + rows * cols, dim).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), nx=rows, ny=cols).numpy()
+
+    def dense(mod):
+        return {"kernel": jnp.asarray(mod.weight.detach().numpy().T),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    params = {"params": {
+        "query": dense(ref.query), "kv": dense(ref.kv),
+        "proj": dense(ref.proj),
+        "query_global": dense(ref.query_global),
+        "kv_global": dense(ref.kv_global),
+        "proj_global": dense(ref.proj_global),
+        "local_relative_position_bias_table": jnp.asarray(
+            ref.local_relative_position_bias_table.detach().numpy()),
+        "g2l_relative_position_bias": jnp.asarray(
+            ref.g2l_relative_position_bias.detach().numpy()),
+        "g2g_relative_position_bias": jnp.asarray(
+            ref.g2g_relative_position_bias.detach().numpy()),
+    }}
+    mine = Long2DSCAttention(dim=dim, num_heads=heads, window=w,
+                             nglo=nglo, rpe=True)
+    got = mine.apply(params, jnp.asarray(x), rows, cols)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
