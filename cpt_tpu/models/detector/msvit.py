@@ -252,13 +252,15 @@ class _Block(nn.Module):
     sparse: bool
     window: int
     nglo: int
+    rpe: bool = False
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, ny: int, nx: int) -> Array:
         attn = (Long2DSCAttention(self.dim, self.num_heads, self.window,
-                                  self.nglo, self.dtype, name="attn")
+                                  self.nglo, rpe=self.rpe,
+                                  dtype=self.dtype, name="attn")
                 if self.sparse else
                 _FullAttention(self.dim, self.num_heads, self.dtype,
                                name="attn"))
@@ -278,6 +280,7 @@ class MsViT(nn.Module):
 
     arch: str = "l1,h3,d96,n1,s1,g1,p4,f7,a0_l2,h3,d192,n2,s1,g1,p2,f7,a0"
     window: int = 7
+    rpe: bool = False      # Swin-style biases on the sparse-attention blocks
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -302,7 +305,7 @@ class MsViT(nn.Module):
                     [jnp.broadcast_to(glo, (b, g, d)), tokens], axis=1)
             for blk in range(cfg["n"]):
                 tokens = _Block(d, cfg["h"], sparse=cfg["s"] == 1,
-                                window=self.window, nglo=g,
+                                window=self.window, nglo=g, rpe=self.rpe,
                                 dtype=self.dtype,
                                 name=f"layer{i + 1}_block{blk}")(
                     tokens, hgt, wid)

@@ -88,3 +88,16 @@ def test_msvit_global_token_sees_everything():
     pert = np.asarray(model.apply(params, x2)[0])
     # far-away output location (0, 0) changed via the global token
     assert np.abs(pert[0, 0, 0] - base[0, 0, 0]).max() > 1e-6
+
+
+def test_msvit_rpe_backbone():
+    model = MsViT(arch="l1,h2,d16,n1,s1,g1,p4,f4,a0", window=4, rpe=True)
+    x = jnp.ones((1, 16, 16, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_leaves(
+        params["params"]["layer1_block0"]["attn"])
+    # rpe tables present and used
+    assert "local_relative_position_bias_table" in \
+        params["params"]["layer1_block0"]["attn"]
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out[0])).all()
