@@ -156,3 +156,21 @@ def test_explore_cli_template_sweep(tmp_path, capsys):
     assert all(0.0 <= v <= 100.0 for v in results.values())
     assert "best:" in capsys.readouterr().out
     assert json.load(open(tmp_path / "sweep.json")) == results
+
+
+def test_explore_cli_color_sweep(tmp_path):
+    """explore.py colors mode: one predictions.tsv per color."""
+    from cpt_tpu.data.synthetic import generate_refcoco_fixture
+    from cpt_tpu.tools.explore import main
+
+    p1 = generate_refcoco_fixture(str(tmp_path / "red"), n_queries=2,
+                                  feat_dim=134)
+    p2 = generate_refcoco_fixture(str(tmp_path / "blue"), n_queries=2,
+                                  feat_dim=134, seed=1)
+    json.dump({"red": p1["data_file"], "blue": p2["data_file"]},
+              open(tmp_path / "colors.json", "w"))
+    results = main(["--synthetic", "--mode", "colors",
+                    "--color_data", str(tmp_path / "colors.json"),
+                    "--ann_file", p1["ann_file"],
+                    "--det_file", p1["det_file"]])
+    assert set(results) == {"red", "blue"}
