@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import time
 from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
@@ -33,6 +34,8 @@ from cpt_tpu.models.detector.config import DetectorConfig
 from cpt_tpu.ops.render import paste_mask, paste_rects, to_detector_input
 from cpt_tpu.structures.boxes import pad_boxes
 from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -135,13 +138,18 @@ class Extractor:
                  with_masks: bool = False,
                  windowed: bool = False,
                  window: tuple = (384, 512), halo: int = 96,
+                 allow_approximate: bool = False,
                  mesh=None):
         """``copies_per_chunk=None`` → auto: the largest power-of-two chunk
         whose canvas pixels fit the measured HBM budget per bucket.
         ``windowed=True`` enables windowed-recompute reuse
-        (``engine/windowed.py`` — ~1.7×; approximate for deep backbones,
-        see PERF.md) for rect-painted copies whose rect fits the window;
-        others fall back to the exact full path."""
+        (``engine/windowed.py`` — ~1.7×; see PERF.md) for rect-painted
+        copies whose rect fits the window; others fall back to the exact
+        full path. Safety rail: windowed features are exact only when
+        ``halo >= backbone_receptive_field(cfg)``; when they would be
+        approximate the Extractor falls back to the exact path unless
+        ``allow_approximate=True``, in which case it proceeds and
+        auto-measures ``feature_drift`` on the first windowed task."""
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -158,10 +166,32 @@ class Extractor:
                                       inclusive_paint=inclusive_paint,
                                       with_masks=with_masks)
         self.windowed = windowed
+        self._windowed_approx = False
+        self._drift_logged = False
         if windowed:
-            from cpt_tpu.engine.windowed import (make_base_features_fn,
+            from cpt_tpu.engine.windowed import (backbone_receptive_field,
+                                                 make_base_features_fn,
                                                  make_windowed_extract_fn)
 
+            rf = backbone_receptive_field(cfg)
+            if halo < rf:
+                if allow_approximate:
+                    self._windowed_approx = True
+                    logger.warning(
+                        "windowed extraction is APPROXIMATE for this "
+                        "backbone (halo %d < receptive-field radius %d px); "
+                        "proceeding per allow_approximate=True — "
+                        "feature_drift will be measured on the first task",
+                        halo, rf)
+                else:
+                    logger.warning(
+                        "windowed extraction disabled: halo %d < backbone "
+                        "receptive-field radius %d px, so features would "
+                        "be approximate. Falling back to the exact "
+                        "full-canvas path (pass allow_approximate=True to "
+                        "override).", halo, rf)
+                    self.windowed = windowed = False
+        if windowed:
             self.window, self.halo = window, halo
             self.base_fn = make_base_features_fn(model, cfg)
             self.wfn = make_windowed_extract_fn(
@@ -278,6 +308,25 @@ class Extractor:
         """Windowed-recompute path: copies whose rect fits the window reuse
         the task's cached base feature map; the rest run the full path."""
         from cpt_tpu.engine.windowed import window_origins
+
+        if self._windowed_approx and not self._drift_logged:
+            # Auto drift harness: on the first windowed task of an
+            # approximate run, also compute the exact features and log the
+            # measured drift so the approximation is never silent.
+            self._drift_logged = True
+            from cpt_tpu.engine.windowed import feature_drift
+
+            approx = self._extract_task_windowed(task)
+            self.windowed = False
+            try:
+                exact = self.extract_task(task)
+            finally:
+                self.windowed = True
+            drift = feature_drift(exact, approx)
+            logger.warning("windowed feature_drift (first task, vs exact): "
+                           "%s", drift)
+            self.last_drift = drift
+            return approx
 
         m = self.det_bucket_for(len(task.det_boxes))
         dets, det_valid = pad_boxes(task.det_boxes, m)

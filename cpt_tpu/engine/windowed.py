@@ -34,6 +34,33 @@ Array = jax.Array
 STRIDE = 16
 
 
+def backbone_receptive_field(cfg: DetectorConfig) -> int:
+    """Receptive-field RADIUS (input pixels) of the C4 body.
+
+    Computed from the configured architecture (stem 7×7/s2 + 3×3/s2 maxpool,
+    then one 3×3 conv per bottleneck; first block of each stage after the
+    first is stride 2, carried by the 1×1 or the 3×3 per ``stride_in_1x1``).
+    A painted pixel can influence C4 features up to this radius away, so the
+    windowed paste is exact iff ``halo >= backbone_receptive_field(cfg)``.
+    Tiny test config → 21 px (< default halo 96: exact); X152-C4 → 645 px
+    (windowed is an approximation at any practical halo).
+    """
+    b = cfg.backbone
+    radius, jump = 0, 1
+    radius += 3 * jump; jump *= 2      # stem conv 7×7 stride 2
+    radius += 1 * jump; jump *= 2      # stem maxpool 3×3 stride 2
+    for i, blocks in enumerate(b.stage_blocks):
+        for j in range(blocks):
+            s = 2 if (i > 0 and j == 0) else 1
+            if b.stride_in_1x1:
+                jump *= s              # leading 1×1 takes the stride
+                radius += jump         # then the 3×3 conv
+            else:
+                radius += jump         # 3×3 conv carries the stride
+                jump *= s
+    return radius
+
+
 def window_origins(rects: np.ndarray, window: Tuple[int, int],
                    canvas_hw: Tuple[int, int], halo: int
                    ) -> Tuple[np.ndarray, np.ndarray]:

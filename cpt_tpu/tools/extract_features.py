@@ -66,8 +66,14 @@ def build_args():
                    help="shard each chunk's copies over a dp mesh of this "
                         "many chips")
     p.add_argument("--windowed", action="store_true",
-                   help="windowed-recompute reuse (~1.7x; approximate for "
-                        "deep backbones — see PERF.md)")
+                   help="windowed-recompute reuse (~1.7x). Exact only when "
+                        "halo >= backbone receptive field; otherwise falls "
+                        "back to the exact path unless --allow-approximate")
+    p.add_argument("--allow-approximate", action="store_true",
+                   dest="allow_approximate",
+                   help="keep --windowed even when halo < backbone RF "
+                        "(approximate features; drift auto-measured and "
+                        "logged on the first task)")
     p.add_argument("--resize", action="store_true",
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")
@@ -163,7 +169,9 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
-                          windowed=args.windowed, mesh=mesh)
+                          windowed=args.windowed,
+                          allow_approximate=args.allow_approximate,
+                          mesh=mesh)
 
     from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
                                            plain_task, vcr_color_task,

@@ -218,6 +218,60 @@ def test_extractor_windowed_mask_tasks():
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
 
 
+def test_backbone_receptive_field():
+    from cpt_tpu.engine.windowed import backbone_receptive_field
+    from cpt_tpu.models.detector.config import VINVL_X152C4
+
+    # tiny: stem 3+2, stage1 +4, stage2 +4 (then jump 8), stage3 +8 = 21
+    assert backbone_receptive_field(tiny_detector_config()) == 21
+    # X152-C4: far beyond any practical halo
+    assert backbone_receptive_field(VINVL_X152C4) > 500
+
+
+def test_windowed_guard_falls_back_for_deep_backbone():
+    """Extractor(windowed=True) on X152 (halo < RF) silently-approximate is
+    forbidden: it must fall back to the exact path unless allow_approximate."""
+    from cpt_tpu.engine.extract import Extractor
+    from cpt_tpu.models.detector.config import VINVL_X152C4
+
+    cfg = VINVL_X152C4
+    model = AttrRCNN(cfg)
+    guarded = Extractor(model, None, cfg, windowed=True)
+    assert not guarded.windowed
+    allowed = Extractor(model, None, cfg, windowed=True,
+                        allow_approximate=True)
+    assert allowed.windowed and allowed._windowed_approx
+
+
+def test_windowed_drift_harness_runs_on_first_task():
+    """With allow_approximate and halo < RF, the first windowed task
+    auto-measures drift vs the exact path and records it."""
+    rng = np.random.RandomState(3)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[110.0, 110.0, 140.0, 140.0],
+                       [120.0, 100.0, 150.0, 130.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+    # halo 16 < tiny RF 21 -> approximate; guard must kick in
+    guarded = Extractor(model, params, cfg, windowed=True,
+                        window=(96, 96), halo=16)
+    assert not guarded.windowed
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=(96, 96), halo=16, allow_approximate=True)
+    assert wnd._windowed_approx and not wnd._drift_logged
+    wnd.extract_task(refcoco_task("q0", image, (CANVAS, CANVAS), dets, "q"))
+    assert wnd._drift_logged
+    assert wnd.last_drift["feat_max_rel"] >= 0
+    assert 0 <= wnd.last_drift["label_agreement"] <= 1
+
+
 def test_sharded_windowed_matches_single_device():
     from cpt_tpu.engine.windowed import make_sharded_windowed_fn
     from cpt_tpu.parallel.mesh import make_mesh
