@@ -87,9 +87,18 @@ def refcoco_collect_scores(at_mask: np.ndarray, batch: FlatBatch,
 def refcoco_evaluate(model, params, data: RefcocoCPTData,
                      tokenizer: BertTokenizer, batch_size: int = 128,
                      indices: Optional[List[int]] = None, mesh=None,
+                     host_sharded: bool = False,
                      ) -> Tuple[float, Dict[str, List[float]]]:
     """Zero/few-shot RefCOCO grounding eval; returns (accuracy·100, preds).
-    With ``mesh``, batches shard over the dp axis (batch_size must divide)."""
+    With ``mesh``, batches shard over the dp axis (batch_size must divide).
+    With ``host_sharded`` on a multi-host pod, each process evaluates its
+    ``host_shard`` of the queries and the accuracy counts are all-reduced
+    (reference DDP eval, ``refcoco_cpt.py:516-522`` + DistributedSampler);
+    the returned predictions hold only this host's shard."""
+    if host_sharded and indices is None:
+        from cpt_tpu.parallel.distributed import host_shard
+
+        indices = host_shard(range(len(data)))
     fn = make_mlm_at_mask_fn(model, mesh=mesh)
     predictions: Dict[str, List[float]] = {}
     n_correct, n_total = 0, 0
@@ -106,6 +115,10 @@ def refcoco_evaluate(model, params, data: RefcocoCPTData,
                              pred[3] - pred[1] + 1]
                 n_correct += xywh_iou(pred_xywh, ex.gt_bbox) > 0.5
                 n_total += 1
+    if host_sharded:
+        from cpt_tpu.parallel.distributed import allreduce_sum
+
+        n_correct, n_total = allreduce_sum(float(n_correct), float(n_total))
     acc = 100.0 * n_correct / max(n_total, 1)
     return acc, predictions
 

@@ -120,6 +120,9 @@ def load_image(path, pad_h, pad_w, resize_min=None, resize_max=None):
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     if args.yaml:
         import yaml as _yaml

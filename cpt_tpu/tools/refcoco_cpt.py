@@ -87,6 +87,9 @@ def model_config(args) -> BertConfig:
 
 
 def main(argv=None):
+    from cpt_tpu.parallel import distributed as dist
+
+    dist.initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = BertTokenizer(args.vocab if args.vocab else toy_vocab())
     cfg = model_config(args)
@@ -158,13 +161,19 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
     acc, preds = refcoco_evaluate(model, params, data, tokenizer,
                                   batch_size=args.per_gpu_eval_batch_size,
-                                  mesh=mesh)
+                                  mesh=mesh,
+                                  host_sharded=dist.process_count() > 1)
     dt = time.time() - t0
     n_seq = sum(len(data.example(i).seqs) for i in range(min(len(data), 1)))
-    print(f"miou: {acc:.2f}")
-    print(f"eval wall-clock: {dt:.1f}s ({len(data) / max(dt, 1e-9):.1f} queries/s)")
+    if dist.is_main_process():
+        print(f"miou: {acc:.2f}")
+        print(f"eval wall-clock: {dt:.1f}s "
+              f"({len(data) / max(dt, 1e-9):.1f} queries/s)")
     if args.output:
-        json.dump({"accuracy": acc, "predictions": preds}, open(args.output, "w"))
+        out = args.output
+        if dist.process_count() > 1:
+            out = f"{out}.shard{dist.process_index()}"
+        json.dump({"accuracy": acc, "predictions": preds}, open(out, "w"))
     return acc
 
 

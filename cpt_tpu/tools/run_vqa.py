@@ -59,6 +59,9 @@ def evaluate(model, params, data: VQAData, batch_size: int):
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args, num_labels=args.num_labels,

@@ -45,6 +45,9 @@ def build_args():
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -110,6 +110,9 @@ def run_eval(model, params, data: VCRCPTData, batch_size: int, *,
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = BertTokenizer(args.vocab if args.vocab else toy_vocab())
     cfg = model_config(args)

@@ -112,6 +112,9 @@ def evaluate(model, params, data: VGCPTData, idx2pred_tokens, batch_size: int):
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = BertTokenizer(args.vocab if args.vocab else toy_vocab())
     cfg = model_config(args)
