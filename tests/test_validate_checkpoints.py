@@ -1,0 +1,51 @@
+"""Checkpoint-readiness harness: the torch.save → load → convert → extract
+→ score chain dry-runs end-to-end on random weights in the real .pth/.bin
+layouts (tools/validate_checkpoints.py)."""
+import numpy as np
+import pytest
+
+from cpt_tpu.tools.validate_checkpoints import main as vck_main
+
+
+@pytest.mark.slow
+def test_dryrun_end_to_end(tmp_path):
+    report = vck_main(["--dryrun", "--workdir", str(tmp_path),
+                       "--n_images", "4", "--dtype", "float32",
+                       "--windowed_drift"])
+    assert report["vinvl"].endswith(".pth")
+    assert report["oscar"].endswith(".bin")
+    assert np.isfinite(report["zero_shot_accuracy"])
+    # tiny backbone RF (21 px) < halo 96 -> the windowed path is exact here
+    assert report["windowed_drift"]["feat_max_rel"] < 5e-3
+    assert report["windowed_drift"]["label_agreement"] == 1.0
+
+
+def test_random_state_dicts_convert():
+    """The random layouts convert into trees matching real model params."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpt_tpu.config.bert import tiny_bert_config
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.models.detector.convert import (
+        convert_detector_state_dict, random_vinvl_state_dict)
+    from cpt_tpu.utils.convert import (convert_bert_state_dict,
+                                       random_oscar_state_dict)
+
+    dcfg = tiny_detector_config()
+    det = convert_detector_state_dict(random_vinvl_state_dict(dcfg), dcfg)
+    from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+
+    m = dcfg.max_force_boxes
+    model = AttrRCNN(dcfg)
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)), jnp.asarray([64, 64]),
+        jnp.zeros((m, 4)), jnp.ones((m,), bool))
+    assert (jax.tree_util.tree_map(lambda x: x.shape, init["params"])
+            == jax.tree_util.tree_map(lambda x: x.shape, det))
+
+    bcfg = tiny_bert_config()
+    bert = convert_bert_state_dict(random_oscar_state_dict(bcfg), bcfg)
+    assert set(bert) == {"bert", "mlm_head", "nsp_head"}
+    emb = bert["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    assert emb.shape == (bcfg.vocab_size, bcfg.hidden_size)
