@@ -16,6 +16,12 @@ def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     if "--loss_type" not in argv:
         argv += ["--loss_type", "xe"]
+    if "--submission_format" not in argv:
+        # GQA test-std rows: {"questionId": str, "prediction": str}
+        # (reference run_gqa.py:696-703)
+        argv += ["--submission_format", "gqa"]
+    if "--test_name" not in argv:
+        argv += ["--test_name", "submission"]
     return vqa_main(argv)
 
 

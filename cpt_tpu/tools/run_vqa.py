@@ -1,12 +1,20 @@
 """VQA full-finetune driver (``ImageBertForSequenceClassification``, bce).
 
 Mirrors reference ``Oscar/oscar/run_vqa.py``: soft-target BCE over the
-answer vocabulary, VQA accuracy = Σ gt score of the argmax answer.
+answer vocabulary, VQA accuracy = Σ gt score of the argmax answer,
+periodic eval with best-model selection (``run_vqa.py:560-585``), and
+eval-server submission output — ``{name}_results.json`` rows
+``{"question_id": int, "answer": str}`` (``run_vqa.py:815-840``; GQA's
+test-std variant ``{"questionId", "prediction"}`` via ``run_gqa.py:698``).
+
+``--dp N`` shards train/eval batches over an N-chip dp mesh (the
+reference's DDP equivalent).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import pickle
 import random
 
@@ -27,19 +35,46 @@ def build_args():
     p.add_argument("--feat_file", required=True)
     p.add_argument("--examples", required=True)
     p.add_argument("--val_examples", default=None)
+    p.add_argument("--test_examples", default=None,
+                   help="unlabeled test split; writes {test_name}_results.json")
+    p.add_argument("--test_name", default="test2015",
+                   help="submission file prefix (test2015 / test-dev2015 / "
+                        "submission)")
+    p.add_argument("--label2ans", default=None,
+                   help="json list or {label: answer} mapping labels to "
+                        "answer strings for submission output")
+    p.add_argument("--output_dir", default=None,
+                   help="submission jsons + periodic checkpoints")
     p.add_argument("--num_labels", type=int, default=3129)
     p.add_argument("--loss_type", default="bce", choices=["bce", "kl", "xe"])
+    p.add_argument("--submission_format", default="vqa",
+                   choices=["vqa", "gqa"])
     p.add_argument("--max_seq_length", type=int, default=128)
     p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="eval val every N epochs and keep the best params "
+                        "(0 = only at the end)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
 
 
-def evaluate(model, params, data: VQAData, batch_size: int):
-    @jax.jit
-    def fwd(params, ids, segs, attn, feats):
+def _make_fwd(model, mesh):
+    def raw(params, ids, segs, attn, feats):
         _, logits = model.apply(params, ids, segs, attn, img_feats=feats)
         return logits.astype(jnp.float32)
 
+    if mesh is None:
+        return jax.jit(raw)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(raw, in_shardings=(NamedSharding(mesh, P()),) +
+                   (NamedSharding(mesh, P("dp")),) * 4,
+                   out_shardings=NamedSharding(mesh, P("dp")))
+
+
+def evaluate(model, params, data: VQAData, batch_size: int, mesh=None):
+    fwd = _make_fwd(model, mesh)
     total_score, n, results = 0.0, 0, {}
     for start in range(0, len(data), batch_size):
         idxs = list(range(start, min(start + batch_size, len(data))))
@@ -58,6 +93,31 @@ def evaluate(model, params, data: VQAData, batch_size: int):
     return 100.0 * total_score / max(n, 1), results
 
 
+def load_label2ans(path, num_labels):
+    if path is None:
+        return [str(i) for i in range(num_labels)]
+    blob = json.load(open(path))
+    if isinstance(blob, dict):
+        return [blob.get(str(i), str(i)) for i in range(num_labels)]
+    return list(blob)
+
+
+def write_submission(results, label2ans, out_path, fmt: str):
+    """Eval-server output rows (reference run_vqa.py:827-840 /
+    run_gqa.py:696-703)."""
+    rows = []
+    for q_id, label in results.items():
+        ans = label2ans[label]
+        if fmt == "gqa":
+            rows.append({"questionId": str(q_id), "prediction": ans})
+        else:
+            rows.append({"question_id": int(q_id)
+                         if str(q_id).lstrip("-").isdigit() else q_id,
+                         "answer": ans})
+    json.dump(rows, open(out_path, "w"))
+    print(f"wrote {out_path} ({len(rows)} rows)")
+
+
 def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
@@ -67,6 +127,14 @@ def main(argv=None):
     cfg = model_config(args, num_labels=args.num_labels,
                        loss_type=args.loss_type)
     model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))
+
+    mesh = None
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+        assert args.per_gpu_train_batch_size % args.dp == 0
+        assert args.per_gpu_eval_batch_size % args.dp == 0
 
     data = VQAData(args.feat_file, load_vqa_examples(args.examples),
                    args.num_labels, tokenizer, args.max_seq_length,
@@ -83,6 +151,7 @@ def main(argv=None):
                                   jnp.asarray(b0.attention_mask),
                                   jnp.asarray(b0.img_feats)), args, cfg)
 
+    best = {"acc": -1.0, "params": params, "epoch": 0}
     if args.num_train_epochs > 0:
         steps = max(1, len(data) // bsz) * args.num_train_epochs
         ocfg = train_lib.OptimConfig(
@@ -91,8 +160,7 @@ def main(argv=None):
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
 
-        @jax.jit
-        def step(state, batch, rng):
+        def step_raw(state, batch, rng):
             ids, segs, attn, feats, soft, hard = batch
 
             def loss_fn(p):
@@ -108,6 +176,17 @@ def main(argv=None):
                 optax.apply_updates(state.params, upd), opt,
                 state.step + 1), loss
 
+        if mesh is None:
+            step = jax.jit(step_raw)
+            shard_b = rep = lambda x: x
+        else:
+            from cpt_tpu.parallel.mesh import replicated, shard_batch
+
+            step = jax.jit(step_raw)
+            shard_b = lambda b: shard_batch(b, mesh)
+            rep = lambda t: jax.device_put(t, replicated(mesh))
+            state = jax.tree_util.tree_map(rep, state)
+
         rng = jax.random.PRNGKey(args.seed)
         order_rng = random.Random(args.seed)
         for epoch in range(args.num_train_epochs):
@@ -117,21 +196,50 @@ def main(argv=None):
                 chunk = order[start:start + bsz]
                 b, soft, hard = data.batch(chunk, pad_to=bsz)
                 rng, sub = jax.random.split(rng)
-                state, loss = step(
-                    state, (jnp.asarray(b.input_ids),
-                            jnp.asarray(b.segment_ids),
-                            jnp.asarray(b.attention_mask),
-                            jnp.asarray(b.img_feats), jnp.asarray(soft),
-                            jnp.asarray(hard)), sub)
+                batch = shard_b((jnp.asarray(b.input_ids),
+                                 jnp.asarray(b.segment_ids),
+                                 jnp.asarray(b.attention_mask),
+                                 jnp.asarray(b.img_feats),
+                                 jnp.asarray(soft), jnp.asarray(hard)))
+                state, loss = step(state, batch, rep(sub))
             if (epoch + 1) % 5 == 0:
                 print(f"epoch {epoch + 1}: loss {float(loss):.4f}")
-        params = state.params
+            if args.eval_every and (epoch + 1) % args.eval_every == 0:
+                acc, _ = evaluate(model, state.params, val,
+                                  args.per_gpu_eval_batch_size, mesh)
+                print(f"epoch {epoch + 1}: val {acc:.2f}")
+                if acc > best["acc"]:
+                    best = {"acc": acc, "params": state.params,
+                            "epoch": epoch + 1}
+                if args.output_dir:
+                    from cpt_tpu.utils.checkpoint import save_model
 
-    acc, results = evaluate(model, params, val, args.per_gpu_eval_batch_size)
+                    save_model(os.path.join(args.output_dir,
+                                            f"checkpoint-{epoch + 1}"),
+                               state.params)
+        params = best["params"] if best["acc"] >= 0 else state.params
+        if best["acc"] >= 0:
+            print(f"best val {best['acc']:.2f} at epoch {best['epoch']}")
+
+    acc, results = evaluate(model, params, val,
+                            args.per_gpu_eval_batch_size, mesh)
     print(f"vqa score: {acc:.2f}")
     if args.output:
         pickle.dump({"accuracy": acc, "results": results},
                     open(args.output, "wb"))
+
+    if args.test_examples:
+        test = VQAData(args.feat_file, load_vqa_examples(args.test_examples),
+                       args.num_labels, tokenizer, args.max_seq_length,
+                       args.max_img_seq_length, cfg.img_feature_dim)
+        _, test_results = evaluate(model, params, test,
+                                   args.per_gpu_eval_batch_size, mesh)
+        out_dir = args.output_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        write_submission(
+            test_results, load_label2ans(args.label2ans, args.num_labels),
+            os.path.join(out_dir, f"{args.test_name}_results.json"),
+            args.submission_format)
     return acc
 
 

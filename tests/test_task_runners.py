@@ -68,6 +68,64 @@ def test_run_vqa_learns(fixture, tmp_path):
     assert acc >= 75.0, f"VQA failed to learn: {acc}"
 
 
+def test_run_vqa_dp_best_model_and_submission(fixture, tmp_path):
+    """dp-sharded training + eval_every best-model selection + test2015
+    submission output (reference run_vqa.py:815-840 format)."""
+    from cpt_tpu.tools.run_vqa import main
+
+    test_ex = [{"q_id": str(100 + q), "img_id": f"im{q}",
+                "question": "is the dog red"} for q in range(8)]
+    json.dump(test_ex, open(tmp_path / "test.json", "w"))
+    json.dump(["no", "yes"], open(tmp_path / "label2ans.json", "w"))
+    acc = main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "vqa.json"),
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "10", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "8",
+        "--eval_every", "5", "--dp", "2",
+        "--test_examples", str(tmp_path / "test.json"),
+        "--label2ans", str(tmp_path / "label2ans.json"),
+        "--output_dir", str(tmp_path / "out"), *TINY,
+    ])
+    assert np.isfinite(acc)
+    sub = json.load(open(tmp_path / "out" / "test2015_results.json"))
+    assert len(sub) == 8
+    assert set(sub[0]) == {"question_id", "answer"}
+    assert all(r["answer"] in ("no", "yes") for r in sub)
+    import os
+
+    assert any(d.startswith("checkpoint-")
+               for d in os.listdir(tmp_path / "out"))
+
+
+def test_run_gqa_submission_format(fixture, tmp_path):
+    """GQA wrapper emits test-std rows {questionId, prediction}
+    (reference run_gqa.py:696-703)."""
+    from cpt_tpu.tools.run_gqa import main
+
+    test_ex = [{"q_id": f"20{q}", "img_id": f"im{q}",
+                "question": "is the dog red"} for q in range(4)]
+    json.dump(test_ex, open(tmp_path / "test.json", "w"))
+    json.dump(["no", "yes"], open(tmp_path / "label2ans.json", "w"))
+    main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "vqa.json"),
+        "--num_labels", "2",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--per_gpu_eval_batch_size", "4",
+        "--test_examples", str(tmp_path / "test.json"),
+        "--label2ans", str(tmp_path / "label2ans.json"),
+        "--output_dir", str(tmp_path / "out"), *TINY,
+    ])
+    sub = json.load(open(tmp_path / "out" / "submission_results.json"))
+    assert len(sub) == 4
+    assert set(sub[0]) == {"questionId", "prediction"}
+    assert all(isinstance(r["questionId"], str) for r in sub)
+
+
 def test_run_nlvr_runs(fixture):
     from cpt_tpu.tools.run_nlvr import main
 
