@@ -197,9 +197,23 @@ def main(argv=None):
         outputs[k] = text
     cider = scorer.corpus_score(hyps)
     print(f"CIDEr-D: {cider:.2f}")
+    # full coco-caption metric protocol (caption_evaluate.py:59-90 analogue)
+    from cpt_tpu.engine.caption_eval import corpus_bleu, rouge_l
+    from cpt_tpu.utils.meteor import meteor
+
+    metrics = {
+        "CIDEr": cider,
+        "METEOR": sum(meteor(h, refs[k]) for k, h in hyps.items())
+        / max(len(hyps), 1),
+        "ROUGE_L": sum(rouge_l(h, refs[k]) for k, h in hyps.items())
+        / max(len(hyps), 1),
+    }
+    bleu = corpus_bleu(hyps, {k: refs[k] for k in hyps})
+    metrics.update({f"Bleu_{i + 1}": bleu[i] for i in range(4)})
+    print(" ".join(f"{k}={v:.3f}" for k, v in sorted(metrics.items())))
     if args.output:
-        pickle.dump({"cider": cider, "captions": outputs},
-                    open(args.output, "wb"))
+        pickle.dump({"cider": cider, "metrics": metrics,
+                     "captions": outputs}, open(args.output, "wb"))
     return cider, outputs
 
 

@@ -1,0 +1,141 @@
+"""Caption metric suite: Porter stemmer, multi-stage METEOR, corpus BLEU,
+ROUGE-L, and the evaluate_on_coco_caption protocol (reference
+``Oscar/oscar/utils/caption_evaluate.py:59-90``)."""
+import json
+
+import numpy as np
+import pytest
+
+from cpt_tpu.engine.caption_eval import (corpus_bleu, evaluate_on_coco_caption,
+                                         rouge_l, tokenize)
+from cpt_tpu.utils.meteor import FUNCTION_WORDS, PorterStemmer, meteor
+
+
+def test_porter_stemmer_canonical():
+    st = PorterStemmer()
+    # canonical examples from Porter (1980)
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    bad = {w: (st.stem(w), want) for w, want in cases.items()
+           if st.stem(w) != want}
+    assert not bad, bad
+
+
+def test_meteor_stem_stage_catches_inflection():
+    refs = [["a", "dog", "runs", "quickly"]]
+    exact = meteor(["a", "dog", "runs", "quickly"], refs)
+    stemmed = meteor(["a", "dogs", "running", "quickly"], refs)
+    none = meteor(["zebra", "stripes"], refs)
+    assert exact > stemmed > none == 0.0
+
+
+def test_meteor_synonym_stage_table_gated():
+    refs = [["a", "large", "cat"]]
+    without = meteor(["a", "big", "cat"], refs)
+    with_syn = meteor(["a", "big", "cat"], refs,
+                      synonyms={"big": {"large"}})
+    assert with_syn > without
+
+
+def test_meteor_function_word_weighting():
+    # matching only function words is worth much less than content words
+    refs = [["the", "of", "dog"]]
+    func_only = meteor(["the", "of", "cat"], refs)
+    content_only = meteor(["a", "an", "dog"], refs)
+    assert content_only > func_only
+    assert "the" in FUNCTION_WORDS and "dog" not in FUNCTION_WORDS
+
+
+def test_meteor_fragmentation_penalty():
+    refs = [["a", "b", "c", "d", "e", "f"]]
+    contiguous = meteor(["a", "b", "c", "d", "e", "f"], refs)
+    scrambled = meteor(["f", "e", "d", "c", "b", "a"], refs)
+    assert contiguous > scrambled > 0
+
+
+def test_meteor_empty():
+    assert meteor([], [["a"]]) == 0.0
+    assert meteor(["a"], []) == 0.0
+
+
+def test_corpus_bleu_perfect_and_partial():
+    refs = {"i1": [["the", "cat", "sat", "on", "the", "mat"]]}
+    perfect = corpus_bleu({"i1": ["the", "cat", "sat", "on", "the", "mat"]},
+                          refs)
+    assert all(abs(b - 1.0) < 1e-9 for b in perfect)
+    partial = corpus_bleu({"i1": ["the", "cat", "sat"]}, refs)
+    # bleu1 precision 1.0 with brevity penalty exp(1-6/3)
+    assert partial[0] == pytest.approx(np.exp(1 - 6 / 3), rel=1e-6)
+    assert partial[3] < partial[0]
+
+
+def test_rouge_l_values():
+    refs = [["the", "cat", "sat", "on", "the", "mat"]]
+    assert rouge_l(["the", "cat", "sat", "on", "the", "mat"], refs) == (
+        pytest.approx(1.0))
+    # lcs("the cat mat", ref) = 3; P=1, R=0.5, beta=1.2
+    p, r, b = 1.0, 0.5, 1.2
+    want = (1 + b * b) * p * r / (r + b * b * p)
+    assert rouge_l(["the", "cat", "mat"], refs) == pytest.approx(want)
+    assert rouge_l(["zebra"], refs) == 0.0
+
+
+def test_evaluate_on_coco_caption_protocol(tmp_path):
+    """End-to-end: predictions TSV + COCO-format gt json → metric dict in
+    the reference's key set (minus SPICE, documented descope)."""
+    gt = {"images": [{"id": "k1"}, {"id": "k2"}],
+          "annotations": [
+              {"image_id": "k1", "caption": "a dog runs in the park."},
+              {"image_id": "k1", "caption": "the dog is running"},
+              {"image_id": "k2", "caption": "a red car on the road"}]}
+    json.dump(gt, open(tmp_path / "gt.json", "w"))
+    rows = [("k1", json.dumps([{"caption": "a dog runs in the park",
+                                "conf": 0.9}])),
+            ("k2", json.dumps([{"caption": "a blue car on the road",
+                                "conf": 0.8}]))]
+    with open(tmp_path / "res.tsv", "w") as f:
+        for k, p in rows:
+            f.write(f"{k}\t{p}\n")
+    out = evaluate_on_coco_caption(str(tmp_path / "res.tsv"),
+                                   str(tmp_path / "gt.json"),
+                                   str(tmp_path / "metrics.json"))
+    assert set(out) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                        "METEOR", "ROUGE_L", "CIDEr"}
+    assert 0 < out["Bleu_1"] <= 1.0
+    assert out["METEOR"] > 0 and out["ROUGE_L"] > 0
+    assert json.load(open(tmp_path / "metrics.json"))["Bleu_1"] == (
+        out["Bleu_1"])
+
+
+def test_tokenize_strips_punctuation():
+    assert tokenize("A dog, runs; quickly!") == ["a", "dog", "runs",
+                                                 "quickly"]
