@@ -31,6 +31,9 @@ from cpt_tpu.models.detector.rpn import grid_anchors
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ann_file", default=None)
+    p.add_argument("--tsv", default=None,
+                   help="od/vg-TSV dataset yaml (reference vg_tsv.py "
+                        "format: img/label/hw TSVs + labelmap jsondict)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", default=None)
@@ -70,6 +73,18 @@ def main(argv=None):
     fn = make_detect_fn(model, cfg, with_attributes=False)
 
     def samples():
+        if args.tsv:
+            from cpt_tpu.data.vg_tsv import DetectionTSVDataset
+
+            ds = DetectionTSVDataset(args.tsv, attribute_on=False)
+            for i in range(len(ds)):
+                img, target, _ = ds[i]
+                ih, iw = img.shape[:2]
+                canvas = np.zeros((h, w, 3), np.uint8)
+                canvas[: min(ih, h), : min(iw, w)] = img[:h, :w]
+                yield ds.get_img_key(i), canvas, (min(ih, h), min(iw, w)), {
+                    "boxes": target["boxes"], "labels": target["labels"]}
+            return
         if args.synthetic is not None:
             for i in range(args.synthetic):
                 img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)

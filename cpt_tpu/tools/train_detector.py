@@ -28,6 +28,9 @@ from cpt_tpu.models.detector.rpn import grid_anchors
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ann_file", default=None)
+    p.add_argument("--tsv", default=None,
+                   help="od/vg-TSV dataset yaml (reference vg_tsv.py "
+                        "format: img/label/hw TSVs + labelmap jsondict)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--checkpoint", default=None, help="init weights .pth")
     p.add_argument("--output_dir", default="./detector_ckpt")
@@ -73,6 +76,24 @@ def main(argv=None):
         return b, l, v, a
 
     def batches():
+        if args.tsv:
+            from cpt_tpu.data.vg_tsv import DetectionTSVDataset
+
+            ds = DetectionTSVDataset(args.tsv, attribute_on=True)
+            while True:
+                for i in range(len(ds)):
+                    img, target, _ = ds[i]
+                    canvas = np.zeros((h, w, 3), np.float32)
+                    ih, iw = img.shape[:2]
+                    canvas[: min(ih, h), : min(iw, w)] = img[:h, :w]
+                    b, l, v, a = pad_gt(target["boxes"], target["labels"],
+                                        target.get("attributes",
+                                                   np.zeros(0)).tolist())
+                    yield (jnp.asarray(canvas),
+                           jnp.asarray([min(ih, h), min(iw, w)], jnp.int32),
+                           jnp.asarray(b), jnp.asarray(l), jnp.asarray(v),
+                           jnp.asarray(a), anchors)
+            return
         if args.synthetic is not None:
             while True:
                 img = jnp.asarray(
