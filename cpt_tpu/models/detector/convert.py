@@ -111,9 +111,17 @@ def convert_detector_state_dict(sd: Mapping[str, np.ndarray],
 
 
 def load_vinvl_checkpoint(path: str, cfg: DetectorConfig) -> Dict[str, Any]:
-    from cpt_tpu.utils.convert import load_torch_file
+    from cpt_tpu.utils.convert import align_state_dict, load_torch_file
 
-    return convert_detector_state_dict(load_torch_file(path), cfg)
+    sd = load_torch_file(path)
+    try:
+        return convert_detector_state_dict(sd, cfg)
+    except KeyError:
+        # checkpoint keys carry a different nesting (e.g. "module." DDP
+        # wrapper) — suffix-align onto the canonical VinVL layout first
+        # (reference model_serialization.py:35 align_and_update_state_dicts)
+        aligned = align_state_dict(sd, random_vinvl_state_dict(cfg))
+        return convert_detector_state_dict(aligned, cfg)
 
 
 def random_vinvl_state_dict(cfg: DetectorConfig, seed: int = 0

@@ -115,6 +115,12 @@ def convert_bert_state_dict(sd: Mapping[str, np.ndarray], config: BertConfig,
                             "bert.")
     if not bert_sd:  # bare BertModel state_dict
         bert_sd = {k: v for k, v in sd.items() if not k.startswith("cls.")}
+    if "embeddings.word_embeddings.weight" not in bert_sd:
+        # nonstandard nesting (e.g. "module." wrapper): suffix-align onto
+        # the canonical Oscar layout (model_serialization.py:35 analogue)
+        sd = align_state_dict(sd, random_oscar_state_dict(config))
+        bert_sd = _strip_prefix(
+            {k: v for k, v in sd.items() if k.startswith("bert.")}, "bert.")
     params: Dict[str, Any] = {"bert": convert_bert_encoder(bert_sd, config)}
 
     if "cls.predictions.transform.dense.weight" in sd:
@@ -240,3 +246,39 @@ def random_oscar_state_dict(config: BertConfig, seed: int = 0
         sd[pre + "output.LayerNorm.weight"] = np.ones(h, np.float32)
         sd[pre + "output.LayerNorm.bias"] = r(h)
     return sd
+
+
+def align_state_dict(loaded: Mapping[str, np.ndarray],
+                     expected: Mapping[str, Any],
+                     skip_mismatched: bool = True) -> Dict[str, np.ndarray]:
+    """Suffix-match checkpoint keys onto the converter's expected names
+    (reference ``model_serialization.py:35-100`` align_and_update_state_dicts).
+
+    For each expected key, pick the loaded key related by suffix — either
+    direction, so both "model keys carry extra nesting" (reference's case)
+    and "checkpoint keys carry extra prefixes" (``module.``/``model.`` DDP
+    wrappers) align — preferring exact matches, then the longest common
+    suffix. Shape-mismatched picks are skipped (logged semantics of
+    ``skip_unmatched_layers=True``) so fresh task heads keep their init.
+    """
+    out: Dict[str, np.ndarray] = {}
+    loaded_keys = list(loaded.keys())
+    for ek, ev in expected.items():
+        best, best_len = None, -1
+        for lk in loaded_keys:
+            if lk == ek:
+                best, best_len = lk, 1 << 30
+                break
+            if lk.endswith("." + ek) or ek.endswith("." + lk):
+                score = min(len(lk), len(ek))
+                if score > best_len:
+                    best, best_len = lk, score
+        if best is None:
+            continue
+        v = np.asarray(loaded[best])
+        eshape = getattr(ev, "shape", None)
+        if (skip_mismatched and eshape is not None
+                and tuple(v.shape) != tuple(eshape)):
+            continue
+        out[ek] = v
+    return out

@@ -49,3 +49,52 @@ def test_random_state_dicts_convert():
     assert set(bert) == {"bert", "mlm_head", "nsp_head"}
     emb = bert["bert"]["embeddings"]["word_embeddings"]["embedding"]
     assert emb.shape == (bcfg.vocab_size, bcfg.hidden_size)
+
+
+def test_suffix_aligner_handles_prefixed_checkpoints(tmp_path):
+    """'module.'-wrapped (DDP-style) checkpoints load through the suffix
+    aligner (reference model_serialization.py:35) identically to direct."""
+    import torch
+
+    from cpt_tpu.models.detector.config import tiny_detector_config
+    from cpt_tpu.models.detector.convert import (load_vinvl_checkpoint,
+                                                 random_vinvl_state_dict)
+
+    cfg = tiny_detector_config()
+    sd = random_vinvl_state_dict(cfg)
+    direct_path = tmp_path / "direct.pth"
+    wrapped_path = tmp_path / "wrapped.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               direct_path)
+    torch.save({"model": {f"module.{k}": torch.from_numpy(v)
+                          for k, v in sd.items()}}, wrapped_path)
+    import jax
+
+    direct = load_vinvl_checkpoint(str(direct_path), cfg)
+    wrapped = load_vinvl_checkpoint(str(wrapped_path), cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(direct),
+                    jax.tree_util.tree_leaves(wrapped)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_suffix_aligner_bert_and_mismatch_skip():
+    from cpt_tpu.config.bert import tiny_bert_config
+    from cpt_tpu.utils.convert import (align_state_dict,
+                                       convert_bert_state_dict,
+                                       random_oscar_state_dict)
+
+    cfg = tiny_bert_config()
+    sd = random_oscar_state_dict(cfg)
+    wrapped = {f"module.{k}": v for k, v in sd.items()}
+    params = convert_bert_state_dict(wrapped, cfg)
+    ref = convert_bert_state_dict(sd, cfg)
+    emb = params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    np.testing.assert_array_equal(
+        emb, ref["bert"]["embeddings"]["word_embeddings"]["embedding"])
+
+    # shape-mismatched entries are skipped, exact match preferred
+    expected = {"a.weight": np.zeros((2, 2)), "b.weight": np.zeros((3,))}
+    loaded = {"prefix.a.weight": np.ones((2, 2)),
+              "b.weight": np.ones((5,))}
+    out = align_state_dict(loaded, expected)
+    assert "a.weight" in out and "b.weight" not in out
