@@ -101,3 +101,92 @@ class OscarPretrainData:
             mlm[i, :t] = labels
             contrast[i] = 1 if swapped else 0
         return ids, segs, attn, feats, mlm, contrast
+
+
+class MultiCorpusPretrainData(OscarPretrainData):
+    """Multi-corpus Oscar+ pretraining mixing (reference ``oscar_tsv.py:
+    16-200``): one corpus TSV interleaving several datasets, per-dataset
+    region-feature TSVs, optional per-chunk splits with chunk-range
+    filtering (GoogleCC/SBU/OI-style sharded corpora).
+
+    yaml descriptor (paths relative to the yaml)::
+
+        corpus: coco_flickr30k_googlecc     # '_'-joined dataset names
+        corpus_file: corpus.tsv             # rows [<ds>_<imgid>, caption]
+        image_feature_path:
+          coco: coco_features.tsv           # one TSV per dataset...
+          googlecc:                         # ...or {chunk_id: TSV} splits
+            "0": cc_chunk0.tsv
+            "1": cc_chunk1.tsv
+
+    Rows whose dataset is not in ``corpus`` are skipped, as are rows of
+    chunked datasets outside [chunk_start_id, chunk_end_id) — the
+    reference's ``--chunk_start_id/--chunk_end_id`` pod-sharding knobs
+    (``oscar_tsv.py:68-72,110-113``). Text-b ("polluted tags") swaps
+    sample across the whole mixed corpus, like the reference's random-doc
+    draw.
+    """
+
+    def __init__(self, yaml_file: str, tokenizer: BertTokenizer,
+                 max_seq_len: int = 35, img_seq_len: int = 50,
+                 img_feat_dim: int = 2054, text_b_swap_prob: float = 0.5,
+                 chunk_start_id: int = -1, chunk_end_id: int = -1):
+        import os
+
+        import yaml as _yaml
+
+        root = os.path.dirname(os.path.abspath(yaml_file))
+        cfg = _yaml.safe_load(open(yaml_file))
+        names = cfg["corpus"].split("_")
+        chunk_list = None
+        if 0 <= chunk_start_id <= chunk_end_id:
+            chunk_list = {str(c) for c in range(chunk_start_id,
+                                                chunk_end_id)}
+
+        self._tsvs = {}            # (dataset, chunk|None) -> TSVFile
+        self._index = {}           # "<ds>_<imgid>" -> (tsv, row)
+        for ds, spec in cfg["image_feature_path"].items():
+            if ds not in names:
+                continue
+            specs = (spec.items() if isinstance(spec, dict)
+                     else [(None, spec)])
+            for chunk, path in specs:
+                if (chunk is not None and chunk_list is not None
+                        and str(chunk) not in chunk_list):
+                    continue
+                tsv = TSVFile(os.path.join(root, path))
+                self._tsvs[(ds, chunk)] = tsv
+                for i in range(len(tsv)):
+                    self._index[f"{ds}_{tsv.seek(i)[0]}"] = (tsv, i)
+
+        corpus = TSVFile(os.path.join(root, cfg["corpus_file"]))
+        captions, keys = {}, []
+        for i in range(len(corpus)):
+            row = corpus.seek(i)
+            key = row[0]
+            ds = key.split("_")[0]
+            if ds == "cc":
+                ds = "googlecc"
+                key = "googlecc_" + key.split("_", 1)[1]
+            if ds not in names or key not in self._index:
+                continue
+            keys.append(key)
+            captions[key] = row[-1]
+
+        self.keys = keys
+        self.captions = captions
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.img_seq_len = img_seq_len
+        self.img_feat_dim = img_feat_dim
+        self.swap_prob = text_b_swap_prob
+        self.datasets = names
+
+    def _feats(self, img_key: str):
+        tsv, row = self._index[img_key]
+        _, payload = tsv.seek(row)
+        info = json.loads(payload)
+        boxlist = info["objects"]
+        feats = np.stack([decode_feature(o["feature"]) for o in boxlist])
+        od = " ".join(o["class"] for o in boxlist)
+        return feats, od

@@ -26,9 +26,14 @@ from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feat_file", required=True)
-    p.add_argument("--captions", required=True,
+    p.add_argument("--feat_file", default=None)
+    p.add_argument("--captions", default=None,
                    help="json {img_key: caption}")
+    p.add_argument("--yaml", default=None,
+                   help="multi-corpus descriptor (reference oscar_tsv.py "
+                        "format: corpus/corpus_file/image_feature_path)")
+    p.add_argument("--chunk_start_id", type=int, default=-1)
+    p.add_argument("--chunk_end_id", type=int, default=-1)
     p.add_argument("--train_steps", type=int, default=100)
     p.add_argument("--max_seq_length", type=int, default=35)
     p.add_argument("--max_img_seq_length", type=int, default=50)
@@ -40,14 +45,31 @@ def build_args():
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args)
     model = BertImgForPreTraining(cfg, dtype=dtype_of(args))
 
-    data = OscarPretrainData(args.feat_file, json.load(open(args.captions)),
-                             tokenizer, args.max_seq_length,
-                             args.max_img_seq_length, cfg.img_feature_dim)
+    if args.yaml:
+        from cpt_tpu.data.pretrain import MultiCorpusPretrainData
+
+        data = MultiCorpusPretrainData(
+            args.yaml, tokenizer, args.max_seq_length,
+            args.max_img_seq_length, cfg.img_feature_dim,
+            chunk_start_id=args.chunk_start_id,
+            chunk_end_id=args.chunk_end_id)
+        print(f"mixed corpus: {len(data)} samples from "
+              f"{'_'.join(data.datasets)}")
+    else:
+        assert args.feat_file and args.captions, \
+            "--yaml or --feat_file/--captions required"
+        data = OscarPretrainData(
+            args.feat_file, json.load(open(args.captions)), tokenizer,
+            args.max_seq_length, args.max_img_seq_length,
+            cfg.img_feature_dim)
     bsz = args.per_gpu_train_batch_size
     rng_py = random.Random(args.seed)
     batch0 = data.batch(list(range(min(bsz, len(data)))), rng_py, pad_to=bsz)
