@@ -96,6 +96,9 @@ class RefcocoFTData:
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args)

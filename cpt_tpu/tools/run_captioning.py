@@ -58,6 +58,9 @@ def load_feats(tsv, imgid2idx, key):
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args)

@@ -32,6 +32,9 @@ def build_args():
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     # reference NLVR config: classifier over pooled pair, num_labels=2,

@@ -36,6 +36,9 @@ def build_args():
 
 
 def main(argv=None):
+    from cpt_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args, num_labels=2, loss_type="xe")
