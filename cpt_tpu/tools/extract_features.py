@@ -225,12 +225,16 @@ def main(argv=None):
                 yield refcoco_task(str(ann["id"]), img, hw, dets * sc,
                                    ann["caption"])
         elif args.task == "gqa":
+            # also covers VQAColorDataset (reference vqadataset.py:63-140:
+            # the same color-marking pipeline over VQA annotations, which
+            # spell the question id "qid" instead of "q_id")
             for ann in anns:
                 key = str(ann.get("img_id", ann.get("img_path")))
+                q_id = ann.get("q_id", ann.get("qid"))
                 dets = np.asarray([d[1] if isinstance(d, list) else d["box"]
                                    for d in det_dic[key]], np.float32)
                 img, hw, sc = load_one(ann["img_path"], ann.get("h"))
-                marks = to_mark.get(str(ann["q_id"]))
+                marks = to_mark.get(str(q_id))
                 if marks is None:
                     names = [d[0] if isinstance(d, list) else d["class"]
                              for d in det_dic[key]]
@@ -238,7 +242,7 @@ def main(argv=None):
                                             names)
                 if not marks:
                     continue
-                yield gqa_mark_task(ann["q_id"], img, hw, dets * sc, marks)
+                yield gqa_mark_task(q_id, img, hw, dets * sc, marks)
         elif args.task == "vcr":
             for ann in anns:
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img_key"]]])
