@@ -1,0 +1,236 @@
+"""Pallas grouped 3×3 convolution — measured no-win, kept as reference.
+
+XLA's native grouped conv (``feature_group_count``) runs the ResNeXt 32×8d
+grouped 3×3 legs at 5.7-14.7 TFLOP/s on v5e, far below the MXU's
+lane-underfill ceiling (~49 TF/s at cpg=32). This kernel restructures the
+op as per-group im2col matmuls built in VMEM — and LOSES on hardware
+(stage1 0.11×, stage2 0.25×, stage3 0.65× vs native; PERF.md "grouped-conv
+kernel study"): Mosaic's relayouts for the 9 tap slices + per-group lane
+slicing dominate, and the [M, 9·cpg]×[9·cpg, cpg] matmul itself reaches
+only ~6.5 TF/s at cpg=32. Alternative formulations measured on device —
+offset space-to-depth (exact, 16/9× FLOPs at dense layout), block-diagonal
+slice-dense convs (4× FLOPs at dense rates), supergrouping to cpg=128 —
+all land between 0.4× and 1.05×. The op stays as a correctness-tested
+reference point and a starting skeleton for future Mosaic work; the
+production backbone keeps XLA's native grouped conv.
+
+Design (for the record), per-group im2col in VMEM:
+
+* groups are processed in lane-aligned blocks of ``128//cpg`` groups per
+  program, so HBM⇄VMEM traffic moves full 128-channel lanes;
+* per group, 9 shifted taps of the input tile concatenate into a
+  ``[TH·W, 9·cpg]`` patch matrix (VMEM-only; im2col in HBM would be 9×
+  input size) and one MXU matmul against the packed ``[9·cpg, cpg]``
+  weights produces the tile — K=9·cpg amortizes the MXU much better than
+  XLA's tap-by-tap schedule;
+* the input tile (with its 1-pixel halo) is DMA'd manually from HBM —
+  halo'd tiles cannot be expressed as non-overlapping BlockSpec blocks;
+* frozen-BN scale/bias and ReLU fuse into the epilogue (saves two
+  elementwise HBM round-trips per conv in the bottleneck).
+
+Reference semantics matched: torch ``Conv2d(groups=G, k=3, pad=1,
+stride=s, bias=False)`` as used by ``maskrcnn_benchmark/modeling/backbone/
+resnet.py`` bottlenecks (stride in the 3×3, ``STRIDE_IN_1X1=False``).
+
+The custom VJP lowers the backward pass to XLA's conv ops (training-path
+throughput is dominated elsewhere; extraction is inference).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round8(v: int) -> int:
+    return (v + 7) // 8 * 8
+
+
+def pack_weights(w33: Array, groups: int) -> Array:
+    """HWIO grouped kernel [3, 3, cpg, ch] → [G, 9·cpg, cpg], tap-major
+    rows in (ky, kx) order matching the kernel's patch concat order."""
+    kh, kw, cpg, ch = w33.shape
+    assert (kh, kw) == (3, 3) and ch % groups == 0
+    co = ch // groups
+    # [3, 3, cpg, G, co] -> [G, 3, 3, cpg, co] -> [G, 9*cpg, co]
+    w = w33.reshape(3, 3, cpg, groups, co)
+    w = jnp.transpose(w, (3, 0, 1, 2, 4))
+    return w.reshape(groups, 9 * cpg, co)
+
+
+def _pick_tile(h_out: int, w_out: int, cpg: int, gpb: int,
+               stride: int) -> int:
+    """Output-row tile height: keep the input tile + patches within a few
+    MB of VMEM (16 MB/core, double-buffered blocks)."""
+    budget = 3 * 1024 * 1024
+    for th in (h_out, 64, 32, 16, 8, 4, 2, 1):
+        if h_out % th:
+            continue
+        rows_in = (th - 1) * stride + 3
+        w_in = (w_out - 1) * stride + 3
+        tile_bytes = rows_in * w_in * gpb * cpg * 2
+        patch_bytes = th * w_out * 9 * cpg * 2
+        if tile_bytes + patch_bytes <= budget:
+            return th
+    return 1
+
+
+def _kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, sem, *,
+            h_out, w_out, cpg, gpb, th, stride, fuse_affine, relu,
+            out_dtype):
+    n = pl.program_id(0)
+    gb = pl.program_id(1)
+    ti = pl.program_id(2)
+
+    rows_in = (th - 1) * stride + 3
+    # sublane (second-to-last) DMA slice sizes must be 8-aligned
+    w_in = _round8((w_out - 1) * stride + 3)
+    r0 = ti * th * stride
+    c0 = gb * gpb * cpg
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(r0, rows_in), pl.ds(0, w_in), pl.ds(c0, gpb * cpg)],
+        xtile, sem)
+    dma.start()
+    dma.wait()
+
+    m = th * w_out
+    span_r = (th - 1) * stride + 1
+    span_c = (w_out - 1) * stride + 1
+    s_blk = s_ref[0, pl.ds(pl.multiple_of(gb * gpb * cpg, gpb * cpg),
+                           gpb * cpg)]
+    b_blk = b_ref[0, pl.ds(pl.multiple_of(gb * gpb * cpg, gpb * cpg),
+                           gpb * cpg)]
+    for i in range(gpb):
+        xg = xtile[:, :, i * cpg:(i + 1) * cpg]
+        taps = []
+        for ky in range(3):
+            for kx in range(3):
+                sl = xg[ky:ky + span_r:stride, kx:kx + span_c:stride, :]
+                taps.append(sl.reshape(m, cpg))
+        patches = jnp.concatenate(taps, axis=1)            # [m, 9*cpg]
+        y = jnp.dot(patches, w_ref[i],
+                    preferred_element_type=jnp.float32)     # [m, cpg]
+        if fuse_affine:
+            y = y * s_blk[i * cpg:(i + 1) * cpg] + b_blk[i * cpg:(i + 1) * cpg]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[:, :, i * cpg:(i + 1) * cpg] = (
+            y.reshape(th, w_out, cpg).astype(out_dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def grouped_conv3x3(x: Array, w33: Array, scale: Optional[Array],
+                    bias: Optional[Array], groups: int, stride: int = 1,
+                    relu: bool = False) -> Array:
+    """Grouped 3×3 conv, pad 1, NHWC (+optional fused affine & ReLU).
+
+    x [N, H, W, ch], w33 [3, 3, ch//groups, ch], scale/bias [ch] or None.
+    """
+    return _forward(x, w33, scale, bias, groups, stride, relu)
+
+
+def _forward(x, w33, scale, bias, groups, stride, relu):
+    n, h, w, ch = x.shape
+    cpg = ch // groups
+    h_out = (h + 2 - 3) // stride + 1
+    w_out = (w + 2 - 3) // stride + 1
+    gpb = max(1, min(groups, 128 // cpg))
+    while groups % gpb:
+        gpb -= 1
+    th = _pick_tile(h_out, w_out, cpg, gpb, stride)
+
+    fuse_affine = scale is not None
+    if scale is None:
+        scale = jnp.ones((ch,), jnp.float32)
+        bias = jnp.zeros((ch,), jnp.float32)
+
+    # pad width to a multiple of 8 so halo'd DMA slices satisfy the
+    # (8, 128) sublane/lane tiling alignment
+    w_pad = _round8(max(w + 2, (w_out - 1) * stride + 3))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_pad - w - 1), (0, 0)))
+    wt = pack_weights(w33, groups).astype(x.dtype)          # [G, 9cpg, cpg]
+    wb = wt.reshape(groups // gpb, gpb, 9 * cpg, cpg)
+
+    rows_in = (th - 1) * stride + 3
+    w_in = _round8((w_out - 1) * stride + 3)
+    kern = functools.partial(
+        _kernel, h_out=h_out, w_out=w_out, cpg=cpg, gpb=gpb, th=th,
+        stride=stride, fuse_affine=fuse_affine, relu=relu,
+        out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, groups // gpb, h_out // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # x (HBM, halo DMA)
+            pl.BlockSpec((None, gpb, 9 * cpg, cpg),
+                         lambda ni, gi, ti: (gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # scale [1, ch]
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bias [1, ch]
+        ],
+        out_specs=pl.BlockSpec(
+            (None, th, w_out, gpb * cpg),
+            lambda ni, gi, ti: (ni, ti, 0, gi),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, ch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_in, w_in, gpb * cpg), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h_out * w_out * 9 * ch * cpg,
+            bytes_accessed=(n * h * w * ch + n * h_out * w_out * ch) * 2,
+            transcendentals=0,
+        ),
+    )(xp, wb, scale.astype(jnp.float32).reshape(1, ch),
+      bias.astype(jnp.float32).reshape(1, ch))
+    return out
+
+
+def reference_grouped_conv3x3(x, w33, scale, bias, groups, stride=1,
+                              relu=False):
+    """XLA formulation with identical semantics (correctness oracle +
+    backward-pass implementation)."""
+    y = lax.conv_general_dilated(
+        x, w33.astype(x.dtype), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+    if scale is not None:
+        y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def _fwd(x, w33, scale, bias, groups, stride, relu):
+    out = _forward(x, w33, scale, bias, groups, stride, relu)
+    return out, (x, w33, scale, bias, out)
+
+
+def _bwd(groups, stride, relu, res, g):
+    x, w33, scale, bias, out = res
+    # differentiate the XLA reference formulation (same math)
+    def f(x_, w_, s_, b_):
+        return reference_grouped_conv3x3(x_, w_, s_, b_, groups, stride,
+                                         relu)
+
+    if scale is None:
+        def f2(x_, w_):
+            return f(x_, w_, None, None)
+
+        dx, dw = jax.vjp(f2, x, w33)[1](g)
+        return dx, dw, None, None
+    dx, dw, ds, db = jax.vjp(f, x, w33, scale, bias)[1](g)
+    return dx, dw, ds, db
+
+
+grouped_conv3x3.defvjp(_fwd, _bwd)
