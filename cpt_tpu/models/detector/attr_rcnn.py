@@ -89,36 +89,55 @@ class AttrRCNN(nn.Module):
 
         self.rpn_head(feats[:1, :1, :1, :])                 # param coverage
 
-        pooled = jax.vmap(lambda f: roi_align(
-            f, force_boxes, spatial_scale=rh.pooler_scale,
-            pooled=rh.pooler_resolution,
-            sampling=rh.pooler_sampling_ratio))(feats)      # [C, M, P, P, ch]
-        flat = pooled.reshape((n_copies * m,) + pooled.shape[2:])
-        x = self.box_extractor.run_head(flat)               # stage5
-        cls_logits, _deltas, pooled_vec = self.box_predictor(x)
+        def run_chunk(boxes_chunk):
+            """Pool + stage5 + predict for one chunk of RoI slots — the
+            pooled [C, ck, 14, 14, 1024] tensor is the peak-memory hog of
+            extraction (3.3 GB at C=64/M=128); chunking caps it so larger
+            copy batches fit HBM (``roi_heads.head_chunk``)."""
+            ck = boxes_chunk.shape[0]
+            pooled = jax.vmap(lambda f: roi_align(
+                f, boxes_chunk, spatial_scale=rh.pooler_scale,
+                pooled=rh.pooler_resolution,
+                sampling=rh.pooler_sampling_ratio))(feats)  # [C, ck, P, P, ch]
+            flat = pooled.reshape((n_copies * ck,) + pooled.shape[2:])
+            x = self.box_extractor.run_head(flat)           # stage5
+            cls_logits, _deltas, pooled_vec = self.box_predictor(x)
+            prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+            fg = prob[:, 1:]
+            scores = jnp.max(fg, axis=-1).reshape(n_copies, ck)
+            labels = (jnp.argmax(fg, axis=-1) + 1).reshape(n_copies, ck)
+            res = (scores, labels, pooled_vec.reshape(n_copies, ck, -1),
+                   prob.reshape(n_copies, ck, -1))
+            if with_attributes:
+                apooled = jax.vmap(lambda f: roi_align(
+                    f, boxes_chunk, spatial_scale=rh.pooler_scale,
+                    pooled=rh.pooler_resolution,
+                    sampling=rh.pooler_sampling_ratio))(feats)
+                ax = self.attr_extractor.run_head(
+                    apooled.reshape((n_copies * ck,) + apooled.shape[2:]))
+                attr_logits, _ = self.attr_predictor(ax, labels.reshape(-1))
+                res += (attr_logits.astype(jnp.float32).reshape(
+                    n_copies, ck, -1),)
+            return res
 
-        prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
-        fg = prob[:, 1:]
-        scores = jnp.max(fg, axis=-1).reshape(n_copies, m)
-        labels = (jnp.argmax(fg, axis=-1) + 1).reshape(n_copies, m)
+        ck = rh.head_chunk
+        if ck and m > ck and m % ck == 0:
+            parts = [run_chunk(force_boxes[i:i + ck])
+                     for i in range(0, m, ck)]
+            merged = tuple(jnp.concatenate(t, axis=1) for t in zip(*parts))
+        else:
+            merged = run_chunk(force_boxes)
+        scores, labels, box_features, scores_all = merged[:4]
         out = {
             "boxes": jnp.broadcast_to(force_boxes, (n_copies, m, 4)),
             "scores": jnp.where(force_valid[None], scores, 0.0),
             "labels": jnp.where(force_valid[None], labels, 0),
-            "box_features": pooled_vec.reshape(n_copies, m, -1),
-            "scores_all": prob.reshape(n_copies, m, -1),
+            "box_features": box_features,
+            "scores_all": scores_all,
             "valid": jnp.broadcast_to(force_valid, (n_copies, m)),
         }
         if with_attributes:
-            apooled = jax.vmap(lambda f: roi_align(
-                f, force_boxes, spatial_scale=rh.pooler_scale,
-                pooled=rh.pooler_resolution,
-                sampling=rh.pooler_sampling_ratio))(feats)
-            ax = self.attr_extractor.run_head(
-                apooled.reshape((n_copies * m,) + apooled.shape[2:]))
-            attr_logits, _ = self.attr_predictor(ax, labels.reshape(-1))
-            out["attr_logits"] = attr_logits.astype(jnp.float32).reshape(
-                n_copies, m, -1)
+            out["attr_logits"] = merged[4]
         return out
 
     def __call__(self, image: Array, image_hw: Array,

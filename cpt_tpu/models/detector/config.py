@@ -8,7 +8,7 @@ exactly the knobs the CPT extraction + detector-training paths use.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -69,6 +69,11 @@ class ROIHeadsConfig:
     # POOLER_SAMPLING_RATIO = 0; max grid 8 covers any RoI ≤ 1790px at 1/16
     pooler_sampling_ratio: int = 0
     cls_agnostic_bbox_reg: bool = False
+    # force-boxes head RoI-slot chunking (extraction peak-memory cap): the
+    # pooled [C, M, 14, 14, 1024] tensor dominates HBM at large copy
+    # batches; processing M in chunks of this size lets C grow instead.
+    # None = no chunking.
+    head_chunk: Optional[int] = 32
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     batch_size_per_image: int = 384
     positive_fraction: float = 0.5

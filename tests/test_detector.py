@@ -289,3 +289,27 @@ def test_batched_force_matches_single(tiny_rcnn):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(batched["labels"][0]),
                                   np.asarray(single0["labels"]))
+
+
+def test_head_chunking_matches_unchunked(tiny_rcnn):
+    """roi_heads.head_chunk processes RoI slots in chunks (extraction
+    peak-memory cap); outputs must equal the single-pass path exactly."""
+    import dataclasses
+
+    cfg, _, params, image, hw, boxes, valid, _ = tiny_rcnn
+    cfg_one = dataclasses.replace(
+        cfg, roi_heads=dataclasses.replace(cfg.roi_heads, head_chunk=None))
+    cfg_ck = dataclasses.replace(
+        cfg, roi_heads=dataclasses.replace(cfg.roi_heads, head_chunk=2))
+    imgs = jnp.stack([image, image * 0.7])
+    outs = []
+    for c in (cfg_one, cfg_ck):
+        m = AttrRCNN(c)
+        outs.append(m.apply(params, imgs, hw, boxes, valid,
+                            with_attributes=True,
+                            method=m.forward_batch_force))
+    for k in ("scores", "labels", "box_features", "scores_all",
+              "attr_logits"):
+        np.testing.assert_allclose(np.asarray(outs[0][k]),
+                                   np.asarray(outs[1][k]),
+                                   atol=1e-6, rtol=1e-6, err_msg=k)
