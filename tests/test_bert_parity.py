@@ -135,6 +135,7 @@ def test_pretraining_heads_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_task_param_mapping():
     torch.manual_seed(6)
     ref_model = BertForPreTraining(hf_config())
@@ -177,6 +178,7 @@ def test_extend_attention_mask_values():
     np.testing.assert_array_equal(np.asarray(bias[0, 0, 0]), [0.0, 0.0, -10000.0])
 
 
+@pytest.mark.slow
 def test_dis_code_variants_run():
     """The discrete-code image-feature variants (reference
     `modeling_bert.py:167-176,249-259`) build and run."""
@@ -205,6 +207,7 @@ def test_dis_code_variants_run():
         assert np.isfinite(np.asarray(pooled)).all()
 
 
+@pytest.mark.slow
 def test_history_states_match_full_forward():
     """KV-history incremental attention (reference CaptionBertSelfAttention
     history_state path): attending over [history ; current] must equal the

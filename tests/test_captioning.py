@@ -72,6 +72,7 @@ def _setup_model():
     return model, params, t, feats, batch
 
 
+@pytest.mark.slow
 def test_caption_training_loss_decreases():
     model, params, t, feats, _ = _setup_model()
     tx = optax.adam(3e-3)
@@ -117,6 +118,7 @@ def _gen_context(feats):
             jnp.asarray(f[None]))
 
 
+@pytest.mark.slow
 def test_greedy_and_beam_shapes():
     model, params, _, feats, _ = _setup_model()
     segs, attn, f = _gen_context(feats)
@@ -131,6 +133,7 @@ def test_greedy_and_beam_shapes():
     assert isinstance(text, str)
 
 
+@pytest.mark.slow
 def test_sampling_is_deterministic_given_key():
     import dataclasses
 
@@ -154,6 +157,7 @@ def test_cider_scores():
     assert perfect > partial > wrong >= 0.0
 
 
+@pytest.mark.slow
 def test_scst_step_finite():
     from cpt_tpu.engine.scst import scst_step
 

@@ -1,5 +1,6 @@
 """Deformable conv v1/v2 vs plain-conv equivalence and a scalar golden."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,7 @@ def test_stride2_shape_and_golden():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_dfconv_module_v1_zero_init_is_plain_conv():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(1, 5, 5, 4).astype(np.float32))
@@ -96,6 +98,7 @@ def test_dfconv_module_v1_zero_init_is_plain_conv():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dfconv_v2_gradients_flow_to_offsets():
     x = jnp.ones((1, 5, 5, 3))
     mod = DFConv2d(features=2, with_modulated_dcn=True)

@@ -82,6 +82,7 @@ def test_warmup_multistep_schedule():
     assert abs(float(sched(250)) - 0.01) < 1e-7
 
 
+@pytest.mark.slow
 def test_freeze_mask_structure():
     cfg = tiny_detector_config()
     model = AttrRCNN(cfg)
@@ -106,6 +107,7 @@ def test_freeze_mask_structure():
     assert all(lookup("rpn", "conv", "kernel"))
 
 
+@pytest.mark.slow
 def test_detector_training_reduces_loss(tmp_path):
     cfg = tiny_detector_config()
     trainer = AttrRCNNTrainer(cfg)
@@ -163,6 +165,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(ckpt_lib.list_checkpoints(str(tmp_path))) == 2
 
 
+@pytest.mark.slow
 def test_train_detector_cli(tmp_path):
     from cpt_tpu.tools.train_detector import main
 
@@ -192,6 +195,7 @@ def test_save_load_model_roundtrip(tmp_path):
     assert os.path.exists(tmp_path / "config.json")
 
 
+@pytest.mark.slow
 def test_batched_dp_sharded_train_step():
     """Image-batched detector training sharded over a dp mesh: loss is
     finite and params update; matches the unsharded batched step."""

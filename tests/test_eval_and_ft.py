@@ -51,6 +51,7 @@ def test_check_expected_results(capsys):
     assert not check_expected_results(results, [("mAP", 0.60, 0.02)])
 
 
+@pytest.mark.slow
 def test_refcoco_ft_driver_learns(tmp_path):
     from cpt_tpu.data.synthetic import generate_refcoco_fixture
     from cpt_tpu.tools.refcoco_ft import main
@@ -107,6 +108,7 @@ def test_vcr_ft_variant_runs(tmp_path_factory):
     assert 0.0 <= acc <= 100.0
 
 
+@pytest.mark.slow
 def test_run_gqa_wrapper(tmp_path):
     from cpt_tpu.utils.tsv import encode_feature, tsv_writer
     from cpt_tpu.tools.run_gqa import main

@@ -1,5 +1,6 @@
 """MsViT backbone + 2-D sliding-chunk attention."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,7 @@ def test_sliding_chunk_locality():
     assert np.abs(pert[0, 0, center] - base[0, 0, center]).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_msvit_backbone_shapes_and_grads():
     model = MsViT(arch="l1,h2,d16,n1,s1,g1,p4,f4,a1_l2,h2,d32,n1,s0,g0,p2",
                   window=4)

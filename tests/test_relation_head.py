@@ -123,6 +123,7 @@ def test_reldn_learns(head_setup):
     assert int(jnp.argmax(logits[0])) == 2
 
 
+@pytest.mark.slow
 def test_scene_parser_inference_and_training(rng):
     from cpt_tpu.models.detector.rpn import grid_anchors
     from cpt_tpu.models.detector.scene_parser import (SceneParser,

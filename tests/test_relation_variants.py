@@ -144,6 +144,7 @@ def test_motif_sort_orders():
     assert int(perm_v[-1]) == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("algo", ["sg_imp", "sg_msdn", "sg_grcnn", "sg_nm"])
 def test_scene_parser_algorithm_switch(algo):
     """Every relation algorithm plugs into SceneParser end to end."""

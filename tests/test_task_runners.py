@@ -68,6 +68,7 @@ def test_run_vqa_learns(fixture, tmp_path):
     assert acc >= 75.0, f"VQA failed to learn: {acc}"
 
 
+@pytest.mark.slow
 def test_run_vqa_dp_best_model_and_submission(fixture, tmp_path):
     """dp-sharded training + eval_every best-model selection + test2015
     submission output (reference run_vqa.py:815-840 format)."""
@@ -126,6 +127,7 @@ def test_run_gqa_submission_format(fixture, tmp_path):
     assert all(isinstance(r["questionId"], str) for r in sub)
 
 
+@pytest.mark.slow
 def test_run_nlvr_runs(fixture):
     from cpt_tpu.tools.run_nlvr import main
 
@@ -140,6 +142,7 @@ def test_run_nlvr_runs(fixture):
     assert acc >= 75.0, f"NLVR failed to learn: {acc}"
 
 
+@pytest.mark.slow
 def test_run_retrieval_ranks(fixture):
     from cpt_tpu.tools.run_retrieval import main
 
@@ -158,6 +161,7 @@ def test_run_retrieval_ranks(fixture):
                             for k in (1, 5, 10)}
 
 
+@pytest.mark.slow
 def test_run_pretrain_loss_drops(fixture):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
 
@@ -171,6 +175,7 @@ def test_run_pretrain_loss_drops(fixture):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_run_mlm_text_only(fixture):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
 
@@ -184,6 +189,7 @@ def test_run_mlm_text_only(fixture):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_run_captioning_end_to_end(fixture, tmp_path):
     from cpt_tpu.tools.run_captioning import main
 

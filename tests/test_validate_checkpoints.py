@@ -20,6 +20,7 @@ def test_dryrun_end_to_end(tmp_path):
     assert report["windowed_drift"]["label_agreement"] == 1.0
 
 
+@pytest.mark.slow
 def test_random_state_dicts_convert():
     """The random layouts convert into trees matching real model params."""
     import jax

@@ -68,6 +68,7 @@ def test_vcr_rationale_conditioning(vcr_data):
     assert chosen_word_id in ids  # answer text present in question
 
 
+@pytest.mark.slow
 def test_vcr_cli_learns(tmp_path, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("vcr_learn"))
     paths = generate_vcr_fixture(root, n_questions=8, n_choices=2,
@@ -148,6 +149,7 @@ def test_vg_recall_eval_perfect_predictions():
     assert out_bad["R@20"] == 50.0
 
 
+@pytest.mark.slow
 def test_vg_cli_runs_and_scores(tmp_path, vg_data):
     _, _, paths = vg_data
     from cpt_tpu.tools.vg_cpt import main

@@ -1,6 +1,7 @@
 """Windowed-recompute extraction: exact when halo covers the receptive
 field; measurable drift when it doesn't; origin/fits host logic."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def _windowed(cfg, model, params, image, rects, args, window, halo):
     return out, fits
 
 
+@pytest.mark.slow
 def test_windowed_exact_with_sufficient_halo():
     cfg, model, params, image, rects, args = _setup()
     exact = _exact(cfg, model, params, image, args)
@@ -74,6 +76,7 @@ def test_windowed_exact_with_sufficient_halo():
     assert d["label_agreement"] == 1.0
 
 
+@pytest.mark.slow
 def test_windowed_drift_grows_with_small_halo():
     cfg, model, params, image, rects, args = _setup()
     exact = _exact(cfg, model, params, image, args)
@@ -99,6 +102,7 @@ def test_window_origins_clamp_and_fit():
     assert (origins % 16 == 0).all()
 
 
+@pytest.mark.slow
 def test_extractor_windowed_mode_matches_full(tmp_path):
     """Extractor(windowed=True) routes fitting copies through the windowed
     path, the rest through the full path, and matches the exact extractor
@@ -132,6 +136,7 @@ def test_extractor_windowed_mode_matches_full(tmp_path):
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_windowed_mask_painting_exact():
     """Mask-painted copies (VCR-style) through the windowed path match the
     exact full path with sufficient halo."""
@@ -180,6 +185,7 @@ def test_mask_bboxes():
     np.testing.assert_array_equal(bb[1, 0], [0, 0, 0, 0])  # empty
 
 
+@pytest.mark.slow
 def test_extractor_windowed_mask_tasks():
     """Extractor(windowed=True, with_masks=True) on a VCR-style mask task
     matches the exact extractor."""
@@ -243,6 +249,7 @@ def test_windowed_guard_falls_back_for_deep_backbone():
     assert allowed.windowed and allowed._windowed_approx
 
 
+@pytest.mark.slow
 def test_windowed_drift_harness_runs_on_first_task():
     """With allow_approximate and halo < RF, the first windowed task
     auto-measures drift vs the exact path and records it."""
@@ -272,6 +279,7 @@ def test_windowed_drift_harness_runs_on_first_task():
     assert 0 <= wnd.last_drift["label_agreement"] <= 1
 
 
+@pytest.mark.slow
 def test_sharded_windowed_matches_single_device():
     from cpt_tpu.engine.windowed import make_sharded_windowed_fn
     from cpt_tpu.parallel.mesh import make_mesh
