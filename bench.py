@@ -86,7 +86,7 @@ def bench_scoring():
     return BATCH * n_iter / dt
 
 
-def bench_extraction(c=64, h=640, w=1024):
+def bench_extraction(c=128, h=640, w=1024):
     """Stage-1 VinVL X152-C4 extraction copies/s (single-call wall-clock)."""
     from cpt_tpu.engine.extract import make_extract_fn
     from cpt_tpu.models.detector.attr_rcnn import AttrRCNN

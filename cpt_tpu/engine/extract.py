@@ -127,9 +127,11 @@ class Extractor:
     """Host-side driver: chunks copies, invokes the jitted extractor, and
     assembles per-task TSV rows."""
 
-    # largest measured-safe chunk: C=64 at 640×1024 fits v5e HBM, C=128
-    # OOMs (PERF.md) → budget ≈ 64 · 640 · 1024 canvas pixels per chunk
-    AUTO_CHUNK_PIXEL_BUDGET = 64 * 640 * 1024
+    # largest measured-safe chunk: with RoI-slot head chunking
+    # (roi_heads.head_chunk) C=128 at 640×1024 fits v5e HBM and is the
+    # measured throughput knee (90.8 copies/s vs 84.4 at C=96; C=64 OOM
+    # limit before chunking) → budget ≈ 128 · 640 · 1024 pixels per chunk
+    AUTO_CHUNK_PIXEL_BUDGET = 128 * 640 * 1024
 
     def __init__(self, model: AttrRCNN, params, cfg: DetectorConfig,
                  labelmap: Optional[Dict[int, str]] = None,
@@ -206,14 +208,14 @@ class Extractor:
     def chunk_for(self, h: int, w: int, remaining: Optional[int] = None
                   ) -> int:
         """Chunk size for a canvas: fixed if configured, else the largest
-        power of two fitting the pixel budget (min 1, max 64), shrunk to
+        power of two fitting the pixel budget (min 1, max 128), shrunk to
         the next power of two ≥ ``remaining`` so small tasks and tail
         chunks don't pay for padded copies (each size is one cached
-        compile; ≤7 specializations per bucket)."""
+        compile; ≤8 specializations per bucket)."""
         if self.chunk is not None:
             return self.chunk
         c = self.AUTO_CHUNK_PIXEL_BUDGET // (h * w)
-        c = max(1, min(64, c))
+        c = max(1, min(128, c))
         c = 1 << (c.bit_length() - 1)          # stable compile shapes
         if remaining is not None and remaining > 0:
             need = 1 << max(remaining - 1, 0).bit_length()  # next pow2 ≥ n

@@ -11,6 +11,7 @@ from cpt_tpu.models.detector.extra_heads import (
     select_class_masks)
 
 
+@pytest.mark.slow
 def test_mask_head_shapes_and_loss():
     head = MaskHead(num_classes=5, conv_layers=(8, 8), dim_reduced=8)
     x = jnp.ones((3, 7, 7, 4))
@@ -63,6 +64,7 @@ def test_keypoint_head_and_decode():
     assert float(score[0, 0]) == 9.0
 
 
+@pytest.mark.slow
 def test_retinanet_head_train_and_infer():
     feats = [jnp.ones((1, 8, 8, 16)), jnp.ones((1, 4, 4, 16))]
     head = RetinaNetHead(num_classes=3, num_anchors=9, num_convs=1)

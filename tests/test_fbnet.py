@@ -41,6 +41,7 @@ def test_irf_block_residual_and_stride():
     assert blk3.apply(params3, x3).shape == (1, 8, 8, 32)
 
 
+@pytest.mark.slow
 def test_fbnet_default_trunk():
     model = FBNetTrunk()
     x = jnp.ones((1, 64, 64, 3))

@@ -10,6 +10,7 @@ from cpt_tpu.models.detector.fpn import (ResNetFPN, fpn_level_map,
                                          multilevel_roi_align)
 
 
+@pytest.mark.slow
 def test_fpn_pyramid_shapes(rng):
     cfg = tiny_detector_config().backbone
     model = ResNetFPN(cfg, out_channels=32)
@@ -51,6 +52,7 @@ def test_multilevel_pooling_selects_by_level(rng):
     np.testing.assert_allclose(np.asarray(out[1]), 2.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fpn_detector_composes_end_to_end():
     """ResNetFPN + multi-level pooling + 2-MLP box head compose into a
     working detector forward (the reference's generalized R-*-FPN path)."""

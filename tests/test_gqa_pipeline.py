@@ -69,6 +69,7 @@ def test_gqa_answer_token_ids(gqa_data):
         tok.convert_tokens_to_ids("green")]
 
 
+@pytest.mark.slow
 def test_gqa_cli_learns(tmp_path, gqa_data):
     _, _, paths = gqa_data
     from cpt_tpu.tools.gqa_cpt import main

@@ -79,6 +79,7 @@ def test_msvit_backbone_shapes_and_grads():
                for t in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_msvit_global_token_sees_everything():
     """Perturbing any grid position changes every output through the
     global token (information highway)."""

@@ -60,6 +60,7 @@ def test_dp_sharded_eval_matches_single(model_and_params, devices8):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step(model_and_params, devices8):
     from cpt_tpu.engine import train as train_lib
 
@@ -118,6 +119,7 @@ def test_process_allgather_single_process():
     np.testing.assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_train_step_matches(model_and_params, devices8):
     """FSDP-style param sharding: same loss/updates as unsharded."""
     from cpt_tpu.engine import train as train_lib
@@ -165,6 +167,7 @@ def test_fsdp_sharded_train_step_matches(model_and_params, devices8):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_extraction_over_dp_mesh():
     """Copies shard over dp; outputs match the single-device path."""
     import numpy as np
@@ -208,6 +211,7 @@ def test_sharded_extraction_over_dp_mesh():
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_extractor_with_mesh_matches_plain():
     import numpy as np
 

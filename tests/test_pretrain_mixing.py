@@ -84,6 +84,7 @@ def test_chunk_range_sharding(corpus_root):
     assert len(data) == 9
 
 
+@pytest.mark.slow
 def test_driver_yaml_path(corpus_root, tmp_path):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
 

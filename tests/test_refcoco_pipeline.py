@@ -109,6 +109,7 @@ def test_zero_shot_eval_runs(dataset):
     assert len(preds) == N_QUERIES
 
 
+@pytest.mark.slow
 def test_prompt_tuning_learns(dataset):
     data, tok = dataset
     model = REC_MLM_CPT(CFG)
@@ -149,6 +150,7 @@ def test_lr_schedule_reference_shape():
     assert float(sched(200)) == pytest.approx(1e-8)
 
 
+@pytest.mark.slow
 def test_refcoco_cli_dp_mesh(tmp_path):
     """--dp shards zero-shot eval over a CPU mesh; accuracy matches dp=1."""
     from cpt_tpu.data.synthetic import generate_refcoco_fixture

@@ -173,6 +173,7 @@ def test_balanced_pair_sample():
     assert (kept >= 1).sum() == 2
 
 
+@pytest.mark.slow
 def test_reldn_contrastive_losses():
     from cpt_tpu.models.detector.relation_head import (
         _grouped_margin_loss, reldn_contrastive_losses)

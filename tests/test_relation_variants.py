@@ -32,6 +32,7 @@ def test_incidence_maps():
     (MSDNHead, dict(dim=16, update_step=2)),
     (GRCNNHead, dict(dim=16, feat_update_step=1, score_update_step=1)),
 ])
+@pytest.mark.slow
 def test_variant_shapes_and_grads(cls, kw):
     head = cls(num_obj_classes=7, num_rel_classes=5, **kw)
     params = jax.jit(head.init)(jax.random.PRNGKey(0), OBJ, PRED, PAIRS,
@@ -102,6 +103,7 @@ def _motif_inputs():
     return head, obj, dists, boxes, hw, ov, uf, pairs, pv
 
 
+@pytest.mark.slow
 def test_motif_head_eval_and_teacher_forcing():
     mod, obj, dists, boxes, hw, ov, uf, pairs, pv = _motif_inputs()
     head = mod.NeuralMotifHead(num_obj_classes=7, num_rel_classes=5,

@@ -158,9 +158,9 @@ def test_auto_chunking_by_canvas():
     ex = Extractor.__new__(Extractor)           # chunk_for needs no model
     ex.chunk = None
     ex.mesh = None
-    assert ex.chunk_for(640, 1024) == 64
-    assert ex.chunk_for(1024, 1024) == 32
-    assert ex.chunk_for(2048, 2048) == 8
+    assert ex.chunk_for(640, 1024) == 128
+    assert ex.chunk_for(1024, 1024) == 64
+    assert ex.chunk_for(2048, 2048) == 16
     assert ex.chunk_for(10000, 10000) == 1       # floor
     ex.chunk = 8
     assert ex.chunk_for(640, 1024) == 8          # explicit wins
@@ -174,7 +174,8 @@ def test_auto_chunking_adapts_to_remaining_copies():
     ex.mesh = None
     # a 10-copy RefCOCO task at 640x1024: 16-slot chunk, not 64
     assert ex.chunk_for(640, 1024, remaining=10) == 16
-    assert ex.chunk_for(640, 1024, remaining=80) == 64   # capped by budget
+    assert ex.chunk_for(640, 1024, remaining=80) == 128  # next pow2 >= 80
+    assert ex.chunk_for(640, 1024, remaining=200) == 128  # budget cap
     assert ex.chunk_for(640, 1024, remaining=3) == 4
     assert ex.chunk_for(640, 1024, remaining=1) == 1
     # tail of an 80-copy task after one 64-chunk: 16 remaining -> 16

@@ -122,6 +122,7 @@ def test_img_info_cli(tmp_path):
     assert pickle.load(open(tmp_path / "cnt.pk", "rb")) == 4
 
 
+@pytest.mark.slow
 def test_detector_eval_cli(tmp_path, capsys):
     """test_detector synthetic mode: RPN-mode eval + VOC & COCO metrics +
     expected-results assertion."""
@@ -158,6 +159,7 @@ def test_explore_cli_template_sweep(tmp_path, capsys):
     assert json.load(open(tmp_path / "sweep.json")) == results
 
 
+@pytest.mark.slow
 def test_explore_cli_color_sweep(tmp_path):
     """explore.py colors mode: one predictions.tsv per color."""
     from cpt_tpu.data.synthetic import generate_refcoco_fixture

@@ -53,6 +53,7 @@ def fixture(tmp_path_factory):
     return {"feat_file": feat_file, "root": root, "signals": signals}
 
 
+@pytest.mark.slow
 def test_run_vqa_learns(fixture, tmp_path):
     from cpt_tpu.tools.run_vqa import main
 
