@@ -170,35 +170,60 @@ class Extractor:
         self.windowed = windowed
         self._windowed_approx = False
         self._drift_logged = False
+        self.windowed_mode = None
         if windowed:
-            from cpt_tpu.engine.windowed import (backbone_receptive_field,
+            from cpt_tpu.engine.windowed import backbone_receptive_field
+
+            split = 2
+            rf_full = backbone_receptive_field(cfg)
+            deep = len(cfg.backbone.stage_blocks) > split
+            rf_early = (backbone_receptive_field(cfg, split)
+                        if deep else rf_full)
+            map_stride = 4 * 2 ** (split - 1)
+            if halo >= rf_full:
+                self.windowed_mode = "one_level"     # exact: halo >= full RF
+            elif deep and halo >= rf_early and halo % map_stride == 0:
+                # two-level EXACT: early stages per copy (RF through them
+                # is only rf_early px), late stages on the patched map
+                self.windowed_mode = "two_level"
+                logger.info(
+                    "windowed extraction: two-level EXACT mode (halo %d >= "
+                    "early-stage RF %d; full RF %d would need one-level)",
+                    halo, rf_early, rf_full)
+            elif allow_approximate:
+                self.windowed_mode = "one_level"
+                self._windowed_approx = True
+                logger.warning(
+                    "windowed extraction is APPROXIMATE for this backbone "
+                    "(halo %d < receptive-field radius %d px); proceeding "
+                    "per allow_approximate=True — feature_drift will be "
+                    "measured on the first task", halo, rf_full)
+            else:
+                logger.warning(
+                    "windowed extraction disabled: halo %d < backbone "
+                    "receptive-field radius %d px (and < early-stage RF "
+                    "%d for the exact two-level mode). Falling back to "
+                    "the exact full-canvas path (pass "
+                    "allow_approximate=True to override).",
+                    halo, rf_full, rf_early)
+                self.windowed = windowed = False
+        if windowed:
+            from cpt_tpu.engine.windowed import (make_base_early_fn,
                                                  make_base_features_fn,
+                                                 make_two_level_extract_fn,
                                                  make_windowed_extract_fn)
 
-            rf = backbone_receptive_field(cfg)
-            if halo < rf:
-                if allow_approximate:
-                    self._windowed_approx = True
-                    logger.warning(
-                        "windowed extraction is APPROXIMATE for this "
-                        "backbone (halo %d < receptive-field radius %d px); "
-                        "proceeding per allow_approximate=True — "
-                        "feature_drift will be measured on the first task",
-                        halo, rf)
-                else:
-                    logger.warning(
-                        "windowed extraction disabled: halo %d < backbone "
-                        "receptive-field radius %d px, so features would "
-                        "be approximate. Falling back to the exact "
-                        "full-canvas path (pass allow_approximate=True to "
-                        "override).", halo, rf)
-                    self.windowed = windowed = False
-        if windowed:
             self.window, self.halo = window, halo
-            self.base_fn = make_base_features_fn(model, cfg)
-            self.wfn = make_windowed_extract_fn(
-                model, cfg, window=window, halo=halo,
-                inclusive_paint=inclusive_paint, with_masks=with_masks)
+            if self.windowed_mode == "two_level":
+                self.base_fn = make_base_early_fn(model, cfg, split)
+                self.wfn = make_two_level_extract_fn(
+                    model, cfg, window=window, halo=halo, split_stage=split,
+                    inclusive_paint=inclusive_paint, with_masks=with_masks)
+            else:
+                self.base_fn = make_base_features_fn(model, cfg)
+                self.wfn = make_windowed_extract_fn(
+                    model, cfg, window=window, halo=halo,
+                    inclusive_paint=inclusive_paint, with_masks=with_masks)
         self.infer_seconds = 0.0
         self.n_copies = 0
 

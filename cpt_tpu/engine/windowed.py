@@ -34,7 +34,8 @@ Array = jax.Array
 STRIDE = 16
 
 
-def backbone_receptive_field(cfg: DetectorConfig) -> int:
+def backbone_receptive_field(cfg: DetectorConfig,
+                             n_stages: Optional[int] = None) -> int:
     """Receptive-field RADIUS (input pixels) of the C4 body.
 
     Computed from the configured architecture (stem 7×7/s2 + 3×3/s2 maxpool,
@@ -43,13 +44,18 @@ def backbone_receptive_field(cfg: DetectorConfig) -> int:
     A painted pixel can influence C4 features up to this radius away, so the
     windowed paste is exact iff ``halo >= backbone_receptive_field(cfg)``.
     Tiny test config → 21 px (< default halo 96: exact); X152-C4 → 645 px
-    (windowed is an approximation at any practical halo).
+    (windowed is an approximation at any practical halo). With
+    ``n_stages``, the radius through stem + the first n stages only —
+    X152 through stage 2 is just 77 px, which makes the TWO-LEVEL windowed
+    path (early stages per copy, late stages on the patched map) exact at
+    halo ≥ 80.
     """
     b = cfg.backbone
     radius, jump = 0, 1
     radius += 3 * jump; jump *= 2      # stem conv 7×7 stride 2
     radius += 1 * jump; jump *= 2      # stem maxpool 3×3 stride 2
-    for i, blocks in enumerate(b.stage_blocks):
+    stage_blocks = b.stage_blocks[:n_stages]
+    for i, blocks in enumerate(stage_blocks):
         for j in range(blocks):
             s = 2 if (i > 0 and j == 0) else 1
             if b.stride_in_1x1:
@@ -163,6 +169,105 @@ def make_windowed_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
 
         patched = jax.vmap(patch)(origins, wfeats)        # [C, h16, w16, ch]
         out = model.apply(params, patched, dets, det_valid,
+                          method=AttrRCNN.heads_from_feats)
+        feats = jax.vmap(lambda bf, bx: region_features_2054(
+            bf.astype(jnp.float32), bx, hw))(out["box_features"],
+                                             out["boxes"])
+        feats = jnp.where(copy_valid[:, None, None], feats,
+                          jnp.zeros_like(feats))
+        return feats, out["labels"], out["scores"]
+
+    return fn
+
+
+def make_base_early_fn(model: AttrRCNN, cfg: DetectorConfig,
+                       split_stage: int = 2):
+    """Jitted: uint8 canvas → early feature map (stem + first
+    ``split_stage`` stages; stride 4·2^(split-1)), once per task."""
+
+    @jax.jit
+    def fn(params, image_u8):
+        x = to_detector_input(image_u8, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        return model.apply(
+            params, x[None],
+            method=lambda m, xs: m.backbone.up_to(xs, split_stage))[0]
+
+    return fn
+
+
+def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
+                              window: Tuple[int, int] = (384, 512),
+                              halo: int = 80, split_stage: int = 2,
+                              inclusive_paint: bool = False,
+                              with_masks: bool = False):
+    """Two-level EXACT windowed extraction.
+
+    Per copy, only stem + the first ``split_stage`` stages are recomputed
+    on the painted window; the trimmed interior pastes into the cached
+    base early map and the remaining stages + heads run on the full
+    (patched) map. Because the receptive field through the early stages is
+    small (77 px for X152 at split 2), ``halo >= backbone_receptive_field(
+    cfg, split_stage)`` makes the paste interior EXACTLY equal to a full
+    recompute — no approximation, unlike the one-level path whose
+    exactness needs the FULL RF. Saves the early stages' cost (the window
+    covers ~3.4× fewer pixels than a 640×1024 canvas) while the deep
+    stage-3 stack stays exact by running on the whole map.
+
+    Same signature/outputs as ``make_windowed_extract_fn``.
+    """
+    from cpt_tpu.ops.render import paste_mask
+
+    wh, ww = window
+    map_stride = 4 * 2 ** (split_stage - 1)
+    t = halo // map_stride
+    assert halo % map_stride == 0 and wh % STRIDE == 0 and ww % STRIDE == 0
+    rf = backbone_receptive_field(cfg, split_stage)
+    assert halo >= rf, (
+        f"two-level windowed requires halo ({halo}) >= early-stage RF "
+        f"({rf}) for exactness")
+
+    @jax.jit
+    def fn(params, image_u8, base_feat, origins, rects, rect_valid,
+           colors, copy_valid, dets, det_valid, hw, masks=None,
+           mask_colors=None):
+        def crop_and_paint(origin, rect_set, rv, color_set, m, mc):
+            crop = jax.lax.dynamic_slice(image_u8,
+                                         (origin[0], origin[1], 0),
+                                         (wh, ww, 3))
+            off = jnp.asarray([origin[1], origin[0], origin[1], origin[0]],
+                              jnp.float32)
+            crop = paste_rects(crop, rect_set - off[None], color_set, rv,
+                               inclusive=inclusive_paint)
+            if with_masks:
+                mcrop = jax.lax.dynamic_slice(m, (origin[0], origin[1]),
+                                              (wh, ww))
+                crop = paste_mask(crop, mcrop, mc)
+            return crop
+
+        if not with_masks:
+            masks = jnp.zeros((origins.shape[0], 1, 1), jnp.uint8)
+            mask_colors = jnp.zeros((origins.shape[0], 4), jnp.uint8)
+        crops = jax.vmap(crop_and_paint)(origins, rects, rect_valid,
+                                         colors, masks, mask_colors)
+        x = to_detector_input(crops, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        wfeats = model.apply(
+            params, x,
+            method=lambda m, xs: m.backbone.up_to(xs, split_stage))
+
+        def patch(origin, wf):
+            inner = wf[t:wf.shape[0] - t, t:wf.shape[1] - t]
+            return jax.lax.dynamic_update_slice(
+                base_feat, inner.astype(base_feat.dtype),
+                (origin[0] // map_stride + t, origin[1] // map_stride + t,
+                 0))
+
+        patched = jax.vmap(patch)(origins, wfeats)   # [C, h8, w8, ch]
+        c4 = model.apply(
+            params, patched,
+            method=lambda m, xs: m.backbone.from_stage(xs, split_stage))
+        out = model.apply(params, c4, dets, det_valid,
                           method=AttrRCNN.heads_from_feats)
         feats = jax.vmap(lambda bf, bx: region_features_2054(
             bf.astype(jnp.float32), bx, hw))(out["box_features"],

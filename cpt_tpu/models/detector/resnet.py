@@ -119,18 +119,26 @@ class Stage(nn.Module):
 
 
 class ResNetC4(nn.Module):
-    """Stem + layer1..layerN body; returns the C4 feature map (stride 16)."""
+    """Stem + layer1..layerN body; returns the C4 feature map (stride 16).
+
+    ``up_to``/``from_stage`` split the body at a stage boundary for the
+    two-level exact windowed extractor (engine/windowed.py): the receptive
+    field through stem+layer1+layer2 is only 77 px (vs 645 for the full
+    body), so per-copy recompute of the early stages on a halo-80 window
+    is exactly equal to full recompute — the late stages then run on the
+    patched stride-8 map.
+    """
 
     config: BackboneConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def setup(self):
         c = self.config
-        x = Stem(c.stem_out_channels, self.dtype, name="stem")(x)
+        self.stem = Stem(c.stem_out_channels, self.dtype)
+        stages = []
         for i, blocks in enumerate(c.stage_blocks):
             factor = 2 ** i
-            x = Stage(
+            stages.append(Stage(
                 block_count=blocks,
                 bottleneck_channels=c.stage2_bottleneck_channels * factor,
                 out_channels=c.res2_out_channels * factor,
@@ -139,8 +147,24 @@ class ResNetC4(nn.Module):
                 stride_in_1x1=c.stride_in_1x1,
                 dtype=self.dtype,
                 name=f"layer{i + 1}",
-            )(x)
+            ))
+        self.stages = stages
+
+    def up_to(self, x: Array, n_stages: int) -> Array:
+        """Stem + the first ``n_stages`` stages (stride 4·2^(n-1) map)."""
+        x = self.stem(x)
+        for st in self.stages[:n_stages]:
+            x = st(x)
         return x
+
+    def from_stage(self, x: Array, n_stages: int) -> Array:
+        """The remaining stages after ``up_to(x, n_stages)``."""
+        for st in self.stages[n_stages:]:
+            x = st(x)
+        return x
+
+    def __call__(self, x: Array) -> Array:
+        return self.from_stage(self.up_to(x, 0), 0)
 
 
 class ResNetC5Head(nn.Module):

@@ -300,3 +300,133 @@ def test_sharded_windowed_matches_single_device():
     for s, d in zip(exact, out):
         np.testing.assert_allclose(np.asarray(s), np.asarray(d),
                                    rtol=2e-3, atol=2e-3)
+
+
+def _deep_cfg():
+    """>2 stages with rf_early(2)=13 << rf_full=101: halo 48 is exact for
+    the two-level split but NOT for one-level."""
+    import dataclasses
+
+    from cpt_tpu.models.detector.config import BackboneConfig
+
+    cfg = tiny_detector_config()
+    return dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone,
+                                          stage_blocks=(1, 1, 6)))
+
+
+def test_two_level_rf_math():
+    from cpt_tpu.engine.windowed import backbone_receptive_field
+    from cpt_tpu.models.detector.config import VINVL_X152C4
+
+    assert backbone_receptive_field(_deep_cfg(), 2) == 13
+    assert backbone_receptive_field(_deep_cfg()) == 101
+    # X152: stem 5 + stage1 12 + stage2 60 = 77 -> halo 80/96 exact
+    assert backbone_receptive_field(VINVL_X152C4, 2) == 77
+
+
+@pytest.mark.slow
+def test_two_level_exactly_matches_full():
+    """Two-level windowed output == exact full-canvas extraction on a
+    backbone whose FULL RF exceeds the halo (one-level would drift)."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_two_level_extract_fn,
+                                         window_origins)
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(5)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    c = 4
+    rects = np.zeros((c, 1, 4), np.float32)
+    for i in range(c):
+        x = 112 + 6 * i
+        rects[i, 0] = [x, 120, x + 16, 136]
+    colors = np.tile(np.asarray([240, 0, 30, 127], np.uint8), (c, 1, 1))
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    args = dict(rects=jnp.asarray(rects), rv=jnp.ones((c, 1), bool),
+                colors=jnp.asarray(colors), cv=jnp.ones((c,), bool),
+                dets=jnp.asarray(dets), dv=jnp.ones((m,), bool),
+                hw=jnp.asarray([CANVAS, CANVAS]))
+    exact = _exact(cfg, model, params, image, args)
+
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    fn = make_two_level_extract_fn(model, cfg, window=(192, 192), halo=48)
+    got = fn(params, image, base, jnp.asarray(origins), args["rects"],
+             args["rv"], args["colors"], args["cv"], args["dets"],
+             args["dv"], args["hw"])
+    d = feature_drift(exact, got)
+    assert d["feat_max_rel"] < 2e-4, d
+    assert d["label_agreement"] == 1.0
+
+    # sanity: ONE-level at the same halo drifts more (48 < full RF 101)
+    one = _windowed(cfg, model, params, image, rects, args,
+                    window=(192, 192), halo=48)[0]
+    d1 = feature_drift(exact, one)
+    assert d1["feat_max_rel"] > d["feat_max_rel"]
+
+
+def test_windowed_mode_selection():
+    """Extractor picks: one_level when halo >= full RF; two_level when
+    halo >= early RF only; disabled below both (unless approximate)."""
+    from cpt_tpu.engine.extract import Extractor
+    from cpt_tpu.models.detector.config import VINVL_X152C4
+
+    tiny = tiny_detector_config()
+    ex1 = Extractor(AttrRCNN(tiny), None, tiny, windowed=True)
+    assert ex1.windowed_mode == "one_level"       # halo 96 >= RF 21
+
+    deep = _deep_cfg()
+    ex2 = Extractor(AttrRCNN(deep), None, deep, windowed=True,
+                    window=(192, 192), halo=48)
+    assert ex2.windowed_mode == "two_level" and not ex2._windowed_approx
+
+    x152 = VINVL_X152C4
+    ex3 = Extractor(AttrRCNN(x152), None, x152, windowed=True)
+    assert ex3.windowed_mode == "two_level"       # 96 >= 77 early RF
+
+    ex4 = Extractor(AttrRCNN(x152), None, x152, windowed=True, halo=64)
+    assert not ex4.windowed                        # 64 < 77, no approx
+    ex5 = Extractor(AttrRCNN(x152), None, x152, windowed=True, halo=64,
+                    allow_approximate=True)
+    assert ex5.windowed_mode == "one_level" and ex5._windowed_approx
+
+
+@pytest.mark.slow
+def test_extractor_two_level_end_to_end():
+    """Extractor(windowed=True) in two-level mode matches the plain
+    extractor on a real task."""
+    rng = np.random.RandomState(6)
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[110.0, 110.0, 140.0, 140.0],
+                       [120.0, 100.0, 150.0, 130.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q0", image, (CANVAS, CANVAS), dets, "q")
+
+    plain = Extractor(model, params, cfg, copies_per_chunk=2)
+    ef, el, es = plain.extract_task(mk())
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=(192, 192), halo=48)
+    assert wnd.windowed_mode == "two_level"
+    wf, wl, ws = wnd.extract_task(mk())
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=2e-4, atol=2e-4)
