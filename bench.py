@@ -126,16 +126,77 @@ def bench_extraction(c=128, h=640, w=1024):
     return c / min(ts)
 
 
+def bench_extraction_two_level(c=128, h=640, w=1024,
+                               window=(384, 512), halo=96):
+    """Stage-1 via the two-level EXACT windowed path (production
+    ``Extractor(windowed=True)`` on X152: per-copy early stages on the
+    painted window — RF through them is 77 px < halo — deep stack on the
+    patched map; features equal the full path). Includes the per-task
+    base-map pass."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_two_level_extract_fn,
+                                         window_origins)
+    from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+    from cpt_tpu.models.detector.config import VINVL_X152C4
+
+    cfg = VINVL_X152C4
+    model = AttrRCNN(cfg, dtype=jnp.bfloat16)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((256, 256, 3)),
+        jnp.asarray([256, 256]), jnp.zeros((m, 4)), jnp.ones((m,), bool))
+    dets = jnp.asarray(np.sort(rng.uniform(0, 600, (m, 2, 2)), axis=1)
+                       .transpose(0, 2, 1).reshape(m, 4).astype(np.float32))
+    dv = jnp.ones((m,), bool)
+    hw = jnp.asarray([h, w])
+    base_fn = make_base_early_fn(model, cfg, 2)
+    wfn = make_two_level_extract_fn(model, cfg, window=window, halo=halo)
+
+    mh, mw = window[0] - 2 * halo - 10, window[1] - 2 * halo - 10
+    y1 = rng.uniform(halo + 5, h - halo - mh - 5, (c, 1))
+    x1 = rng.uniform(halo + 5, w - halo - mw - 5, (c, 1))
+    rects = np.stack([x1, y1, x1 + rng.uniform(20, mw, (c, 1)),
+                      y1 + rng.uniform(20, mh, (c, 1))],
+                     axis=2).reshape(c, 1, 4).astype(np.float32)
+    origins, fits = window_origins(rects, window, (h, w), halo)
+    assert fits.all()
+    rv = jnp.ones((c, 1), bool)
+    colors = jnp.asarray(np.tile(np.asarray([240, 0, 30, 127], np.uint8),
+                                 (c, 1, 1)))
+    cv = jnp.ones((c,), bool)
+    args = (jnp.asarray(origins), jnp.asarray(rects), rv, colors, cv,
+            dets, dv, hw)
+    img = jnp.asarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+    out = wfn(params, img, base_fn(params, img), *args)
+    float(out[0].sum())  # compile + drain
+    ts = []
+    for _ in range(3):
+        img = jnp.asarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+        float(img.sum())
+        t0 = time.perf_counter()
+        out = wfn(params, img, base_fn(params, img), *args)
+        float(out[0].sum())
+        ts.append(time.perf_counter() - t0)
+    return c / min(ts)
+
+
 def main():
     seq_per_sec = bench_scoring()
     if "--stage2-only" in sys.argv:
         copies_per_sec = None
+        two_level = None
     else:
         try:
             copies_per_sec = bench_extraction()
         except Exception:
             traceback.print_exc(file=sys.stderr)
             copies_per_sec = None
+        try:
+            two_level = bench_extraction_two_level()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            two_level = None
 
     if copies_per_sec is None:
         print(json.dumps({
@@ -146,20 +207,28 @@ def main():
         }))
         return
 
-    e2e = 1.0 / (1.0 / copies_per_sec + 1.0 / seq_per_sec)
+    # headline = best EXACT extraction path (two-level windowed produces
+    # features identical to the full path; see engine/windowed.py)
+    best = max(copies_per_sec, two_level or 0.0)
+    e2e = 1.0 / (1.0 / best + 1.0 / seq_per_sec)
+    breakdown = {
+        "extraction_copies_per_sec": round(copies_per_sec, 1),
+        "extraction_vs_baseline": round(
+            copies_per_sec / A100_EXTRACTION_COPIES_PER_SEC, 2),
+        "oscar_scoring_seq_per_sec": round(seq_per_sec, 1),
+        "scoring_vs_baseline": round(
+            seq_per_sec / A100_SCORING_SEQ_PER_SEC, 2),
+    }
+    if two_level is not None:
+        breakdown["two_level_exact_copies_per_sec"] = round(two_level, 1)
+        breakdown["two_level_vs_baseline"] = round(
+            two_level / A100_EXTRACTION_COPIES_PER_SEC, 2)
     print(json.dumps({
         "metric": "cpt_e2e_copies_per_sec",
         "value": round(e2e, 1),
         "unit": "copies/s",
         "vs_baseline": round(e2e / A100_E2E_COPIES_PER_SEC, 2),
-        "breakdown": {
-            "extraction_copies_per_sec": round(copies_per_sec, 1),
-            "extraction_vs_baseline": round(
-                copies_per_sec / A100_EXTRACTION_COPIES_PER_SEC, 2),
-            "oscar_scoring_seq_per_sec": round(seq_per_sec, 1),
-            "scoring_vs_baseline": round(
-                seq_per_sec / A100_SCORING_SEQ_PER_SEC, 2),
-        },
+        "breakdown": breakdown,
     }))
 
 
