@@ -293,14 +293,16 @@ def feature_drift(exact, approx) -> dict:
 
 
 def make_sharded_windowed_fn(model: AttrRCNN, cfg: DetectorConfig, mesh,
-                             **kw):
+                             two_level: bool = False, **kw):
     """Multi-chip windowed extraction: copies (and their windows) shard
     over the mesh's ``dp`` axis; base feature map and params replicate.
     Same linear-scaling argument as ``make_sharded_extract_fn`` — no
-    collectives on the hot path."""
+    collectives on the hot path. ``two_level=True`` shards the exact
+    two-level path instead (same signature)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    base = make_windowed_extract_fn(model, cfg, **kw)
+    base = (make_two_level_extract_fn(model, cfg, **kw) if two_level
+            else make_windowed_extract_fn(model, cfg, **kw))
     copy_sharded = NamedSharding(mesh, P("dp"))
     replicated = NamedSharding(mesh, P())
 

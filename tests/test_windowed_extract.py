@@ -430,3 +430,46 @@ def test_extractor_two_level_end_to_end():
     wf, wl, ws = wnd.extract_task(mk())
     np.testing.assert_array_equal(wl, el)
     np.testing.assert_allclose(wf, ef, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_two_level_matches_single_device():
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_sharded_windowed_fn,
+                                         make_two_level_extract_fn)
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(7)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    c = 4
+    rects = np.zeros((c, 1, 4), np.float32)
+    for i in range(c):
+        x = 112 + 6 * i
+        rects[i, 0] = [x, 120, x + 16, 136]
+    colors = np.tile(np.asarray([240, 0, 30, 127], np.uint8), (c, 1, 1))
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    args = (jnp.asarray(origins), jnp.asarray(rects),
+            jnp.ones((c, 1), bool), jnp.asarray(colors),
+            jnp.ones((c,), bool), jnp.asarray(dets), jnp.ones((m,), bool),
+            jnp.asarray([CANVAS, CANVAS]))
+    single = make_two_level_extract_fn(model, cfg, window=(192, 192),
+                                       halo=48)(params, image, base, *args)
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    sharded = make_sharded_windowed_fn(model, cfg, mesh, two_level=True,
+                                       window=(192, 192), halo=48)(
+        params, image, base, *args)
+    for s, d in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(d),
+                                   rtol=2e-3, atol=2e-3)
