@@ -153,10 +153,13 @@ def bench_extraction_two_level(c=128, h=640, w=1024,
     base_fn = make_base_early_fn(model, cfg, 2)
     wfn = make_two_level_extract_fn(model, cfg, window=window, halo=halo)
 
-    mh, mw = window[0] - 2 * halo - 10, window[1] - 2 * halo - 10
-    y1 = rng.uniform(halo + 5, h - halo - mh - 5, (c, 1))
-    x1 = rng.uniform(halo + 5, w - halo - mw - 5, (c, 1))
-    rects = np.stack([x1, y1, x1 + rng.uniform(20, mw, (c, 1)),
+    # margins: 2·halo per axis + 16 px for the stride-aligned window
+    # origin + slack (rects outside this envelope route to the full path
+    # in production; the bench measures the windowed-eligible case)
+    mh, mw = window[0] - 2 * halo - 40, window[1] - 2 * halo - 40
+    y1 = rng.uniform(halo + 21, h - halo - mh - 21, (c, 1))
+    x1 = rng.uniform(halo + 21, w - halo - mw - 21, (c, 1))
+    rects = np.stack([x1, y1, x1 + rng.uniform(20, mh, (c, 1)),
                       y1 + rng.uniform(20, mh, (c, 1))],
                      axis=2).reshape(c, 1, 4).astype(np.float32)
     origins, fits = window_origins(rects, window, (h, w), halo)
