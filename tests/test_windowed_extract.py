@@ -235,16 +235,21 @@ def test_backbone_receptive_field():
 
 
 def test_windowed_guard_falls_back_for_deep_backbone():
-    """Extractor(windowed=True) on X152 (halo < RF) silently-approximate is
-    forbidden: it must fall back to the exact path unless allow_approximate."""
+    """Silent approximation is forbidden: below the two-level threshold
+    (halo < early-stage RF 77 on X152) windowed falls back to the exact
+    path unless allow_approximate; at the default halo 96 the two-level
+    EXACT mode engages instead."""
     from cpt_tpu.engine.extract import Extractor
     from cpt_tpu.models.detector.config import VINVL_X152C4
 
     cfg = VINVL_X152C4
     model = AttrRCNN(cfg)
-    guarded = Extractor(model, None, cfg, windowed=True)
-    assert not guarded.windowed
-    allowed = Extractor(model, None, cfg, windowed=True,
+    default = Extractor(model, None, cfg, windowed=True)
+    assert default.windowed and default.windowed_mode == "two_level"
+    assert not default._windowed_approx
+    guarded = Extractor(model, None, cfg, windowed=True, halo=64)
+    assert not guarded.windowed                 # 64 < 77, no approx
+    allowed = Extractor(model, None, cfg, windowed=True, halo=64,
                         allow_approximate=True)
     assert allowed.windowed and allowed._windowed_approx
 
@@ -253,8 +258,15 @@ def test_windowed_guard_falls_back_for_deep_backbone():
 def test_windowed_drift_harness_runs_on_first_task():
     """With allow_approximate and halo < RF, the first windowed task
     auto-measures drift vs the exact path and records it."""
+    import dataclasses
+
     rng = np.random.RandomState(3)
-    cfg = tiny_detector_config()
+    base_cfg = tiny_detector_config()
+    # stage2 with 2 blocks: early RF = 21 > halo 16 (and full RF 29), so
+    # neither exact windowed mode is eligible at halo 16
+    cfg = dataclasses.replace(
+        base_cfg, backbone=dataclasses.replace(base_cfg.backbone,
+                                               stage_blocks=(1, 2, 1)))
     model = AttrRCNN(cfg)
     from cpt_tpu.engine.extract import Extractor, refcoco_task
 
@@ -266,7 +278,6 @@ def test_windowed_drift_harness_runs_on_first_task():
         jnp.asarray([CANVAS, CANVAS]),
         jnp.zeros((cfg.max_force_boxes, 4)),
         jnp.ones((cfg.max_force_boxes,), bool))
-    # halo 16 < tiny RF 21 -> approximate; guard must kick in
     guarded = Extractor(model, params, cfg, windowed=True,
                         window=(96, 96), halo=16)
     assert not guarded.windowed
