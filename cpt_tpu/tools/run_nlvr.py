@@ -28,6 +28,8 @@ def build_args():
     p.add_argument("--val_examples", default=None)
     p.add_argument("--max_seq_length", type=int, default=55)
     p.add_argument("--max_img_seq_length", type=int, default=40)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
 
 
@@ -56,13 +58,25 @@ def main(argv=None):
     params = load_or_init(model, tuple(jnp.asarray(x) for x in
                                        (ids, segs, attn, feats)), args, cfg)
 
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+        assert bsz % args.dp == 0
+        assert args.per_gpu_eval_batch_size % args.dp == 0
+        shard_b = lambda b: shard_batch(b, mesh)
+        rep = lambda t: jax.device_put(t, replicated(mesh))
+    else:
+        shard_b = rep = lambda x: x
+
     if args.num_train_epochs > 0:
         steps = max(1, len(data) // bsz) * args.num_train_epochs
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps)
         tx = train_lib.build_optimizer(params, ocfg)
-        state = train_lib.create_train_state(params, tx)
+        state = jax.tree_util.tree_map(
+            rep, train_lib.create_train_state(params, tx))
 
         @jax.jit
         def step(state, batch, rng):
@@ -89,8 +103,9 @@ def main(argv=None):
                 chunk = order[start:start + bsz]
                 batch = data.batch(chunk, pad_to=bsz)
                 rng, sub = jax.random.split(rng)
-                state, loss = step(state,
-                                   tuple(jnp.asarray(x) for x in batch), sub)
+                state, loss = step(
+                    state, shard_b(tuple(jnp.asarray(x) for x in batch)),
+                    rep(sub))
             if (epoch + 1) % 10 == 0:
                 print(f"epoch {epoch + 1}: loss {float(loss):.4f}")
         params = state.params
@@ -105,8 +120,8 @@ def main(argv=None):
     for start in range(0, len(val), ebsz):
         idxs = list(range(start, min(start + ebsz, len(val))))
         ids, segs, attn, feats, labels = val.batch(idxs, pad_to=ebsz)
-        logits = np.asarray(fwd(params, *(jnp.asarray(x) for x in
-                                          (ids, segs, attn, feats))))
+        logits = np.asarray(fwd(params, *shard_b(tuple(
+            jnp.asarray(x) for x in (ids, segs, attn, feats)))))
         pred = logits.argmax(-1)
         for j, idx in enumerate(idxs):
             ex = val.examples[idx]

@@ -32,6 +32,8 @@ def build_args():
     p.add_argument("--train_steps", type=int, default=0)
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
 
 
@@ -54,13 +56,25 @@ def main(argv=None):
     params = load_or_init(model, tuple(jnp.asarray(x) for x in b0[:4]),
                           args, cfg)
 
+    if args.dp > 1:
+        from cpt_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+        assert bsz % args.dp == 0
+        assert args.per_gpu_eval_batch_size % args.dp == 0
+        shard_b = lambda b: shard_batch(b, mesh)
+        rep = lambda t: jax.device_put(t, replicated(mesh))
+    else:
+        shard_b = rep = lambda x: x
+
     if args.train_steps > 0:
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(args.train_steps * args.warmup_ratio),
             num_train_steps=args.train_steps)
         tx = train_lib.build_optimizer(params, ocfg)
-        state = train_lib.create_train_state(params, tx)
+        state = jax.tree_util.tree_map(
+            rep, train_lib.create_train_state(params, tx))
 
         @jax.jit
         def step(state, batch, rng):
@@ -82,8 +96,9 @@ def main(argv=None):
         for it in range(args.train_steps):
             batch = data.train_batch(bsz, rng_py)
             rng, sub = jax.random.split(rng)
-            state, loss = step(state, tuple(jnp.asarray(x) for x in batch),
-                               sub)
+            state, loss = step(
+                state, shard_b(tuple(jnp.asarray(x) for x in batch)),
+                rep(sub))
             if (it + 1) % 20 == 0:
                 print(f"step {it + 1}: loss {float(loss):.4f}")
         params = state.params
@@ -114,8 +129,8 @@ def main(argv=None):
             seq, f = data.tensorize(captions_flat[i], data.img_keys[j])
             ids[k], segs[k], attn[k], feats[k] = (
                 seq.input_ids, seq.segment_ids, seq.attention_mask, f)
-        s = np.asarray(fwd(params, *(jnp.asarray(x) for x in
-                                     (ids, segs, attn, feats))))
+        s = np.asarray(fwd(params, *shard_b(tuple(
+            jnp.asarray(x) for x in (ids, segs, attn, feats)))))
         for k, (i, j) in enumerate(chunk):
             scores[i, j] = s[k]
 

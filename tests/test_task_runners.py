@@ -205,3 +205,29 @@ def test_run_captioning_end_to_end(fixture, tmp_path):
     ])
     assert len(outputs) == 8
     assert np.isfinite(cider) and cider >= 0.0
+
+
+@pytest.mark.slow
+def test_run_nlvr_and_retrieval_dp(fixture):
+    """--dp shards nlvr/retrieval train+eval over the CPU mesh."""
+    from cpt_tpu.tools.run_nlvr import main as nlvr_main
+    from cpt_tpu.tools.run_retrieval import main as ret_main
+
+    acc = nlvr_main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "nlvr.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "4", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "8", "--dp", "2", *TINY,
+    ])
+    assert np.isfinite(acc)
+    metrics = ret_main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "6", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "16", "--dp", "2", *TINY,
+    ])
+    assert all(np.isfinite(v) for v in metrics.values())
