@@ -210,20 +210,26 @@ class Extractor:
         if windowed:
             from cpt_tpu.engine.windowed import (make_base_early_fn,
                                                  make_base_features_fn,
+                                                 make_sharded_windowed_fn,
                                                  make_two_level_extract_fn,
                                                  make_windowed_extract_fn)
 
             self.window, self.halo = window, halo
-            if self.windowed_mode == "two_level":
-                self.base_fn = make_base_early_fn(model, cfg, split)
-                self.wfn = make_two_level_extract_fn(
-                    model, cfg, window=window, halo=halo, split_stage=split,
-                    inclusive_paint=inclusive_paint, with_masks=with_masks)
+            two = self.windowed_mode == "two_level"
+            self.base_fn = (make_base_early_fn(model, cfg, split) if two
+                            else make_base_features_fn(model, cfg))
+            kw = dict(window=window, halo=halo,
+                      inclusive_paint=inclusive_paint,
+                      with_masks=with_masks)
+            if two:
+                kw["split_stage"] = split
+            if mesh is not None:
+                self.wfn = make_sharded_windowed_fn(model, cfg, mesh,
+                                                    two_level=two, **kw)
+            elif two:
+                self.wfn = make_two_level_extract_fn(model, cfg, **kw)
             else:
-                self.base_fn = make_base_features_fn(model, cfg)
-                self.wfn = make_windowed_extract_fn(
-                    model, cfg, window=window, halo=halo,
-                    inclusive_paint=inclusive_paint, with_masks=with_masks)
+                self.wfn = make_windowed_extract_fn(model, cfg, **kw)
         self.infer_seconds = 0.0
         self.n_copies = 0
 

@@ -484,3 +484,41 @@ def test_sharded_two_level_matches_single_device():
     for s, d in zip(single, sharded):
         np.testing.assert_allclose(np.asarray(s), np.asarray(d),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_extractor_mesh_windowed_two_level(tmp_path):
+    """Extractor(mesh=..., windowed=True) shards the two-level path over
+    dp and matches the unsharded result."""
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(8)
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[110.0, 110.0, 140.0, 140.0],
+                       [120.0, 100.0, 150.0, 130.0],
+                       [100.0, 120.0, 135.0, 145.0],
+                       [115.0, 105.0, 150.0, 140.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q0", image, (CANVAS, CANVAS), dets, "q")
+
+    single = Extractor(model, params, cfg, copies_per_chunk=4,
+                       windowed=True, window=(192, 192), halo=48)
+    assert single.windowed_mode == "two_level"
+    sf, sl, ss = single.extract_task(mk())
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    sharded = Extractor(model, params, cfg, copies_per_chunk=4,
+                        windowed=True, window=(192, 192), halo=48,
+                        mesh=mesh)
+    assert sharded.windowed_mode == "two_level"
+    mf, ml, ms = sharded.extract_task(mk())
+    np.testing.assert_array_equal(sl, ml)
+    np.testing.assert_allclose(sf, mf, rtol=2e-3, atol=2e-3)
