@@ -200,7 +200,9 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                               window: Tuple[int, int] = (384, 512),
                               halo: int = 80, split_stage: int = 2,
                               inclusive_paint: bool = False,
-                              with_masks: bool = False):
+                              with_masks: bool = False,
+                              cascade: bool = True,
+                              cascade_cap: int = 16):
     """Two-level EXACT windowed extraction.
 
     Per copy, only stem + the first ``split_stage`` stages are recomputed
@@ -213,6 +215,18 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
     exactness needs the FULL RF. Saves the early stages' cost (the window
     covers ~3.4× fewer pixels than a 640×1024 canvas) while the deep
     stage-3 stack stays exact by running on the whole map.
+
+    ``cascade=True`` additionally runs the FIRST blocks of the deep stage
+    on dirty-region windows: after the paste, copies differ from the base
+    map only inside the pasted region, and each 3×3 block dilates that
+    region by one cell per side — so block k can run on a
+    ``(d0 + 2k + 2)``-cell window whose trimmed interior pastes into the
+    base's block-k output (recomputed cheaply from ``base_feat`` inside
+    the jit, shared across copies). Windows clamped at map edges stay
+    exact because a flush slice edge sees the same zero padding as the
+    full map. The cascade stops at the saturation block (dirty region
+    reaches a map dimension) or ``cascade_cap``; remaining blocks run on
+    the full per-copy map as before. All exact.
 
     Same signature/outputs as ``make_windowed_extract_fn``.
     """
@@ -264,9 +278,65 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                  0))
 
         patched = jax.vmap(patch)(origins, wfeats)   # [C, h8, w8, ch]
-        c4 = model.apply(
-            params, patched,
-            method=lambda m, xs: m.backbone.from_stage(xs, split_stage))
+
+        n_deep = cfg.backbone.stage_blocks[split_stage]
+
+        def block_k(v, k):
+            return model.apply(
+                params, v,
+                method=lambda m, xs: m.backbone.stages[split_stage]
+                .apply_block(xs, k))
+
+        def later_stages(v):
+            return model.apply(
+                params, v,
+                method=lambda m, xs: m.backbone.from_stage(
+                    xs, split_stage + 1))
+
+        # dirty-region size at the deep stage's post-stride map
+        p8h, p8w = wh // map_stride - 2 * t, ww // map_stride - 2 * t
+        d0h, d0w = p8h // 2 + 3, p8w // 2 + 3
+
+        if not cascade:
+            c4 = later_stages(model.apply(
+                params, patched,
+                method=lambda m, xs: m.backbone.stages[split_stage](xs)))
+        else:
+            cur = block_k(patched, 0)            # [C, H16, W16, ch3]
+            h16, w16, ch3 = cur.shape[1:]
+            k_max = min((h16 - d0h - 2) // 2, (w16 - d0w - 2) // 2,
+                        n_deep - 1, cascade_cap)
+            k_max = max(k_max, 0)
+            # base per-block outputs, shared across copies (cheap: K+1
+            # blocks on ONE map, amortized over the whole chunk)
+            base_h = block_k(base_feat[None], 0)
+            o16 = jnp.maximum(
+                (origins // map_stride + t) // 2 - 1, 0)   # [C, 2]
+            for k in range(1, k_max + 1):
+                base_h = block_k(base_h, k)
+                ukh, ukw = d0h + 2 * k, d0w + 2 * k
+                skh, skw = ukh + 2, ukw + 2
+                u0 = jnp.stack([
+                    jnp.clip(o16[:, 0] - k, 0, h16 - ukh),
+                    jnp.clip(o16[:, 1] - k, 0, w16 - ukw)], axis=1)
+                s0 = jnp.stack([
+                    jnp.clip(u0[:, 0] - 1, 0, h16 - skh),
+                    jnp.clip(u0[:, 1] - 1, 0, w16 - skw)], axis=1)
+                sls = jax.vmap(lambda cm, s: jax.lax.dynamic_slice(
+                    cm, (s[0], s[1], 0), (skh, skw, ch3)))(cur, s0)
+                outw = block_k(sls, k)
+                base_k = base_h[0]
+
+                def paste_k(ow, u, s):
+                    upd = jax.lax.dynamic_slice(
+                        ow, (u[0] - s[0], u[1] - s[1], 0), (ukh, ukw, ch3))
+                    return jax.lax.dynamic_update_slice(
+                        base_k, upd, (u[0], u[1], 0))
+
+                cur = jax.vmap(paste_k)(outw, u0, s0)
+            for k in range(k_max + 1, n_deep):
+                cur = block_k(cur, k)
+            c4 = later_stages(cur)
         out = model.apply(params, c4, dets, det_valid,
                           method=AttrRCNN.heads_from_feats)
         feats = jax.vmap(lambda bf, bx: region_features_2054(

@@ -107,14 +107,24 @@ class Stage(nn.Module):
     stride_in_1x1: bool
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.blocks = [
+            Bottleneck(self.bottleneck_channels, self.out_channels,
+                       self.num_groups,
+                       self.first_stride if i == 0 else 1,
+                       self.stride_in_1x1, self.dtype,
+                       name=f"block_{i}")
+            for i in range(self.block_count)
+        ]
+
+    def apply_block(self, x: Array, i: int) -> Array:
+        """Single block — lets the cascaded windowed extractor run
+        individual blocks on dirty-region windows."""
+        return self.blocks[i](x)
+
     def __call__(self, x: Array) -> Array:
-        for i in range(self.block_count):
-            x = Bottleneck(self.bottleneck_channels, self.out_channels,
-                           self.num_groups,
-                           self.first_stride if i == 0 else 1,
-                           self.stride_in_1x1, self.dtype,
-                           name=f"block_{i}")(x)
+        for block in self.blocks:
+            x = block(x)
         return x
 
 

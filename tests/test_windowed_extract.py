@@ -522,3 +522,50 @@ def test_extractor_mesh_windowed_two_level(tmp_path):
     mf, ml, ms = sharded.extract_task(mk())
     np.testing.assert_array_equal(sl, ml)
     np.testing.assert_allclose(sf, mf, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_cascade_equals_no_cascade_and_handles_edges():
+    """Dirty-region cascade == plain two-level (both exact), including
+    copies whose windows clamp flush against canvas corners (slice edges
+    at map edges must reuse the map's own zero padding)."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_two_level_extract_fn,
+                                         window_origins)
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(9)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    # corner-adjacent rects: windows clamp to (0,0) / bottom-right
+    rects = np.asarray([
+        [[50.0, 50.0, 70.0, 70.0]],          # clamps top-left
+        [[190.0, 190.0, 205.0, 205.0]],      # clamps bottom-right
+        [[120.0, 60.0, 140.0, 80.0]],        # clamps top only
+        [[120.0, 120.0, 140.0, 140.0]],      # centered
+    ], np.float32)
+    colors = np.tile(np.asarray([240, 0, 30, 127], np.uint8), (4, 1, 1))
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    args = (jnp.asarray(origins), jnp.asarray(rects),
+            jnp.ones((4, 1), bool), jnp.asarray(colors),
+            jnp.ones((4,), bool), jnp.asarray(dets), jnp.ones((m,), bool),
+            jnp.asarray([CANVAS, CANVAS]))
+    plain = make_two_level_extract_fn(model, cfg, window=(192, 192),
+                                      halo=48, cascade=False)(
+        params, image, base, *args)
+    casc = make_two_level_extract_fn(model, cfg, window=(192, 192),
+                                     halo=48, cascade=True)(
+        params, image, base, *args)
+    d = feature_drift(plain, casc)
+    assert d["feat_max_rel"] < 1e-4, d
+    assert d["label_agreement"] == 1.0
