@@ -201,7 +201,7 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                               halo: int = 80, split_stage: int = 2,
                               inclusive_paint: bool = False,
                               with_masks: bool = False,
-                              cascade: bool = True,
+                              cascade: bool = False,
                               cascade_cap: int = 16):
     """Two-level EXACT windowed extraction.
 
@@ -226,7 +226,12 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
     exact because a flush slice edge sees the same zero padding as the
     full map. The cascade stops at the saturation block (dirty region
     reaches a map dimension) or ``cascade_cap``; remaining blocks run on
-    the full per-copy map as before. All exact.
+    the full per-copy map as before. All exact — but measured SLOWER at
+    X152/640×1024/C=128 (99.5 vs 105.1 copies/s): the dirty windows are
+    tiny odd-shaped maps (~17×25 cells) whose convs underfill the MXU by
+    more than the ~26% FLOP saving recovers, so it defaults OFF; it may
+    win at larger canvases where the windows stay a small fraction of a
+    bigger map.
 
     Same signature/outputs as ``make_windowed_extract_fn``.
     """
