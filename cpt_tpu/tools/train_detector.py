@@ -43,6 +43,14 @@ def build_args():
     p.add_argument("--max_gt", type=int, default=32)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", type=int, default=None)
+    p.add_argument("--hflip_prob", type=float, default=0.5,
+                   help="train-time horizontal flip (reference "
+                        "transforms/build.py:14: FLIP_PROB_TRAIN=0.5)")
+    p.add_argument("--vflip_prob", type=float, default=0.0)
+    p.add_argument("--color_jitter", type=float, nargs=4,
+                   default=[0.0, 0.0, 0.0, 0.0],
+                   metavar=("B", "C", "S", "H"),
+                   help="brightness/contrast/saturation/hue jitter")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     return p
 
@@ -75,6 +83,11 @@ def main(argv=None):
             a[i, : len(row)] = row
         return b, l, v, a
 
+    from cpt_tpu.data.detector_transforms import TrainTransforms
+
+    aug = TrainTransforms(args.hflip_prob, args.vflip_prob,
+                          *args.color_jitter, seed=1)
+
     def batches():
         if args.tsv:
             from cpt_tpu.data.vg_tsv import DetectionTSVDataset
@@ -83,10 +96,11 @@ def main(argv=None):
             while True:
                 for i in range(len(ds)):
                     img, target, _ = ds[i]
+                    img, tboxes = aug(img, target["boxes"])
                     canvas = np.zeros((h, w, 3), np.float32)
                     ih, iw = img.shape[:2]
                     canvas[: min(ih, h), : min(iw, w)] = img[:h, :w]
-                    b, l, v, a = pad_gt(target["boxes"], target["labels"],
+                    b, l, v, a = pad_gt(tboxes, target["labels"],
                                         target.get("attributes",
                                                    np.zeros(0)).tolist())
                     yield (jnp.asarray(canvas),
@@ -116,6 +130,7 @@ def main(argv=None):
                 boxes = np.asarray(ann["boxes"], np.float32)
                 boxes[:, 2] = boxes[:, 0] + boxes[:, 2] - 1
                 boxes[:, 3] = boxes[:, 1] + boxes[:, 3] - 1
+                img, boxes = aug(img, boxes)
                 b, l, v, a = pad_gt(boxes, ann["labels"],
                                     ann.get("attributes"))
                 yield (jnp.asarray(canvas), jnp.asarray(hw, jnp.int32),
