@@ -214,3 +214,73 @@ def test_intersect_2d():
     b = np.array([[3, 4], [1, 2], [5, 6]])
     np.testing.assert_array_equal(
         intersect_2d(a, b), [[False, True, False], [True, False, False]])
+
+
+def test_danfei_parity_with_reference():
+    """Our IMP/Danfei recall equals the reference's own
+    sg_tsv_eval.evaluate on random entries (reference module executed
+    directly with import stubs for its TSV helper)."""
+    import importlib.util
+    import types
+
+    import torch
+
+    from cpt_tpu.engine.sg_eval import evaluate_danfei
+
+    sg_dir = ("/root/reference/prompt_feat/maskrcnn_benchmark/data/"
+              "datasets/evaluation/sg")
+    if "refsg" not in sys.modules:
+        pkg = types.ModuleType("refsg")
+        pkg.__path__ = [sg_dir]
+        sys.modules["refsg"] = pkg
+    if "refsg.evaluator" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "refsg.evaluator", sg_dir + "/evaluator.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refsg.evaluator"] = mod
+        spec.loader.exec_module(mod)
+    if "refsg.sg_tsv_eval" not in sys.modules:
+        # stub the tsv helper import the eval functions never touch
+        mb = types.ModuleType("maskrcnn_benchmark")
+        st = types.ModuleType("maskrcnn_benchmark.structures")
+        ops = types.ModuleType("maskrcnn_benchmark.structures.tsv_file_ops")
+        ops.tsv_reader = lambda *a, **k: iter(())
+        sys.modules.setdefault("maskrcnn_benchmark", mb)
+        sys.modules.setdefault("maskrcnn_benchmark.structures", st)
+        sys.modules["maskrcnn_benchmark.structures.tsv_file_ops"] = ops
+        spec = importlib.util.spec_from_file_location(
+            "refsg.sg_tsv_eval", sg_dir + "/sg_tsv_eval.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refsg.sg_tsv_eval"] = mod
+        spec.loader.exec_module(mod)
+    ref_eval = sys.modules["refsg.sg_tsv_eval"].evaluate
+
+    rng = np.random.RandomState(11)
+    mode = "sgdet"
+    ours = {mode + "_recall": {20: [], 50: [], 100: []}}
+    ref = {mode + "_recall": {20: [], 50: [], 100: []}}
+    for trial in range(6):
+        gt_entry, pred_entry = _random_entry(rng, n_gt=4 + trial % 3,
+                                             n_pred=6 + trial % 3)
+        n = len(gt_entry["gt_boxes"])
+        mat = np.zeros((n, n), np.int64)
+        for s, o, p in gt_entry["gt_relations"]:
+            mat[s, o] = p
+        rel_inds = pred_entry["pred_rel_inds"]
+        rel_scores = pred_entry["rel_scores"]
+        evaluate_danfei(gt_entry["gt_classes"], gt_entry["gt_boxes"], mat,
+                        pred_entry["pred_boxes"], pred_entry["obj_scores"],
+                        pred_entry["pred_classes"], rel_inds, rel_scores,
+                        ours, mode)
+        ref_eval(torch.as_tensor(gt_entry["gt_classes"]),
+                 torch.as_tensor(gt_entry["gt_boxes"]),
+                 torch.as_tensor(mat),
+                 torch.as_tensor(pred_entry["pred_boxes"]),
+                 torch.as_tensor(pred_entry["obj_scores"]),
+                 torch.as_tensor(pred_entry["pred_classes"]),
+                 torch.as_tensor(rel_inds),
+                 torch.as_tensor(rel_scores),
+                 [20, 50, 100], ref, mode)
+    for k in (20, 50, 100):
+        np.testing.assert_allclose(ours[mode + "_recall"][k],
+                                   ref[mode + "_recall"][k], atol=1e-12)
