@@ -284,3 +284,42 @@ def test_danfei_parity_with_reference():
     for k in (20, 50, 100):
         np.testing.assert_allclose(ours[mode + "_recall"][k],
                                    ref[mode + "_recall"][k], atol=1e-12)
+
+
+def test_oi_vrd_helpers_parity_with_reference():
+    """AP/recall helpers equal the reference's eval_utils (pure numpy,
+    loaded directly)."""
+    import importlib.util
+
+    path = ("/root/reference/prompt_feat/maskrcnn_benchmark/data/datasets/"
+            "evaluation/openimages_vrd/eval_utils.py")
+    spec = importlib.util.spec_from_file_location("ref_eval_utils", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(13)
+    for _ in range(5):
+        n = rng.randint(3, 12)
+        scores = rng.uniform(0, 1, n)
+        labels = rng.rand(n) > 0.5
+        num_gt = int(labels.sum()) + rng.randint(0, 3)
+        if num_gt == 0:
+            num_gt = 1
+        p_ref, r_ref = ref.compute_precision_recall(scores, labels, num_gt)
+        p_our, r_our = compute_precision_recall(scores, labels, num_gt)
+        np.testing.assert_allclose(p_our, p_ref)
+        np.testing.assert_allclose(r_our, r_ref)
+        np.testing.assert_allclose(
+            compute_average_precision(p_our, r_our),
+            ref.compute_average_precision(p_ref, r_ref))
+    # IoU convention (exclusive areas)
+    for _ in range(20):
+        ax, ay = np.sort(rng.uniform(0, 100, 2)), np.sort(rng.uniform(0, 100, 2))
+        bx, by = np.sort(rng.uniform(0, 100, 2)), np.sort(rng.uniform(0, 100, 2))
+        a = [ax[0], ay[0], ax[1], ay[1]]
+        b = [bx[0], by[0], bx[1], by[1]]
+        assert abs(iou_exclusive(a, b) - ref.IoU(a, b)) < 1e-12
+    # recall@k
+    tp_fp = [np.asarray([1, 0, 1]), np.asarray([0, 1])]
+    assert compute_recall_at_k(tp_fp, 5, 2) == ref.compute_recall_at_k(
+        tp_fp, 5, 2)
