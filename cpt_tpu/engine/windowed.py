@@ -73,7 +73,14 @@ def window_origins(rects: np.ndarray, window: Tuple[int, int],
     """Host-side: per copy, the stride-aligned window origin centered on
     the copy's painted rect(s), clamped in-canvas → (origins [C, 2] (y, x),
     fits [C] bool). ``fits`` is False when the rect plus halo margin
-    exceeds the window (caller falls back to the full-canvas path)."""
+    exceeds the window (caller falls back to the full-canvas path).
+
+    Halo margins are WAIVED on window sides flush with the canvas edge: a
+    flush slice edge sees the same zero padding as the full-canvas
+    computation, so features are exact up to that edge (the paste fns
+    blend per-side accordingly). This keeps near-edge and large cornered
+    rects on the fast windowed path.
+    """
     wh, ww = window
     ch, cw = canvas_hw
     c = rects.shape[0]
@@ -87,8 +94,11 @@ def window_origins(rects: np.ndarray, window: Tuple[int, int],
         oy = int(np.clip(cy - wh / 2, 0, max(ch - wh, 0))) // STRIDE * STRIDE
         ox = int(np.clip(cx - ww / 2, 0, max(cw - ww, 0))) // STRIDE * STRIDE
         origins[i] = (oy, ox)
-        fits[i] = ((y1 >= oy + halo) and (y2 <= oy + wh - halo)
-                   and (x1 >= ox + halo) and (x2 <= ox + ww - halo))
+        top = (y1 >= oy + halo) or (oy == 0 and y1 >= oy)
+        bot = (y2 <= oy + wh - halo) or (oy + wh >= ch and y2 <= oy + wh)
+        left = (x1 >= ox + halo) or (ox == 0 and x1 >= ox)
+        right = (x2 <= ox + ww - halo) or (ox + ww >= cw and x2 <= ox + ww)
+        fits[i] = top and bot and left and right
     return origins, fits
 
 
@@ -161,11 +171,26 @@ def make_windowed_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
         wfeats = model.apply(params, x,
                              method=lambda m, xs: m.backbone(xs))
 
+        h_img, w_img = image_u8.shape[:2]
+
         def patch(origin, wf):
-            inner = wf[t:wf.shape[0] - t, t:wf.shape[1] - t]
-            return jax.lax.dynamic_update_slice(
-                base_feat, inner.astype(base_feat.dtype),
-                (origin[0] // STRIDE + t, origin[1] // STRIDE + t, 0))
+            # per-side blended paste: interior always; halo bands kept only
+            # where the window is flush with the canvas edge (same padding
+            # as the full-canvas computation -> exact to the edge)
+            whc, wwc, chn = wf.shape
+            oy, ox = origin[0] // STRIDE, origin[1] // STRIDE
+            row = jnp.arange(whc)
+            col = jnp.arange(wwc)
+            row_ok = (((row >= t) | (origin[0] == 0))
+                      & ((row < whc - t) | (origin[0] + wh >= h_img)))
+            col_ok = (((col >= t) | (origin[1] == 0))
+                      & ((col < wwc - t) | (origin[1] + ww >= w_img)))
+            base_slice = jax.lax.dynamic_slice(base_feat, (oy, ox, 0),
+                                               (whc, wwc, chn))
+            blended = jnp.where((row_ok[:, None] & col_ok[None, :])[..., None],
+                                wf.astype(base_feat.dtype), base_slice)
+            return jax.lax.dynamic_update_slice(base_feat, blended,
+                                                (oy, ox, 0))
 
         patched = jax.vmap(patch)(origins, wfeats)        # [C, h16, w16, ch]
         out = model.apply(params, patched, dets, det_valid,
@@ -275,12 +300,26 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
             params, x,
             method=lambda m, xs: m.backbone.up_to(xs, split_stage))
 
+        h_img, w_img = image_u8.shape[:2]
+
         def patch(origin, wf):
-            inner = wf[t:wf.shape[0] - t, t:wf.shape[1] - t]
-            return jax.lax.dynamic_update_slice(
-                base_feat, inner.astype(base_feat.dtype),
-                (origin[0] // map_stride + t, origin[1] // map_stride + t,
-                 0))
+            # per-side blended paste (see one-level patch): halo bands
+            # survive on window sides flush with the canvas edge, where
+            # the window's padding equals the full canvas's
+            whc, wwc, chn = wf.shape
+            oy, ox = origin[0] // map_stride, origin[1] // map_stride
+            row = jnp.arange(whc)
+            col = jnp.arange(wwc)
+            row_ok = (((row >= t) | (origin[0] == 0))
+                      & ((row < whc - t) | (origin[0] + wh >= h_img)))
+            col_ok = (((col >= t) | (origin[1] == 0))
+                      & ((col < wwc - t) | (origin[1] + ww >= w_img)))
+            base_slice = jax.lax.dynamic_slice(base_feat, (oy, ox, 0),
+                                               (whc, wwc, chn))
+            blended = jnp.where((row_ok[:, None] & col_ok[None, :])[..., None],
+                                wf.astype(base_feat.dtype), base_slice)
+            return jax.lax.dynamic_update_slice(base_feat, blended,
+                                                (oy, ox, 0))
 
         patched = jax.vmap(patch)(origins, wfeats)   # [C, h8, w8, ch]
 
@@ -298,8 +337,10 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
                 method=lambda m, xs: m.backbone.from_stage(
                     xs, split_stage + 1))
 
-        # dirty-region size at the deep stage's post-stride map
-        p8h, p8w = wh // map_stride - 2 * t, ww // map_stride - 2 * t
+        # dirty-region size at the deep stage's post-stride map; the FULL
+        # window extent (not interior) since edge-flush pastes may write
+        # into the halo bands
+        p8h, p8w = wh // map_stride, ww // map_stride
         d0h, d0w = p8h // 2 + 3, p8w // 2 + 3
 
         if not cascade:
@@ -316,7 +357,7 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
             # blocks on ONE map, amortized over the whole chunk)
             base_h = block_k(base_feat[None], 0)
             o16 = jnp.maximum(
-                (origins // map_stride + t) // 2 - 1, 0)   # [C, 2]
+                (origins // map_stride) // 2 - 1, 0)       # [C, 2]
             for k in range(1, k_max + 1):
                 base_h = block_k(base_h, k)
                 ukh, ukw = d0h + 2 * k, d0w + 2 * k

@@ -569,3 +569,51 @@ def test_cascade_equals_no_cascade_and_handles_edges():
     d = feature_drift(plain, casc)
     assert d["feat_max_rel"] < 1e-4, d
     assert d["label_agreement"] == 1.0
+
+
+@pytest.mark.slow
+def test_edge_flush_windows_are_exact():
+    """Halo waiver at canvas-flush window sides: corner/edge rects now
+    take the windowed path and still match the exact full computation
+    (flush slice edges see the same zero padding as the full canvas)."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_two_level_extract_fn)
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(10)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    # rects hugging the corners/edges: all inside the halo margin, which
+    # the OLD fits logic rejected
+    rects = np.asarray([
+        [[2.0, 2.0, 30.0, 30.0]],            # top-left corner
+        [[220.0, 226.0, 250.0, 252.0]],      # bottom-right corner
+        [[100.0, 4.0, 130.0, 30.0]],         # top edge
+        [[6.0, 100.0, 36.0, 130.0]],         # left edge
+    ], np.float32)
+    colors = np.tile(np.asarray([240, 0, 30, 127], np.uint8), (4, 1, 1))
+    dets = np.asarray(np.sort(rng.uniform(10, 246, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all(), fits          # NEW: edge rects are eligible
+    args = dict(rects=jnp.asarray(rects), rv=jnp.ones((4, 1), bool),
+                colors=jnp.asarray(colors), cv=jnp.ones((4,), bool),
+                dets=jnp.asarray(dets), dv=jnp.ones((m,), bool),
+                hw=jnp.asarray([CANVAS, CANVAS]))
+    exact = _exact(cfg, model, params, image, args)
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    for cascade in (False, True):
+        fn = make_two_level_extract_fn(model, cfg, window=(192, 192),
+                                       halo=48, cascade=cascade)
+        got = fn(params, image, base, jnp.asarray(origins), args["rects"],
+                 args["rv"], args["colors"], args["cv"], args["dets"],
+                 args["dv"], args["hw"])
+        d = feature_drift(exact, got)
+        assert d["feat_max_rel"] < 2e-4, (cascade, d)
+        assert d["label_agreement"] == 1.0
