@@ -44,6 +44,15 @@ def build_args():
                    help='json [["mAP", 0.35, 0.01], ...]')
     p.add_argument("--coco_eval", action="store_true",
                    help="also report COCO-protocol AP/AP50/AP75")
+    p.add_argument("--sg", action="store_true",
+                   help="scene-graph relation eval over a VG-TSV (--tsv "
+                        "with relations): SceneParser inference + both SG "
+                        "recall protocols (reference test_sg_net.py + "
+                        "evaluation/sg)")
+    p.add_argument("--rel_algorithm", default="sg_reldn",
+                   choices=["sg_reldn", "sg_imp", "sg_msdn", "sg_grcnn",
+                            "sg_nm"])
+    p.add_argument("--max_rel_dets", type=int, default=16)
     return p
 
 
@@ -127,6 +136,30 @@ def main(argv=None):
         results.update({f"coco_{k}": v for k, v in coco.items()})
         print(f"COCO AP: {coco['AP']:.4f}  AP50: {coco['AP50']:.4f}  "
               f"AP75: {coco['AP75']:.4f}")
+    if args.sg:
+        assert args.tsv, "--sg requires --tsv (VG-TSV with relations)"
+        from cpt_tpu.data.vg_tsv import VGTSVDataset
+        from cpt_tpu.engine.sg_infer import evaluate_scene_graphs
+        from cpt_tpu.models.detector.scene_parser import SceneParser
+
+        ds = VGTSVDataset(args.tsv, attribute_on=False, relation_on=True)
+        n_rel = len(ds.relation_to_ind)
+        parser = SceneParser(cfg, num_rel_classes=n_rel,
+                             algorithm=args.rel_algorithm,
+                             max_rel_dets=args.max_rel_dets, dtype=dtype)
+        pinit = jax.jit(parser.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((h, w, 3)),
+                                     jnp.asarray([h, w]), anchors)
+        if args.checkpoint:
+            # reuse detector weights; relation head stays at init unless a
+            # scene-parser checkpoint provides it
+            pinit["params"]["detector"] = params["params"]
+        sg = evaluate_scene_graphs(parser, pinit, ds, anchors, (h, w))
+        for proto, metric in sg.items():
+            print(f"{proto}: " + " ".join(f"{k}={v:.4f}"
+                                          for k, v in sorted(metric.items())))
+        results.update({f"sg_{p}_{k}": v for p, m in sg.items()
+                        for k, v in m.items()})
     ok = True
     if args.expected_results:
         expected = [tuple(e) for e in json.loads(args.expected_results)]

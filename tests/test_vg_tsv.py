@@ -146,3 +146,21 @@ def test_detector_tools_on_tsv(tsv_root, tmp_path):
     ok = test_main(["--tsv", yaml_path, "--tiny", "--dtype", "float32",
                     "--output", str(tmp_path / "eval.pk")])
     assert ok
+
+
+@pytest.mark.slow
+def test_test_detector_sg_eval(tsv_root, tmp_path):
+    """test_detector --sg runs SceneParser relation eval over the VG-TSV
+    and reports both recall protocols."""
+    _, yaml_path, _ = tsv_root
+    from cpt_tpu.tools.test_detector import main as test_main
+
+    results, ok = test_main(["--tsv", yaml_path, "--tiny",
+                             "--dtype", "float32", "--sg",
+                             "--max_rel_dets", "4",
+                             "--output", str(tmp_path / "sg.pk")])
+    assert ok
+    keys = [k for k in results if k.startswith("sg_")]
+    assert any("rowan" in k for k in keys)
+    assert any("danfei" in k for k in keys)
+    assert all(0 <= results[k] <= 1 for k in keys)
