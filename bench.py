@@ -127,7 +127,7 @@ def bench_extraction(c=128, h=640, w=1024):
 
 
 def bench_extraction_two_level(c=128, h=640, w=1024,
-                               window=(384, 512), halo=96):
+                               window=(512, 640), halo=160):
     """Stage-1 via the two-level EXACT windowed path (production
     ``Extractor(windowed=True)`` on X152: per-copy early stages on the
     painted window — RF through them is 77 px < halo — deep stack on the

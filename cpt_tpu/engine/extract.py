@@ -139,7 +139,7 @@ class Extractor:
                  inclusive_paint: bool = False,
                  with_masks: bool = False,
                  windowed: bool = False,
-                 window: tuple = (384, 512), halo: int = 96,
+                 window: tuple = (512, 640), halo: int = 160,
                  allow_approximate: bool = False,
                  mesh=None):
         """``copies_per_chunk=None`` → auto: the largest power-of-two chunk
@@ -179,30 +179,32 @@ class Extractor:
             deep = len(cfg.backbone.stage_blocks) > split
             rf_early = (backbone_receptive_field(cfg, split)
                         if deep else rf_full)
-            map_stride = 4 * 2 ** (split - 1)
-            if halo >= rf_full:
-                self.windowed_mode = "one_level"     # exact: halo >= full RF
-            elif deep and halo >= rf_early and halo % map_stride == 0:
+            # exactness needs the paint >= 2*RF from the window edge:
+            # trim RF (pasted cells carry their RF) + RF (dirty cells land
+            # inside the paste)
+            if halo >= 2 * rf_full:
+                self.windowed_mode = "one_level"
+            elif deep and halo >= 2 * rf_early:
                 # two-level EXACT: early stages per copy (RF through them
                 # is only rf_early px), late stages on the patched map
                 self.windowed_mode = "two_level"
                 logger.info(
                     "windowed extraction: two-level EXACT mode (halo %d >= "
-                    "early-stage RF %d; full RF %d would need one-level)",
+                    "2x early-stage RF %d; full RF %d would need one-level)",
                     halo, rf_early, rf_full)
             elif allow_approximate:
                 self.windowed_mode = "one_level"
                 self._windowed_approx = True
                 logger.warning(
                     "windowed extraction is APPROXIMATE for this backbone "
-                    "(halo %d < receptive-field radius %d px); proceeding "
-                    "per allow_approximate=True — feature_drift will be "
-                    "measured on the first task", halo, rf_full)
+                    "(halo %d < 2x receptive-field radius %d px); "
+                    "proceeding per allow_approximate=True — feature_drift "
+                    "will be measured on the first task", halo, rf_full)
             else:
                 logger.warning(
-                    "windowed extraction disabled: halo %d < backbone "
-                    "receptive-field radius %d px (and < early-stage RF "
-                    "%d for the exact two-level mode). Falling back to "
+                    "windowed extraction disabled: halo %d < 2x backbone "
+                    "receptive-field radius %d px (and < 2x early-stage "
+                    "RF %d for the exact two-level mode). Falling back to "
                     "the exact full-canvas path (pass "
                     "allow_approximate=True to override).",
                     halo, rf_full, rf_early)

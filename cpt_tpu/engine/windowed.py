@@ -10,17 +10,19 @@ maps). Windows cover ~4-5× fewer pixels than the 640×1024 canvas — the
 lever PERF.md identifies as the only route past the extraction roofline.
 
 Exactness: a changed pixel influences features within the backbone's
-receptive field. Features are pasted from the window interior (``halo``
-pixels trimmed from each side), so the result is EXACT when
-halo ≥ RF(backbone) — true for the tiny test config — and an
-approximation for X152-C4 (RF spans the image; influence magnitude decays
-much faster). ``feature_drift`` quantifies the approximation; accuracy
-must be re-validated with real checkpoints before production use
-(``fits`` routes oversized rects to the exact full path).
+receptive field RF. The paste trims RF cells from the window border (those
+cells carry their whole RF inside the window), and eligibility requires
+the paint to sit ≥ 2·RF from the window edge so every dirty cell (paint ±
+RF) lands inside the pasted region. One-level exactness therefore needs
+halo ≥ 2·RF(full backbone) — feasible only for shallow nets; the
+TWO-LEVEL mode (``make_two_level_extract_fn``) needs only
+2·RF(stem+stage1+stage2) = 154 px on X152 and is the production default.
+Halos below the threshold are the approximate mode (``feature_drift``
+quantifies it; ``fits`` routes oversized rects to the exact full path).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +43,14 @@ def backbone_receptive_field(cfg: DetectorConfig,
     Computed from the configured architecture (stem 7×7/s2 + 3×3/s2 maxpool,
     then one 3×3 conv per bottleneck; first block of each stage after the
     first is stride 2, carried by the 1×1 or the 3×3 per ``stride_in_1x1``).
-    A painted pixel can influence C4 features up to this radius away, so the
-    windowed paste is exact iff ``halo >= backbone_receptive_field(cfg)``.
-    Tiny test config → 21 px (< default halo 96: exact); X152-C4 → 645 px
-    (windowed is an approximation at any practical halo). With
-    ``n_stages``, the radius through stem + the first n stages only —
-    X152 through stage 2 is just 77 px, which makes the TWO-LEVEL windowed
-    path (early stages per copy, late stages on the patched map) exact at
-    halo ≥ 80.
+    A painted pixel can influence features up to this radius away; windowed
+    exactness requires the paint ≥ 2·RF from the window edge (see
+    ``make_windowed_extract_fn``). Tiny test config → 21 px; X152-C4 →
+    645 px (one-level windowed is approximate at any practical halo). With
+    ``n_stages``, the radius through stem + the first n stages only — X152
+    through stage 2 is just 77 px, which makes the TWO-LEVEL windowed path
+    (early stages per copy, late stages on the patched map) exact at
+    halo ≥ 154.
     """
     b = cfg.backbone
     radius, jump = 0, 1
@@ -86,6 +88,8 @@ def window_origins(rects: np.ndarray, window: Tuple[int, int],
     c = rects.shape[0]
     origins = np.zeros((c, 2), np.int32)
     fits = np.zeros((c,), bool)
+    if wh > ch or ww > cw:
+        return origins, fits           # window exceeds canvas: full path
     for i in range(c):
         rs = rects[i].reshape(-1, 4)
         x1, y1 = rs[:, 0].min(), rs[:, 1].min()
@@ -135,12 +139,23 @@ def make_windowed_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
     pool detections from the patched base map. Same outputs as
     ``make_extract_fn`` (feats [C, M, 2054], labels, scores). With
     ``with_masks``, each copy additionally alpha-pastes a binary mask
-    ([C, H, W] full-canvas; cropped on device)."""
+    ([C, H, W] full-canvas; cropped on device).
+
+    Exactness needs TWO margins: pasted cells must have their receptive
+    field inside the window (trim = RF), and every DIRTY cell (within RF
+    of the paint) must fall inside the pasted region — so the paint must
+    sit ≥ 2·RF from the window edge. ``halo`` is the paint-to-edge margin
+    ``window_origins`` enforces; exactness therefore requires
+    ``halo ≥ 2·RF`` while the paste trims only RF."""
     from cpt_tpu.ops.render import paste_mask
 
     wh, ww = window
-    t = halo // STRIDE
-    assert halo % STRIDE == 0 and wh % STRIDE == 0 and ww % STRIDE == 0
+    rf = backbone_receptive_field(cfg)
+    # paste trim: ceil(RF/stride) cells in the exact regime; in the
+    # approximate regime (halo < RF, gated behind allow_approximate) fall
+    # back to trimming the halo itself, as round 1 did
+    t = min(-(-rf // STRIDE), halo // STRIDE)
+    assert wh % STRIDE == 0 and ww % STRIDE == 0
 
     @jax.jit
     def fn(params, image_u8, base_feat, origins, rects, rect_valid,
@@ -222,8 +237,8 @@ def make_base_early_fn(model: AttrRCNN, cfg: DetectorConfig,
 
 
 def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
-                              window: Tuple[int, int] = (384, 512),
-                              halo: int = 80, split_stage: int = 2,
+                              window: Tuple[int, int] = (512, 640),
+                              halo: int = 160, split_stage: int = 2,
                               inclusive_paint: bool = False,
                               with_masks: bool = False,
                               cascade: bool = False,
@@ -234,10 +249,12 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
     on the painted window; the trimmed interior pastes into the cached
     base early map and the remaining stages + heads run on the full
     (patched) map. Because the receptive field through the early stages is
-    small (77 px for X152 at split 2), ``halo >= backbone_receptive_field(
-    cfg, split_stage)`` makes the paste interior EXACTLY equal to a full
-    recompute — no approximation, unlike the one-level path whose
-    exactness needs the FULL RF. Saves the early stages' cost (the window
+    small (77 px for X152 at split 2), ``halo >= 2 * backbone_receptive_
+    field(cfg, split_stage)`` makes the result EXACTLY equal to a full
+    recompute — pasted cells carry their whole RF inside the window
+    (trim = RF) and every dirty cell (paint + RF) falls inside the pasted
+    interior — no approximation, unlike the one-level path whose
+    exactness would need the FULL RF. Saves the early stages' cost (the window
     covers ~3.4× fewer pixels than a 640×1024 canvas) while the deep
     stage-3 stack stays exact by running on the whole map.
 
@@ -264,12 +281,15 @@ def make_two_level_extract_fn(model: AttrRCNN, cfg: DetectorConfig, *,
 
     wh, ww = window
     map_stride = 4 * 2 ** (split_stage - 1)
-    t = halo // map_stride
-    assert halo % map_stride == 0 and wh % STRIDE == 0 and ww % STRIDE == 0
     rf = backbone_receptive_field(cfg, split_stage)
-    assert halo >= rf, (
-        f"two-level windowed requires halo ({halo}) >= early-stage RF "
-        f"({rf}) for exactness")
+    # trim = ceil(RF/stride) cells (pasted cells exact); halo >= 2*RF
+    # additionally guarantees every dirty cell lies inside the paste
+    t = -(-rf // map_stride)
+    assert wh % STRIDE == 0 and ww % STRIDE == 0
+    assert halo >= 2 * rf, (
+        f"two-level windowed requires halo ({halo}) >= 2x early-stage RF "
+        f"(2x{rf}) for exactness: pasted cells need RF inside the window "
+        f"AND dirty cells (paint+RF) must fall inside the pasted interior")
 
     @jax.jit
     def fn(params, image_u8, base_feat, origins, rects, rect_valid,

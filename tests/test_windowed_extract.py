@@ -617,3 +617,49 @@ def test_edge_flush_windows_are_exact():
         d = feature_drift(exact, got)
         assert d["feat_max_rel"] < 2e-4, (cascade, d)
         assert d["label_agreement"] == 1.0
+
+
+@pytest.mark.slow
+def test_two_level_multi_rect_copies():
+    """GQA/VG-style copies paint MULTIPLE rects; the window covers their
+    union and the two-level path stays exact."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn,
+                                         make_two_level_extract_fn)
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(12)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    c, k = 3, 2
+    rects = np.asarray([
+        [[100.0, 100.0, 120.0, 120.0], [130.0, 125.0, 150.0, 145.0]],
+        [[90.0, 120.0, 115.0, 140.0], [120.0, 95.0, 140.0, 115.0]],
+        [[110.0, 110.0, 150.0, 150.0], [105.0, 105.0, 125.0, 125.0]],
+    ], np.float32)
+    colors = np.stack([
+        np.asarray([[240, 0, 30, 127], [0, 10, 255, 127]], np.uint8)
+    ] * c)
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    args = dict(rects=jnp.asarray(rects), rv=jnp.ones((c, k), bool),
+                colors=jnp.asarray(colors), cv=jnp.ones((c,), bool),
+                dets=jnp.asarray(dets), dv=jnp.ones((m,), bool),
+                hw=jnp.asarray([CANVAS, CANVAS]))
+    exact = _exact(cfg, model, params, image, args)
+    origins, fits = window_origins(rects, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    got = make_two_level_extract_fn(model, cfg, window=(192, 192),
+                                    halo=48)(
+        params, image, base, jnp.asarray(origins), args["rects"],
+        args["rv"], args["colors"], args["cv"], args["dets"], args["dv"],
+        args["hw"])
+    d = feature_drift(exact, got)
+    assert d["feat_max_rel"] < 2e-4, d
+    assert d["label_agreement"] == 1.0
