@@ -148,7 +148,7 @@ class Extractor:
         (``engine/windowed.py`` — ~1.7×; see PERF.md) for rect-painted
         copies whose rect fits the window; others fall back to the exact
         full path. Safety rail: windowed features are exact only when
-        ``halo >= backbone_receptive_field(cfg)``; when they would be
+        ``halo >= 2*backbone_receptive_field(cfg, ...)``; when they would be
         approximate the Extractor falls back to the exact path unless
         ``allow_approximate=True``, in which case it proceeds and
         auto-measures ``feature_drift`` on the first windowed task."""

@@ -134,7 +134,7 @@ class ResNetC4(nn.Module):
     ``up_to``/``from_stage`` split the body at a stage boundary for the
     two-level exact windowed extractor (engine/windowed.py): the receptive
     field through stem+layer1+layer2 is only 77 px (vs 645 for the full
-    body), so per-copy recompute of the early stages on a halo-80 window
+    body), so per-copy recompute of the early stages on a halo-160 window
     is exactly equal to full recompute — the late stages then run on the
     patched stride-8 map.
     """

@@ -67,7 +67,7 @@ def build_args():
                         "many chips")
     p.add_argument("--windowed", action="store_true",
                    help="windowed-recompute reuse (~1.7x). Exact only when "
-                        "halo >= backbone receptive field; otherwise falls "
+                        "the halo covers 2x the relevant receptive field; else falls "
                         "back to the exact path unless --allow-approximate")
     p.add_argument("--allow-approximate", action="store_true",
                    dest="allow_approximate",

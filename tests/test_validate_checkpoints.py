@@ -15,7 +15,7 @@ def test_dryrun_end_to_end(tmp_path):
     assert report["vinvl"].endswith(".pth")
     assert report["oscar"].endswith(".bin")
     assert np.isfinite(report["zero_shot_accuracy"])
-    # tiny backbone RF (21 px) < halo 96 -> the windowed path is exact here
+    # tiny backbone: halo default >= 2x RF -> the windowed path is exact
     assert report["windowed_drift"]["feat_max_rel"] < 5e-3
     assert report["windowed_drift"]["label_agreement"] == 1.0
 

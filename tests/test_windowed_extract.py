@@ -106,7 +106,7 @@ def test_window_origins_clamp_and_fit():
 def test_extractor_windowed_mode_matches_full(tmp_path):
     """Extractor(windowed=True) routes fitting copies through the windowed
     path, the rest through the full path, and matches the exact extractor
-    (tiny net: halo >= RF ⇒ exact)."""
+    (tiny net: halo 48 ≥ 2·RF 21 = 42 ⇒ exact)."""
     rng = np.random.RandomState(1)
     cfg = tiny_detector_config()
     model = AttrRCNN(cfg)
