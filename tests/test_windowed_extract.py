@@ -663,3 +663,53 @@ def test_two_level_multi_rect_copies():
     d = feature_drift(exact, got)
     assert d["feat_max_rel"] < 2e-4, d
     assert d["label_agreement"] == 1.0
+
+
+@pytest.mark.slow
+def test_two_level_mask_painting_exact():
+    """VCR-style mask-painted copies through the two-level path match the
+    exact full path."""
+    from cpt_tpu.engine.windowed import (make_base_early_fn, mask_bboxes,
+                                         make_two_level_extract_fn)
+
+    cfg = _deep_cfg()
+    model = AttrRCNN(cfg)
+    m = cfg.max_force_boxes
+    rng = np.random.RandomState(14)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]), jnp.zeros((m, 4)),
+        jnp.ones((m,), bool))
+    image = jnp.asarray(rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                        .astype(np.uint8))
+    c = 3
+    masks = np.zeros((c, CANVAS, CANVAS), np.uint8)
+    masks[0, 110:140, 100:140] = 1
+    masks[1, 95:125, 120:160] = 1
+    masks[2, 120:150, 105:135] = 1
+    mcolors = np.tile(np.asarray([0, 10, 255, 127], np.uint8), (c, 1))
+    dets = np.asarray(np.sort(rng.uniform(40, 216, (m, 2, 2)), axis=1)
+                      .transpose(0, 2, 1).reshape(m, 4), np.float32)
+    zero_rects = jnp.zeros((c, 1, 4))
+    no_rv = jnp.zeros((c, 1), bool)
+    cv = jnp.ones((c,), bool)
+    fn = make_extract_fn(model, cfg, with_masks=True)
+    exact = fn(params, image, zero_rects, no_rv,
+               jnp.zeros((c, 1, 4), jnp.uint8), cv, jnp.asarray(masks),
+               jnp.asarray(mcolors), jnp.asarray(dets),
+               jnp.ones((m,), bool), jnp.asarray([CANVAS, CANVAS]))
+
+    boxes = mask_bboxes(masks)
+    origins, fits = window_origins(boxes, (192, 192), (CANVAS, CANVAS), 48)
+    assert fits.all()
+    base = make_base_early_fn(model, cfg, 2)(params, image)
+    wfn = make_two_level_extract_fn(model, cfg, window=(192, 192), halo=48,
+                                    with_masks=True)
+    got = wfn(params, image, base, jnp.asarray(origins), zero_rects,
+              no_rv, jnp.zeros((c, 1, 4), jnp.uint8), cv,
+              jnp.asarray(dets), jnp.ones((m,), bool),
+              jnp.asarray([CANVAS, CANVAS]),
+              jnp.asarray(masks), jnp.asarray(mcolors))
+    d = feature_drift(exact, got)
+    assert d["feat_max_rel"] < 2e-4, d
+    assert d["label_agreement"] == 1.0
