@@ -23,13 +23,36 @@ from cpt_tpu.utils.tsv import TSVFile, decode_feature
 class RetrievalData:
     def __init__(self, feat_file: str, captions: Dict[str, List[str]],
                  tokenizer: BertTokenizer, max_seq_len: int = 70,
-                 img_seq_len: int = 50, img_feat_dim: int = 2054):
-        """captions: {img_key: [caption strings]}."""
+                 img_seq_len: int = 50, img_feat_dim: int = 2054,
+                 eval_img_keys: Optional[Sequence[str]] = None,
+                 caption_indexs: Optional[Dict[str, List]] = None):
+        """captions: {img_key: [caption strings]}.
+
+        ``eval_img_keys`` restricts evaluation to a key subset (reference
+        ``--eval_img_keys_file``, run_retrieval.py:76-84 — the COCO 1k/5k
+        folds). ``caption_indexs`` is {img_key: [(img_key, cap_idx), ...]}
+        — per-image hard-negative caption candidates for the re-rank
+        evaluation setting (``--eval_caption_index_file``,
+        run_retrieval.py:86-95), the setting the reference's published
+        R@K numbers use.
+        """
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
         self.captions = {k: v for k, v in captions.items()
                          if k in self.imgid2idx}
         self.img_keys = sorted(self.captions)
+        if eval_img_keys is not None:
+            keep = [str(k) for k in eval_img_keys]
+            missing = [k for k in keep if k not in self.captions]
+            if missing:
+                raise KeyError(f"eval_img_keys not in captions: {missing[:5]}")
+            self.img_keys = keep
+            self.captions = {k: self.captions[k] for k in keep}
+        self.caption_indexs = None
+        if caption_indexs is not None:
+            self.caption_indexs = {
+                str(k): [(str(ik), int(ci)) for ik, ci in v]
+                for k, v in caption_indexs.items()}
         self.tokenizer = tokenizer
         self.max_seq_len = max_seq_len
         self.img_seq_len = img_seq_len
@@ -49,9 +72,17 @@ class RetrievalData:
                              self.max_seq_len, self.img_seq_len)
         return seq, pad_img_feats(feats, self.img_seq_len)
 
-    def train_batch(self, batch_size: int, rng: random.Random):
-        """Balanced positive/negative pairs (reference's random caption or
-        image swap negatives)."""
+    def train_batch(self, batch_size: int, rng: random.Random,
+                    hard_negatives: bool = False):
+        """Balanced positive/negative pairs.
+
+        Negatives follow the reference's 50/50 split (run_retrieval.py:
+        210-222): either a random caption from a different image paired
+        with this image's features, or this caption paired with a random
+        different image's features. With ``hard_negatives=True`` the
+        negative caption/image is drawn from the image's
+        ``caption_indexs`` candidate list instead of uniformly.
+        """
         t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
         ids = np.zeros((batch_size, t), np.int32)
         segs = np.zeros((batch_size, t), np.int32)
@@ -64,14 +95,36 @@ class RetrievalData:
                 cap = rng.choice(self.captions[key])
                 labels[i] = 1
             else:
-                other = rng.choice([k for k in self.img_keys if k != key])
-                cap = rng.choice(self.captions[other])
+                if hard_negatives and self.caption_indexs:
+                    cands = [(ik, ci) for ik, ci in self.caption_indexs[key]
+                             if ik != key]
+                    ok, oc = rng.choice(cands)
+                else:
+                    ok = rng.choice([k for k in self.img_keys if k != key])
+                    oc = rng.randrange(len(self.captions[ok]))
+                if rng.random() <= 0.5:   # negative caption, own image
+                    cap = self.captions[ok][oc]
+                else:                     # own caption, negative image
+                    cap = rng.choice(self.captions[key])
+                    key = ok
                 labels[i] = 0
             seq, f = self.tensorize(cap, key)
             ids[i], segs[i], attn[i] = (seq.input_ids, seq.segment_ids,
                                         seq.attention_mask)
             feats[i] = f
         return ids, segs, attn, feats, labels
+
+    def rerank_entries(self) -> List[Tuple[str, str, int, int]]:
+        """Re-rank evaluation pairs, reference index order
+        (run_retrieval.py:113-116): for each eval image, its
+        ``caption_indexs`` candidates. Returns
+        [(img_key, cand_img_key, cand_cap_idx, label)]."""
+        assert self.caption_indexs is not None
+        out = []
+        for key in self.img_keys:
+            for ik, ci in self.caption_indexs[key]:
+                out.append((key, ik, ci, int(ik == key)))
+        return out
 
     def all_pairs(self):
         """Every (caption, image) pair for ranking eval, with gt flags."""
@@ -81,6 +134,28 @@ class RetrievalData:
                 for ik in self.img_keys:
                     pairs.append((cap, ck, ik))
         return pairs
+
+
+def rank_rerank(scores: np.ndarray, labels: np.ndarray,
+                n_candidates: int) -> Dict[str, float]:
+    """Hard-negative re-rank R@K (reference ``compute_ranks`` in the
+    ``has_caption_indexs`` branch, run_retrieval.py:264-281): scores and
+    0/1 labels are flat in (image, candidate) order; per image the
+    candidates are sorted by score and the rank of the first positive
+    taken. Only image→text recalls are defined in this setting."""
+    sim = np.reshape(scores, [-1, n_candidates])
+    lab = np.reshape(labels, [-1, n_candidates])
+    ranks = []
+    for l, s in zip(lab, sim):
+        inds = np.argsort(s)[::-1]
+        rank = n_candidates
+        for r, ind in enumerate(inds):
+            if l[ind] == 1:
+                rank = r
+                break
+        ranks.append(rank)
+    return {f"i2t_R@{k}": 100.0 * np.mean([r < k for r in ranks])
+            for k in (1, 5, 10)}
 
 
 def rank_scores(scores: np.ndarray, caption_owner: Sequence[int],

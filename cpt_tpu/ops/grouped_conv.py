@@ -196,6 +196,184 @@ def _forward(x, w33, scale, bias, groups, stride, relu):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Round-3 formulation: slice-dense tap-accumulate kernel
+# ---------------------------------------------------------------------------
+#
+# The round-2 kernel above loses to Mosaic relayout costs because it slices
+# and concatenates along the LANE (channel) dimension — building [m, 9·cpg]
+# patch matrices from 9 slices of cpg lanes forces lane shuffles that
+# dominate the small matmuls.  This formulation keeps channels lane-aligned
+# throughout:
+#
+# * channels are processed in 128-lane slices (``128//cpg`` whole groups per
+#   slice — the ResNeXt cpg of 8/16/32/64 always divides 128);
+# * per slice, the grouped weights are densified into block-diagonal
+#   [128, 128] matrices per tap (zeros off the group blocks).  The FLOP
+#   waste factor (128/cpg) is mathematically identical to the MXU
+#   lane-underfill ceiling of the sliced formulation — densification costs
+#   nothing relative to the best possible grouped schedule, but runs at
+#   dense MXU rates;
+# * the 3×3 taps become 9 accumulated [m, 128] × [128, 128] matmuls over
+#   shifted views of the input tile.  The kx shifts are SUBLANE shifts only
+#   (channels stay put in lanes); they are materialized once per tile into
+#   3 scratch copies shared by the 3 ky taps each, so a tile pays 2
+#   misaligned-sublane relayouts total instead of 9 lane concats;
+# * frozen-BN affine + ReLU fuse into the f32 epilogue as before.
+#
+# Reference semantics: torch ``Conv2d(groups=G, k=3, pad=1, stride=1,
+# bias=False)`` (``maskrcnn_benchmark/modeling/backbone/resnet.py``
+# Bottleneck conv2; stride-2 first blocks stay on the XLA path).
+
+
+def pack_weights_sd(w33: Array, groups: int) -> Array:
+    """HWIO grouped kernel [3, 3, cpg, ch] → [n_slices, 9, 128, 128]
+    block-diagonal dense tap matrices (tap-major in (ky, kx) order)."""
+    kh, kw, cpg, ch = w33.shape
+    assert (kh, kw) == (3, 3) and ch % 128 == 0 and 128 % cpg == 0
+    gps = 128 // cpg          # groups per 128-lane slice
+    n_slices = ch // 128
+    # output channel dim is group-major: channel = (s·gps + gi)·cpg + co
+    w = w33.reshape(3, 3, cpg, n_slices, gps, cpg)   # [ky,kx,ci,s,gi,co]
+    eye = jnp.eye(gps, dtype=w33.dtype)
+    # dense[s, ky, kx, gj·cpg+ci, gi·cpg+co] = w[...] · [gj == gi]
+    dense = jnp.einsum("yxcsgo,hg->syxhcgo", w, eye)
+    return dense.reshape(n_slices, 9, 128, 128)
+
+
+def _sd_pick_tile(h_out: int, w_out: int, w_in: int) -> int:
+    """Output-row tile height keeping xtile + 3 shifted copies + f32
+    accumulator + out block within ~6 MB of VMEM."""
+    budget = 6 * 1024 * 1024
+    for th in sorted({d for d in range(1, h_out + 1) if h_out % d == 0},
+                     reverse=True):
+        need = ((th + 2) * w_in * 128 * 2          # xtile (bf16)
+                + 3 * (th + 2) * w_out * 128 * 2   # shifted copies
+                + th * w_out * 128 * 4             # f32 accumulator
+                + 2 * th * w_out * 128 * 2)        # double-buffered out
+        if need <= budget:
+            return th
+    return 1
+
+
+def _sd_kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, xs, sem, *,
+               w_out, th, w_in, fuse_affine, relu, out_dtype):
+    n = pl.program_id(0)
+    si = pl.program_id(1)
+    ti = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(ti * th, th + 2), pl.ds(0, w_in),
+                 pl.ds(si * 128, 128)],
+        xtile, sem)
+    dma.start()
+    dma.wait()
+
+    # kx sublane shifts materialized once, shared across the 3 ky taps
+    for kx in range(3):
+        xs[kx] = xtile[:, kx:kx + w_out, :]
+
+    m = th * w_out
+    acc = jnp.zeros((m, 128), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            a = xs[kx, ky:ky + th].reshape(m, 128)
+            acc = acc + jnp.dot(a, w_ref[3 * ky + kx],
+                                preferred_element_type=jnp.float32)
+    if fuse_affine:
+        acc = acc * s_ref[0] + b_ref[0]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[:] = acc.reshape(th, w_out, 128).astype(out_dtype)
+
+
+def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
+                       bias: Optional[Array] = None, groups: int = 32,
+                       relu: bool = False,
+                       packed: Optional[Array] = None) -> Array:
+    """Grouped 3×3 conv, pad 1, stride 1, NHWC, via slice-dense taps
+    (+optional fused frozen-BN affine & ReLU).
+
+    x [N, H, W, ch], w33 [3, 3, ch//groups, ch] (ignored when ``packed``
+    — a prepacked ``pack_weights_sd`` output — is given), scale/bias [ch].
+    """
+    n, h, w, ch = x.shape
+    w_out = w
+    w_in = _round8(w + 2)
+    th = _sd_pick_tile(h, w_out, w_in)
+    n_slices = ch // 128
+
+    fuse_affine = scale is not None
+    if scale is None:
+        scale = jnp.ones((ch,), jnp.float32)
+        bias = jnp.zeros((ch,), jnp.float32)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_in - w - 1), (0, 0)))
+    wd = (packed if packed is not None
+          else pack_weights_sd(w33, groups)).astype(x.dtype)
+
+    kern = functools.partial(
+        _sd_kernel, w_out=w_out, th=th, w_in=w_in,
+        fuse_affine=fuse_affine, relu=relu, out_dtype=x.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(n, n_slices, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x (HBM, halo DMA)
+            pl.BlockSpec((None, 9, 128, 128),
+                         lambda ni, si, ti: (si, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda ni, si, ti: (0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda ni, si, ti: (0, si),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, th, w_out, 128),
+            lambda ni, si, ti: (ni, ti, 0, si),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_out, ch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w_in, 128), x.dtype),
+            pltpu.VMEM((3, th + 2, w_out, 128), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w_out * 9 * 128 * ch,
+            bytes_accessed=(n * h * w * ch * 2 + n * h * w_out * ch) * 2,
+            transcendentals=0,
+        ),
+    )(xp, wd, scale.astype(jnp.float32).reshape(1, ch),
+      bias.astype(jnp.float32).reshape(1, ch))
+
+
+def grouped_conv3x3_im2col(x: Array, w33: Array, scale: Optional[Array],
+                           bias: Optional[Array], groups: int,
+                           stride: int = 1, relu: bool = False) -> Array:
+    """XLA-level im2col + group-batched dot_general (VERDICT r2 ask #1):
+    ``conv_general_dilated_patches`` → [.., G, cpg·9] → batched matmul.
+
+    Patch channel order is channel-major (ci·9 + tap), so the packed
+    weight is [G, cpg·9, co] with rows in the same (ci, tap) order."""
+    n, h, w, ch = x.shape
+    cpg = ch // groups
+    p = lax.conv_general_dilated_patches(
+        x, (3, 3), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho, wo = p.shape[1], p.shape[2]
+    p = p.reshape(n, ho, wo, groups, cpg * 9)
+    # w33 [3,3,ci,G·co] → [G, ci·9, co]
+    wt = jnp.transpose(w33.reshape(3, 3, cpg, groups, cpg),
+                       (3, 2, 0, 1, 4)).reshape(groups, cpg * 9, cpg)
+    y = jnp.einsum("nhwgk,gkc->nhwgc", p, wt.astype(x.dtype))
+    y = y.reshape(n, ho, wo, ch)
+    if scale is not None:
+        y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
 def reference_grouped_conv3x3(x, w33, scale, bias, groups, stride=1,
                               relu=False):
     """XLA formulation with identical semantics (correctness oracle +

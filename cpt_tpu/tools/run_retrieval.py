@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cpt_tpu.data.retrieval import RetrievalData, rank_scores
+from cpt_tpu.data.retrieval import RetrievalData, rank_rerank, rank_scores
 from cpt_tpu.data.tensorize import pad_img_feats
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import ImageBertForSequenceClassification
@@ -30,11 +30,39 @@ def build_args():
     p.add_argument("--captions", required=True,
                    help="json {img_key: [captions]}")
     p.add_argument("--train_steps", type=int, default=0)
+    p.add_argument("--eval_img_keys_file", default="",
+                   help="text file of image keys (one per line) selecting "
+                        "an eval subset, e.g. the COCO 1k/5k folds "
+                        "(reference run_retrieval.py:76-84)")
+    p.add_argument("--eval_caption_index_file", default="",
+                   help="json {img_key: [[img_key, cap_idx], ...]} of "
+                        "hard-negative caption candidates per image — "
+                        "enables the re-rank evaluation setting the "
+                        "reference's published R@K numbers use "
+                        "(run_retrieval.py:86-95); .pt files saved by "
+                        "torch.save are also accepted")
+    p.add_argument("--hard_negative_training", action="store_true",
+                   help="sample training negatives from the image's "
+                        "caption-index candidates instead of uniformly")
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
+
+
+def _load_caption_indexs(path):
+    """{img_key: [(img_key, cap_idx), ...]} from json, or from a
+    torch.save'd dict (reference run_retrieval.py:92-95 — values may be
+    json-encoded strings there)."""
+    if path.endswith((".pt", ".bin", ".pth")):
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        obj = json.load(open(path))
+    return {k: (json.loads(v) if isinstance(v, str) else v)
+            for k, v in obj.items()}
 
 
 def main(argv=None):
@@ -46,9 +74,17 @@ def main(argv=None):
     cfg = model_config(args, num_labels=2, loss_type="xe")
     model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))
 
+    eval_keys = None
+    if args.eval_img_keys_file:
+        with open(args.eval_img_keys_file) as f:
+            eval_keys = [line.strip() for line in f if line.strip()]
+    cap_idx = None
+    if args.eval_caption_index_file:
+        cap_idx = _load_caption_indexs(args.eval_caption_index_file)
     data = RetrievalData(args.feat_file, json.load(open(args.captions)),
                          tokenizer, args.max_seq_length,
-                         args.max_img_seq_length, cfg.img_feature_dim)
+                         args.max_img_seq_length, cfg.img_feature_dim,
+                         eval_img_keys=eval_keys, caption_indexs=cap_idx)
 
     rng_py = random.Random(args.seed)
     bsz = args.per_gpu_train_batch_size
@@ -94,7 +130,8 @@ def main(argv=None):
 
         rng = jax.random.PRNGKey(args.seed)
         for it in range(args.train_steps):
-            batch = data.train_batch(bsz, rng_py)
+            batch = data.train_batch(
+                bsz, rng_py, hard_negatives=args.hard_negative_training)
             rng, sub = jax.random.split(rng)
             state, loss = step(
                 state, shard_b(tuple(jnp.asarray(x) for x in batch)),
@@ -103,38 +140,53 @@ def main(argv=None):
                 print(f"step {it + 1}: loss {float(loss):.4f}")
         params = state.params
 
-    # rank all caption x image pairs
     @jax.jit
     def fwd(params, ids, segs, attn, feats):
         _, logits = model.apply(params, ids, segs, attn, img_feats=feats)
         return jax.nn.softmax(logits.astype(jnp.float32), -1)[:, 1]
 
-    captions_flat, owners = [], []
-    for ci, key in enumerate(data.img_keys):
-        for cap in data.captions[key]:
-            captions_flat.append(cap)
-            owners.append(ci)
-    n_img = len(data.img_keys)
-    scores = np.zeros((len(captions_flat), n_img), np.float32)
     ebsz = args.per_gpu_eval_batch_size
-    pairs = [(i, j) for i in range(len(captions_flat)) for j in range(n_img)]
-    for start in range(0, len(pairs), ebsz):
-        chunk = pairs[start:start + ebsz]
-        t, r, d = data.max_seq_len, data.img_seq_len, data.img_feat_dim
-        ids = np.zeros((ebsz, t), np.int32)
-        segs = np.zeros((ebsz, t), np.int32)
-        attn = np.zeros((ebsz, t + r), np.int32)
-        feats = np.zeros((ebsz, r, d), np.float32)
-        for k, (i, j) in enumerate(chunk):
-            seq, f = data.tensorize(captions_flat[i], data.img_keys[j])
-            ids[k], segs[k], attn[k], feats[k] = (
-                seq.input_ids, seq.segment_ids, seq.attention_mask, f)
-        s = np.asarray(fwd(params, *shard_b(tuple(
-            jnp.asarray(x) for x in (ids, segs, attn, feats)))))
-        for k, (i, j) in enumerate(chunk):
-            scores[i, j] = s[k]
+    t, r, d = data.max_seq_len, data.img_seq_len, data.img_feat_dim
 
-    metrics = rank_scores(scores, owners, n_img)
+    def score_pairs(cap_img_pairs):
+        """Match scores for [(caption_text, img_key)], batched."""
+        out = np.zeros((len(cap_img_pairs),), np.float32)
+        for start in range(0, len(cap_img_pairs), ebsz):
+            chunk = cap_img_pairs[start:start + ebsz]
+            ids = np.zeros((ebsz, t), np.int32)
+            segs = np.zeros((ebsz, t), np.int32)
+            attn = np.zeros((ebsz, t + r), np.int32)
+            feats = np.zeros((ebsz, r, d), np.float32)
+            for k, (cap, ik) in enumerate(chunk):
+                seq, f = data.tensorize(cap, ik)
+                ids[k], segs[k], attn[k], feats[k] = (
+                    seq.input_ids, seq.segment_ids, seq.attention_mask, f)
+            s = np.asarray(fwd(params, *shard_b(tuple(
+                jnp.asarray(x) for x in (ids, segs, attn, feats)))))
+            out[start:start + len(chunk)] = s[:len(chunk)]
+        return out
+
+    if data.caption_indexs is not None:
+        # hard-negative re-rank: each image scored only against its
+        # candidate captions (reference run_retrieval.py:113-116, 264-281)
+        entries = data.rerank_entries()
+        n_cand = len(entries) // len(data.img_keys)
+        scores = score_pairs([(data.captions[ik][ci], key)
+                              for key, ik, ci, _ in entries])
+        labels = np.asarray([lab for *_, lab in entries])
+        metrics = rank_rerank(scores, labels, n_cand)
+    else:
+        # full pairwise ranking over every caption x image pair
+        captions_flat, owners = [], []
+        for ci, key in enumerate(data.img_keys):
+            for cap in data.captions[key]:
+                captions_flat.append(cap)
+                owners.append(ci)
+        n_img = len(data.img_keys)
+        flat = score_pairs([(cap, ik) for cap in captions_flat
+                            for ik in data.img_keys])
+        scores = flat.reshape(len(captions_flat), n_img)
+        metrics = rank_scores(scores, owners, n_img)
     print("  ".join(f"{k}: {v:.2f}" for k, v in metrics.items()))
     if args.output:
         pickle.dump({"metrics": metrics, "scores": scores},

@@ -163,6 +163,58 @@ def test_run_retrieval_ranks(fixture):
 
 
 @pytest.mark.slow
+def test_run_retrieval_rerank_protocol(fixture, tmp_path):
+    """Hard-negative re-rank eval (reference run_retrieval.py:86-95,
+    264-281): each image ranked only over its candidate caption list;
+    i2t recalls only. Also exercises --eval_img_keys_file subsetting and
+    --hard_negative_training sampling."""
+    from cpt_tpu.tools.run_retrieval import main
+
+    keys = [f"im{q}" for q in range(6)]
+    (tmp_path / "keys.txt").write_text("\n".join(keys) + "\n")
+    # per image: its own caption + 2 hard negatives from the other signal
+    # group (caption strings differ exactly by group)
+    cand = {}
+    for q in range(6):
+        negs = [f"im{(q + 1) % 6}", f"im{(q + 3) % 6}"]
+        cand[f"im{q}"] = [[f"im{q}", 0]] + [[n, 0] for n in negs]
+    json.dump(cand, open(tmp_path / "cand.json", "w"))
+
+    metrics = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--eval_img_keys_file", str(tmp_path / "keys.txt"),
+        "--eval_caption_index_file", str(tmp_path / "cand.json"),
+        "--hard_negative_training",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "60", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "16", *TINY,
+    ])
+    # re-rank setting defines image->text recalls only
+    assert set(metrics) == {"i2t_R@1", "i2t_R@5", "i2t_R@10"}
+    # 3 candidates, 1 positive: learned model must beat random R@1 (33%)
+    assert metrics["i2t_R@1"] >= 50.0
+    assert metrics["i2t_R@5"] == 100.0
+
+
+def test_rank_rerank_golden():
+    """rank_rerank matches the reference compute_ranks semantics on a
+    hand-built score matrix (first-positive rank per image row)."""
+    from cpt_tpu.data.retrieval import rank_rerank
+
+    scores = np.asarray([
+        [0.9, 0.5, 0.1],   # positive at rank 0
+        [0.2, 0.8, 0.4],   # positive (col 0) at rank 2
+        [0.3, 0.9, 0.1],   # positive (col 1) at rank 0
+    ]).reshape(-1)
+    labels = np.asarray([1, 0, 0, 1, 0, 0, 0, 1, 0]).reshape(-1)
+    m = rank_rerank(scores, labels, 3)
+    assert m["i2t_R@1"] == pytest.approx(100.0 * 2 / 3)
+    assert m["i2t_R@5"] == 100.0
+
+
+@pytest.mark.slow
 def test_run_pretrain_loss_drops(fixture):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
 
