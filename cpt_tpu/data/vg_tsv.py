@@ -264,7 +264,8 @@ def _box_filter(boxes: np.ndarray, must_overlap: bool = False) -> np.ndarray:
 
 def write_detection_tsv(root: str, name: str, images: Dict[str, np.ndarray],
                         labels: Dict[str, dict],
-                        labelmap: Dict[str, dict]) -> str:
+                        labelmap: Dict[str, dict],
+                        sort_keys: bool = True) -> str:
     """Author a complete od/vg-TSV dataset directory (images b64-encoded,
     label/hw TSVs, labelmap jsondict, yaml descriptor) — the writer side of
     the format, used for fixtures and data prep."""
@@ -273,7 +274,7 @@ def write_detection_tsv(root: str, name: str, images: Dict[str, np.ndarray],
     from cpt_tpu.utils.tsv import tsv_writer
 
     os.makedirs(root, exist_ok=True)
-    keys = sorted(images)
+    keys = sorted(images) if sort_keys else list(images)
     img_rows, label_rows, hw_rows = [], [], []
     for k in keys:
         buf = io.BytesIO()

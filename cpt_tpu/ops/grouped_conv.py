@@ -241,45 +241,88 @@ def pack_weights_sd(w33: Array, groups: int) -> Array:
     return dense.reshape(n_slices, 9, 128, 128)
 
 
-def _sd_pick_tile(h_out: int, w_out: int, w_in: int) -> int:
-    """Output-row tile height keeping xtile + 3 shifted copies + f32
-    accumulator + out block within ~6 MB of VMEM."""
-    budget = 6 * 1024 * 1024
+def _sd_pick_tile(h_out: int, w_out: int, w_in: int,
+                  mode: str = "dots9") -> int:
+    """Output-row tile height keeping xtile + shifted copies + patch
+    matrix + f32 accumulator + out block within ~8 MB of VMEM."""
+    budget = 8 * 1024 * 1024
     for th in sorted({d for d in range(1, h_out + 1) if h_out % d == 0},
                      reverse=True):
-        need = ((th + 2) * w_in * 128 * 2          # xtile (bf16)
+        need = (2 * (th + 2) * w_in * 128 * 2      # 2-slot xtile (bf16)
                 + 3 * (th + 2) * w_out * 128 * 2   # shifted copies
                 + th * w_out * 128 * 4             # f32 accumulator
                 + 2 * th * w_out * 128 * 2)        # double-buffered out
+        if mode == "cat9":
+            need += th * w_out * 9 * 128 * 2       # [m, 1152] patches
         if need <= budget:
             return th
     return 1
 
 
-def _sd_kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, xs, sem, *,
-               w_out, th, w_in, fuse_affine, relu, out_dtype):
-    n = pl.program_id(0)
-    si = pl.program_id(1)
-    ti = pl.program_id(2)
+def _sd_kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, xs, patches,
+               sem, *, w_out, th, w_in, fuse_affine, relu, out_dtype,
+               mode):
+    """Double-buffered across grid steps: each program prefetches the NEXT
+    program's input tile before computing its own, so the HBM→VMEM DMA
+    overlaps the 9 accumulated matmuls (grid steps on a TPU core run
+    sequentially and scratch persists across them)."""
+    i, si, ti = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ns, nt = pl.num_programs(1), pl.num_programs(2)
+    p = (i * ns + si) * nt + ti
+    num_p = pl.num_programs(0) * ns * nt
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(ti * th, th + 2), pl.ds(0, w_in),
-                 pl.ds(si * 128, 128)],
-        xtile, sem)
-    dma.start()
-    dma.wait()
+    def get_dma(slot, pi):
+        ti2 = pi % nt
+        si2 = (pi // nt) % ns
+        i2 = pi // (nt * ns)
+        return pltpu.make_async_copy(
+            x_hbm.at[i2, pl.ds(ti2 * th, th + 2), pl.ds(0, w_in),
+                     pl.ds(si2 * 128, 128)],
+            xtile.at[slot], sem.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(p + 1 < num_p)
+    def _():
+        get_dma((p + 1) % 2, p + 1).start()
+
+    get_dma(p % 2, p).wait()
+    cur = xtile[p % 2]
 
     # kx sublane shifts materialized once, shared across the 3 ky taps
     for kx in range(3):
-        xs[kx] = xtile[:, kx:kx + w_out, :]
+        xs[kx] = cur[:, kx:kx + w_out, :]
 
     m = th * w_out
-    acc = jnp.zeros((m, 128), jnp.float32)
-    for ky in range(3):
+    if mode == "cat9":
+        # one K=1152 matmul per tile: the [m, 9·128] patch matrix built
+        # from the 3 shifted copies (MXU rate at K=1152/N=128 measured
+        # ~2.5-6x the K=128 rate — see PERF.md round-3 study)
+        for ky in range(3):
+            for kx in range(3):
+                t = ky * 3 + kx
+                patches[:, t * 128:(t + 1) * 128] = (
+                    xs[kx, ky:ky + th].reshape(m, 128))
+        acc = jnp.dot(patches[:], w_ref[0],
+                      preferred_element_type=jnp.float32)
+    elif mode == "cat3":
+        acc = jnp.zeros((m, 128), jnp.float32)
+        # one K=384 matmul per kx: lane-concat the 3 ky row-shifts
         for kx in range(3):
-            a = xs[kx, ky:ky + th].reshape(m, 128)
-            acc = acc + jnp.dot(a, w_ref[3 * ky + kx],
+            a = jnp.concatenate(
+                [xs[kx, ky:ky + th].reshape(m, 128) for ky in range(3)],
+                axis=1)
+            acc = acc + jnp.dot(a, w_ref[kx],
                                 preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((m, 128), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                a = xs[kx, ky:ky + th].reshape(m, 128)
+                acc = acc + jnp.dot(a, w_ref[3 * ky + kx],
+                                    preferred_element_type=jnp.float32)
     if fuse_affine:
         acc = acc * s_ref[0] + b_ref[0]
     if relu:
@@ -290,17 +333,20 @@ def _sd_kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, xs, sem, *,
 def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
                        bias: Optional[Array] = None, groups: int = 32,
                        relu: bool = False,
-                       packed: Optional[Array] = None) -> Array:
+                       packed: Optional[Array] = None,
+                       mode: str = "cat9") -> Array:
     """Grouped 3×3 conv, pad 1, stride 1, NHWC, via slice-dense taps
     (+optional fused frozen-BN affine & ReLU).
 
     x [N, H, W, ch], w33 [3, 3, ch//groups, ch] (ignored when ``packed``
     — a prepacked ``pack_weights_sd`` output — is given), scale/bias [ch].
+    ``mode``: "cat9" (one K=1152 matmul/tile, fastest measured), "cat3"
+    (three K=384), "dots9" (nine K=128).
     """
     n, h, w, ch = x.shape
     w_out = w
     w_in = _round8(w + 2)
-    th = _sd_pick_tile(h, w_out, w_in)
+    th = _sd_pick_tile(h, w_out, w_in, mode)
     n_slices = ch // 128
 
     fuse_affine = scale is not None
@@ -311,18 +357,35 @@ def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_in - w - 1), (0, 0)))
     wd = (packed if packed is not None
           else pack_weights_sd(w33, groups)).astype(x.dtype)
+    if mode == "cat9":
+        # [ns, 9, 128, 128] → [ns, 1, 9·128 (tap-major rows), 128]
+        wd = wd.reshape(n_slices, 1, 9 * 128, 128)
+        w_spec = pl.BlockSpec((None, 1, 9 * 128, 128),
+                              lambda ni, si, ti: (si, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    elif mode == "cat3":
+        # [ns, 9(t=ky·3+kx), 128, 128] → [ns, 3(kx), 3·128(ky-major), 128]
+        wc = wd.reshape(n_slices, 3, 3, 128, 128)      # [s, ky, kx, i, o]
+        wd = jnp.transpose(wc, (0, 2, 1, 3, 4)).reshape(n_slices, 3,
+                                                        3 * 128, 128)
+        w_spec = pl.BlockSpec((None, 3, 3 * 128, 128),
+                              lambda ni, si, ti: (si, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_spec = pl.BlockSpec((None, 9, 128, 128),
+                              lambda ni, si, ti: (si, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     kern = functools.partial(
         _sd_kernel, w_out=w_out, th=th, w_in=w_in,
-        fuse_affine=fuse_affine, relu=relu, out_dtype=x.dtype)
+        fuse_affine=fuse_affine, relu=relu, out_dtype=x.dtype,
+        mode=mode)
     return pl.pallas_call(
         kern,
         grid=(n, n_slices, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x (HBM, halo DMA)
-            pl.BlockSpec((None, 9, 128, 128),
-                         lambda ni, si, ti: (si, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, 128), lambda ni, si, ti: (0, si),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda ni, si, ti: (0, si),
@@ -334,9 +397,11 @@ def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w_out, ch), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w_in, 128), x.dtype),
+            pltpu.VMEM((2, th + 2, w_in, 128), x.dtype),
             pltpu.VMEM((3, th + 2, w_out, 128), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((th * w_out, 9 * 128) if mode == "cat9"
+                       else (8, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w_out * 9 * 128 * ch,
@@ -345,6 +410,32 @@ def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
         ),
     )(xp, wd, scale.astype(jnp.float32).reshape(1, ch),
       bias.astype(jnp.float32).reshape(1, ch))
+
+
+def grouped_conv3x3_tapdot(x: Array, w33: Array, scale: Optional[Array],
+                           bias: Optional[Array], groups: int,
+                           relu: bool = False) -> Array:
+    """XLA-level slice-dense tap sum: 9 shifted views × block-diagonal
+    [128, 128] tap matrices as slice-batched matmuls, accumulated in f32.
+    Same densification trade as the Pallas kernel, scheduled by XLA."""
+    n, h, w, ch = x.shape
+    nsl = ch // 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wd = pack_weights_sd(w33, groups).astype(x.dtype)   # [ns, 9, 128, 128]
+    xs = xp.reshape(n, h + 2, w + 2, nsl, 128)
+    acc = jnp.zeros((n, h, w, nsl, 128), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            v = xs[:, ky:ky + h, kx:kx + w]
+            acc = acc + jnp.einsum(
+                "nrcsi,sio->nrcso", v, wd[:, ky * 3 + kx],
+                preferred_element_type=jnp.float32)
+    y = acc.reshape(n, h, w, ch)
+    if scale is not None:
+        y = y * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y.astype(x.dtype)
 
 
 def grouped_conv3x3_im2col(x: Array, w33: Array, scale: Optional[Array],

@@ -24,7 +24,9 @@ import numpy as np
 from jax import lax
 
 from cpt_tpu.ops.grouped_conv import (grouped_conv3x3_im2col,
-                                      grouped_conv3x3_sd, pack_weights_sd,
+                                      grouped_conv3x3_sd,
+                                      grouped_conv3x3_tapdot,
+                                      pack_weights_sd,
                                       reference_grouped_conv3x3)
 
 # (name, N, H, W, C) at the 640x1024 extraction canvas, G=32
@@ -93,20 +95,28 @@ def main():
             res["im2col_ms"] = round(dt * 1e3, 2)
             res["im2col_tfs"] = round(u_i / dt / 1e12, 1)
 
+        def td_f(c, w_, s_, b_):
+            return grouped_conv3x3_tapdot(c, w_, s_, b_, G, True)
+
+        dt = time_loop(make_loop(td_f, (w33, s, b)), x)
+        res["tapdot_ms"] = round(dt * 1e3, 2)
+        res["tapdot_tfs"] = round(useful / dt / 1e12, 1)
+
         wd = pack_weights_sd(w33, G).astype(jnp.bfloat16)
+        for tag, md in (("pallas", "dots9"), ("pallas_cat9", "cat9")):
+            def pl_f(c, wd_, s_, b_, _md=md):
+                return grouped_conv3x3_sd(c, None, s_, b_, G, True,
+                                          packed=wd_, mode=_md)
 
-        def pl_f(c, wd_, s_, b_):
-            return grouped_conv3x3_sd(c, None, s_, b_, G, True, packed=wd_)
-
-        # correctness spot-check at tiny N before timing
-        got = pl_f(x[:1], wd, s, b)
-        ref = xla_f(x[:1], w33, s, b)
-        err = float(jnp.abs(got.astype(jnp.float32)
-                            - ref.astype(jnp.float32)).max())
-        res["pallas_max_abs_err"] = round(err, 4)
-        dt = time_loop(make_loop(pl_f, (wd, s, b)), x)
-        res["pallas_ms"] = round(dt * 1e3, 2)
-        res["pallas_tfs"] = round(useful / dt / 1e12, 1)
+            # correctness spot-check at tiny N before timing
+            got = pl_f(x[:1], wd, s, b)
+            ref = xla_f(x[:1], w33, s, b)
+            err = float(jnp.abs(got.astype(jnp.float32)
+                                - ref.astype(jnp.float32)).max())
+            res[f"{tag}_max_abs_err"] = round(err, 4)
+            dt = time_loop(make_loop(pl_f, (wd, s, b)), x)
+            res[f"{tag}_ms"] = round(dt * 1e3, 2)
+            res[f"{tag}_tfs"] = round(useful / dt / 1e12, 1)
         print(json.dumps(res), flush=True)
 
 
