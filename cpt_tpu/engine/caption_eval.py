@@ -17,24 +17,19 @@ protocol in pure Python:
 * **SPICE** — NOT implemented (descoped; requires a dependency-parsed
   scene-graph pipeline + Java toolchain; documented in PARITY.md).
 
-Tokenization: lowercase + punctuation stripping (PTBTokenizer
-approximation; the reference shells out to the Stanford jar).
+Tokenization: ``utils.ptb_tokenizer.ptb_tokenize`` — pure-Python PTB
+parity with the Stanford jar pipeline the reference shells out to
+(contraction splits, punctuation-token removal).
 """
 from __future__ import annotations
 
 import json
-import re
 from collections import Counter
 from typing import Dict, List, Sequence
 
 from cpt_tpu.utils.cider import CiderD, ngrams
 from cpt_tpu.utils.meteor import meteor
-
-_PUNCT = re.compile(r"[^\w\s]")
-
-
-def tokenize(text: str) -> List[str]:
-    return _PUNCT.sub(" ", text.lower()).split()
+from cpt_tpu.utils.ptb_tokenizer import ptb_tokenize as tokenize
 
 
 def corpus_bleu(hyps: Dict[str, Sequence[str]],

@@ -139,3 +139,26 @@ def test_evaluate_on_coco_caption_protocol(tmp_path):
 def test_tokenize_strips_punctuation():
     assert tokenize("A dog, runs; quickly!") == ["a", "dog", "runs",
                                                  "quickly"]
+
+
+def test_ptb_tokenizer_jar_parity_goldens():
+    """ptb_tokenize matches the Stanford-jar+pycocoevalcap pipeline on
+    hand-derived goldens: contraction splits ('s / n't / 'll), quote and
+    punctuation token removal (the exact PUNCTUATIONS list), and the
+    lowercased -lrb-/-rrb- tokens that the reference filter keeps."""
+    from cpt_tpu.utils.ptb_tokenizer import ptb_tokenize
+
+    assert ptb_tokenize("A man's hat, isn't it?") == [
+        "a", "man", "'s", "hat", "is", "n't", "it"]
+    assert ptb_tokenize("Two dogs -- big ones -- run.") == [
+        "two", "dogs", "big", "ones", "run"]
+    assert ptb_tokenize('He said "hello world."') == [
+        "he", "said", "hello", "world"]
+    assert ptb_tokenize("Cats (two of them) sleep...") == [
+        "cats", "-lrb-", "two", "of", "them", "-rrb-", "sleep"]
+    assert ptb_tokenize("don't stop; we'll go!") == [
+        "do", "n't", "stop", "we", "'ll", "go"]
+    # hyphenated words stay joined (PTB keeps intra-word hyphens); the
+    # bare "-" token is removed
+    assert ptb_tokenize("a black-and-white photo - old") == [
+        "a", "black-and-white", "photo", "old"]
