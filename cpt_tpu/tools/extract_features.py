@@ -53,7 +53,7 @@ def build_args():
     p.add_argument("--cur_step", type=int, default=None)
     p.add_argument("--shard_by_process", action="store_true",
                    help="multi-host pods: shard by jax.process_index() "
-                        "(output gets a .shard{i} suffix; merge with "
+                        "(output becomes <base>.shard{i}.tsv; merge with "
                         "tools/merge_shards.py)")
     p.add_argument("--overwrite", action="store_true",
                    help="re-extract even if the output TSV exists "
@@ -136,7 +136,11 @@ def main(argv=None):
     if args.shard_by_process:
         args.total_step = jax.process_count()
         args.cur_step = jax.process_index()
-        args.output = f"{args.output}.shard{args.cur_step}"
+        # keep .tsv as the final extension: the .lineidx sidecar path is
+        # derived by splitext, so a trailing .shard{i} would collide
+        # across shards
+        base, ext = os.path.splitext(args.output)
+        args.output = f"{base}.shard{args.cur_step}{ext}"
     if os.path.exists(args.output) and not args.overwrite:
         print(f"{args.output} exists; skipping (use --overwrite to redo)")
         return
@@ -199,10 +203,20 @@ def main(argv=None):
 
     def tasks():
         if args.synthetic is not None:
-            for q in range(args.synthetic):
-                img = rng.randint(0, 256,
-                                  (cfg.input.pad_h, cfg.input.pad_w, 3)
-                                  ).astype(np.uint8)
+            qs = list(range(args.synthetic))
+            if args.total_step is not None and args.cur_step is not None:
+                period = len(qs) // args.total_step
+                qs = (qs[period * args.cur_step:]
+                      if args.cur_step == args.total_step - 1 else
+                      qs[period * args.cur_step:
+                         period * (args.cur_step + 1)])
+            for q in qs:
+                # per-task seed: the fixture is identical no matter how
+                # the task list is sharded across steps/hosts
+                rq = np.random.RandomState(1000 + q)
+                img = rq.randint(0, 256,
+                                 (cfg.input.pad_h, cfg.input.pad_w, 3)
+                                 ).astype(np.uint8)
                 dets = np.array([[4, 4, 60, 60], [70, 10, 130, 80],
                                  [20, 90, 90, 160]], np.float32)
                 yield refcoco_task(f"syn{q}", img,
