@@ -126,6 +126,49 @@ def bench_extraction(c=128, h=640, w=1024):
     return c / min(ts)
 
 
+def sample_coco_rects(n, h, w, rng):
+    """Sample n candidate-det rects with a realistic COCO/RefCOCO size
+    distribution (the production workload paints one candidate detection
+    per copy — reference ``refcocodataset.py:260-288``).
+
+    Documented model: COCO instance size bands (Lin et al. 2014 /
+    cocodataset.org detection metrics): ~41% small (area < 32²), ~34%
+    medium (32²-96²), ~25% large (> 96²), with sqrt-area uniform within
+    each band (large capped at 320 px — COCO images are ≤ 640 px wide)
+    and log-uniform aspect ratio in [1/2, 2]. Boxes are scaled by the
+    VinVL test resize (MIN_SIZE_TEST=600: ×600/480 ≈ 1.33 for a typical
+    480×640 image → this bench's 640×1024 canvas), positions uniform
+    over the canvas. Returns [n, 4] xyxy.
+    """
+    band = rng.choice(3, size=n, p=[0.41, 0.34, 0.25])
+    lo = np.asarray([8.0, 32.0, 96.0])[band]
+    hi = np.asarray([32.0, 96.0, 320.0])[band]
+    side = rng.uniform(lo, hi) * (600.0 / 480.0)
+    ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0), n))
+    bw = np.minimum(side * np.sqrt(ar), w - 2.0)
+    bh = np.minimum(side / np.sqrt(ar), h - 2.0)
+    x1 = rng.uniform(0, w - bw)
+    y1 = rng.uniform(0, h - bh)
+    return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float32)
+
+
+def eligibility_fractions(h=640, w=1024, n=20000, seed=1):
+    """Fraction of realistic rects the two-level windowed path accepts at
+    the default (512, 640) window and at the smaller (448, 576) window
+    the per-task auto-sizing can drop to (PERF.md round-2 window sweep:
+    +3.5% when rects fit)."""
+    from cpt_tpu.engine.windowed import window_origins
+
+    rng = np.random.RandomState(seed)
+    rects = sample_coco_rects(n, h, w, rng).reshape(n, 1, 4)
+    f = {}
+    for tag, window, halo in (("default", (512, 640), 160),
+                              ("small", (448, 576), 160)):
+        _, fits = window_origins(rects, window, (h, w), halo)
+        f[tag] = float(np.asarray(fits).mean())
+    return f
+
+
 def bench_extraction_two_level(c=128, h=640, w=1024,
                                window=(512, 640), halo=160):
     """Stage-1 via the two-level EXACT windowed path (production
@@ -188,7 +231,7 @@ def main():
     seq_per_sec = bench_scoring()
     if "--stage2-only" in sys.argv:
         copies_per_sec = None
-        two_level = None
+        two_level = two_small = None
     else:
         try:
             copies_per_sec = bench_extraction()
@@ -200,6 +243,11 @@ def main():
         except Exception:
             traceback.print_exc(file=sys.stderr)
             two_level = None
+        try:
+            two_small = bench_extraction_two_level(window=(448, 576))
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            two_small = None
 
     if copies_per_sec is None:
         print(json.dumps({
@@ -210,10 +258,11 @@ def main():
         }))
         return
 
-    # headline = best EXACT extraction path (two-level windowed produces
-    # features identical to the full path; see engine/windowed.py)
-    best = max(copies_per_sec, two_level or 0.0)
-    e2e = 1.0 / (1.0 / best + 1.0 / seq_per_sec)
+    # Blended PRODUCTION rate under a realistic COCO/RefCOCO rect-size
+    # distribution (sample_coco_rects): rects that fit the small window
+    # run there (per-task auto window sizing), rects that fit only the
+    # default window run there, the rest fall back to the exact
+    # full-canvas path. All three paths are EXACT (identical features).
     breakdown = {
         "extraction_copies_per_sec": round(copies_per_sec, 1),
         "extraction_vs_baseline": round(
@@ -222,10 +271,28 @@ def main():
         "scoring_vs_baseline": round(
             seq_per_sec / A100_SCORING_SEQ_PER_SEC, 2),
     }
+    blended = copies_per_sec
     if two_level is not None:
-        breakdown["two_level_exact_copies_per_sec"] = round(two_level, 1)
-        breakdown["two_level_vs_baseline"] = round(
-            two_level / A100_EXTRACTION_COPIES_PER_SEC, 2)
+        f = eligibility_fractions()
+        r_small = two_small if two_small is not None else two_level
+        f_small = f["small"]
+        f_def = max(f["default"], f_small)
+        t = (f_small / r_small + (f_def - f_small) / two_level
+             + (1.0 - f_def) / copies_per_sec)
+        blended = 1.0 / t
+        breakdown.update({
+            "two_level_exact_copies_per_sec": round(two_level, 1),
+            "two_level_vs_baseline": round(
+                two_level / A100_EXTRACTION_COPIES_PER_SEC, 2),
+            "two_level_small_window_copies_per_sec":
+                round(r_small, 1),
+            "windowed_eligible_fraction": round(f_def, 3),
+            "small_window_eligible_fraction": round(f_small, 3),
+            "blended_extraction_copies_per_sec": round(blended, 1),
+            "blended_extraction_vs_baseline": round(
+                blended / A100_EXTRACTION_COPIES_PER_SEC, 2),
+        })
+    e2e = 1.0 / (1.0 / blended + 1.0 / seq_per_sec)
     print(json.dumps({
         "metric": "cpt_e2e_copies_per_sec",
         "value": round(e2e, 1),

@@ -41,6 +41,21 @@ def build_args():
                    help="text-only MLM (run_mlm.py equivalent)")
     p.add_argument("--mask_loss_for_unmatched", type=int, default=1,
                    help="keep MLM loss on polluted pairs (reference flag)")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop the loop after this many steps while keeping "
+                        "the --train_steps LR-schedule horizon — so an "
+                        "interrupted run's steps match an uninterrupted "
+                        "one's exactly (0 = run to --train_steps)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save a step checkpoint (params+optimizer+step) to "
+                        "--output every N steps (reference "
+                        "run_oscarplus_pretrain.py periodic save_checkpoint)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from --output and "
+                        "continue mid-run (reference utils/checkpoint.py:"
+                        "73-93 recover semantics); per-step seeded rngs "
+                        "make the continued run identical to an "
+                        "uninterrupted one")
     return add_common_args(p)
 
 
@@ -109,26 +124,44 @@ def main(argv=None):
             optax.apply_updates(state.params, upd), opt,
             state.step + 1), loss, aux
 
-    rng = jax.random.PRNGKey(args.seed)
+    from cpt_tpu.utils import checkpoint as ckpt_lib
+
+    start_it = 0
+    if args.resume and args.output and ckpt_lib.has_checkpoint(args.output):
+        state = ckpt_lib.restore_checkpoint(args.output, state)
+        start_it = int(state.step)
+        print(f"resumed from {ckpt_lib.last_checkpoint_name(args.output)} "
+              f"at step {start_it}")
+
+    base_rng = jax.random.PRNGKey(args.seed)
     order = list(range(len(data)))
     losses = []
-    for it in range(args.train_steps):
+    stop_at = (min(args.train_steps, args.max_steps) if args.max_steps
+               else args.train_steps)
+    for it in range(start_it, stop_at):
+        # per-step seeds (fold_in / derived Random): the batch and dropout
+        # streams depend only on (seed, it), so a resumed run replays the
+        # exact uninterrupted sequence
+        step_py = random.Random(args.seed * 1_000_003 + it)
         chunk = [order[(it * bsz + j) % len(order)] for j in range(bsz)]
-        batch = data.batch(chunk, rng_py, pad_to=bsz)
+        batch = data.batch(chunk, step_py, pad_to=bsz)
         jb = tuple(jnp.asarray(x) for x in batch)
         if args.text_only:
             jb = (jb[0], jb[1], jb[2][:, : args.max_seq_length], jb[3],
                   jb[4], jb[5])
-        rng, sub = jax.random.split(rng)
+        sub = jax.random.fold_in(base_rng, it)
         state, loss, (mlm_l, nsp_l) = step(state, jb, sub)
         losses.append(float(loss))
         if (it + 1) % 20 == 0:
             print(f"step {it + 1}: loss {float(loss):.4f} "
                   f"(mlm {float(mlm_l):.4f} nsp {float(nsp_l):.4f})")
-    print(f"pretrain done: first {losses[0]:.4f} -> last {losses[-1]:.4f}")
+        if (args.save_every and args.output
+                and (it + 1) % args.save_every == 0):
+            ckpt_lib.save_checkpoint(args.output, f"step{it + 1}", state)
+    if losses:
+        print(f"pretrain done: first {losses[0]:.4f} -> last "
+              f"{losses[-1]:.4f}")
     if args.output:
-        from cpt_tpu.utils import checkpoint as ckpt_lib
-
         ckpt_lib.save_checkpoint(args.output, "pretrained", state)
     return losses
 

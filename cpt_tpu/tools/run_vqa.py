@@ -56,6 +56,18 @@ def build_args():
                         "(0 = only at the end)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="cap total optimizer steps (reference run_vqa.py "
+                        "t_total/max_steps); 0 = run all epochs")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save a full train-state checkpoint (params+"
+                        "optimizer+step) to {output_dir}/state every N "
+                        "steps — enables mid-epoch resume")
+    p.add_argument("--resume", action="store_true",
+                   help="restore {output_dir}/state and continue from the "
+                        "saved step; per-epoch shuffles and per-step rngs "
+                        "are seed-derived, so the continued run matches an "
+                        "uninterrupted one exactly")
     return add_common_args(p)
 
 
@@ -153,7 +165,12 @@ def main(argv=None):
 
     best = {"acc": -1.0, "params": params, "epoch": 0}
     if args.num_train_epochs > 0:
-        steps = max(1, len(data) // bsz) * args.num_train_epochs
+        steps_per_epoch = max(1, len(data) // bsz)
+        steps = steps_per_epoch * args.num_train_epochs
+        # --max_steps caps the LOOP only; the LR schedule keeps the full
+        # horizon so an interrupted-then-resumed run matches an
+        # uninterrupted one step for step
+        stop_at = min(steps, args.max_steps) if args.max_steps else steps
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps)
@@ -187,21 +204,46 @@ def main(argv=None):
             rep = lambda t: jax.device_put(t, replicated(mesh))
             state = jax.tree_util.tree_map(rep, state)
 
-        rng = jax.random.PRNGKey(args.seed)
-        order_rng = random.Random(args.seed)
-        for epoch in range(args.num_train_epochs):
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        gstep = 0
+        if args.resume and args.output_dir:
+            state_dir = os.path.join(args.output_dir, "state")
+            if ckpt_lib.has_checkpoint(state_dir):
+                state = jax.tree_util.tree_map(rep, ckpt_lib.
+                                               restore_checkpoint(state_dir,
+                                                                  state))
+                gstep = int(state.step)
+                print(f"resumed at step {gstep}")
+
+        base_rng = jax.random.PRNGKey(args.seed)
+        loss = jnp.float32(float("nan"))
+        for epoch in range(gstep // steps_per_epoch,
+                           args.num_train_epochs):
+            if gstep >= stop_at:
+                break
+            # per-epoch seeded shuffle: identical whether or not the run
+            # was interrupted
             order = list(range(len(data)))
-            order_rng.shuffle(order)
-            for start in range(0, len(order), bsz):
-                chunk = order[start:start + bsz]
+            random.Random((args.seed + 1) * 7919 + epoch).shuffle(order)
+            for si in range(gstep % steps_per_epoch, steps_per_epoch):
+                if gstep >= stop_at:
+                    break
+                chunk = order[si * bsz:(si + 1) * bsz]
                 b, soft, hard = data.batch(chunk, pad_to=bsz)
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(base_rng, gstep)
                 batch = shard_b((jnp.asarray(b.input_ids),
                                  jnp.asarray(b.segment_ids),
                                  jnp.asarray(b.attention_mask),
                                  jnp.asarray(b.img_feats),
                                  jnp.asarray(soft), jnp.asarray(hard)))
                 state, loss = step(state, batch, rep(sub))
+                gstep += 1
+                if (args.save_every and args.output_dir
+                        and gstep % args.save_every == 0):
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(args.output_dir, "state"),
+                        f"step{gstep}", state)
             if (epoch + 1) % 5 == 0:
                 print(f"epoch {epoch + 1}: loss {float(loss):.4f}")
             if args.eval_every and (epoch + 1) % args.eval_every == 0:
