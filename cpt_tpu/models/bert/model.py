@@ -130,6 +130,38 @@ class BertSelfAttention(nn.Module):
                                dtype=self.dtype)(ctx)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias},
+    same initializers) — lets the FFN route compute through either the
+    flax ops or the fused Pallas kernel without changing checkpoints."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.fin, self.fout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.fout,),
+                       jnp.float32)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+def _fused_ffn_available() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
@@ -146,13 +178,38 @@ class BertLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                               name="attention_out_LayerNorm")(hidden + attn_out)
 
-        inter = nn.Dense(c.intermediate_size, name="intermediate",
-                         dtype=self.dtype)(hidden)
+        w1, b1 = _DenseParams(c.hidden_size, c.intermediate_size,
+                              name="intermediate")()
+        w2, b2 = _DenseParams(c.intermediate_size, c.hidden_size,
+                              name="output")()
+        gamma, beta = _LNParams(c.hidden_size, name="output_LayerNorm")()
+
+        dropout_active = (c.hidden_dropout_prob > 0.0 and not deterministic)
+        use_fused = (c.ffn_impl == "fused"
+                     or (c.ffn_impl == "auto" and _fused_ffn_available()
+                         and not dropout_active
+                         and c.hidden_act in ("gelu", "gelu_new")
+                         and c.hidden_size % 128 == 0
+                         and c.intermediate_size % 128 == 0))
+        if use_fused:
+            from cpt_tpu.ops.fused_ffn import fused_ffn
+
+            return fused_ffn(hidden, w1, b1, w2, b2, gamma, beta,
+                             eps=c.layer_norm_eps,
+                             approximate=(c.hidden_act == "gelu_new"))
+
+        # reference path, numerically identical to the former
+        # nn.Dense/nn.LayerNorm composition
+        dt = self.dtype
+        inter = jnp.dot(hidden, w1.astype(dt)) + b1.astype(dt)
         inter = ACT[c.hidden_act](inter)
-        out = nn.Dense(c.hidden_size, name="output", dtype=self.dtype)(inter)
+        out = jnp.dot(inter, w2.astype(dt)) + b2.astype(dt)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                            name="output_LayerNorm")(hidden + out)
+        y = (hidden + out).astype(jnp.float32)
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+        y = (y - mu) * jax.lax.rsqrt(var + c.layer_norm_eps)
+        return (y * gamma + beta).astype(dt)
 
 
 class BertEncoder(nn.Module):
