@@ -23,6 +23,9 @@ class BackboneConfig:
     res2_out_channels: int = 256
     stride_in_1x1: bool = False
     out_channels: int = 1024                      # BACKBONE_OUT_CHANNELS
+    # grouped 3x3 backend: "auto" = slice-dense Pallas kernel on TPU for
+    # eligible (stride-1, 128-aligned) shapes, else XLA; "xla" forces XLA
+    grouped_conv_impl: str = "auto"
 
     @property
     def stage2_bottleneck_channels(self) -> int:

@@ -113,6 +113,10 @@ def convert_detector_state_dict(sd: Mapping[str, np.ndarray],
 def load_vinvl_checkpoint(path: str, cfg: DetectorConfig) -> Dict[str, Any]:
     from cpt_tpu.utils.convert import align_state_dict, load_torch_file
 
+    if path.endswith(".pkl"):
+        # legacy Detectron/Caffe2 blob file (DetectronCheckpointer's
+        # ``.pkl`` branch, reference checkpoint.py:85-96)
+        return load_caffe2_pickle(path, cfg)
     sd = load_torch_file(path)
     try:
         return convert_detector_state_dict(sd, cfg)
@@ -202,3 +206,78 @@ def random_vinvl_state_dict(cfg: DetectorConfig, seed: int = 0
                                                     at.attr_emd_dim)
     sd["attribute.predictor.attr_score.bias"] = r(at.num_attributes)
     return sd
+
+
+def rename_c2_keys(keys):
+    """Caffe2/Detectron blob names → maskrcnn-benchmark torch names.
+
+    Same transformation chain as the reference's legacy importer
+    (``prompt_feat/maskrcnn_benchmark/utils/c2_model_loading.py:13-62``):
+    underscores to dots with the weight/bias/bn fixups, res{N} stages to
+    torchvision layer{N-1}, branch2{a,b,c} to conv1/2/3, branch1 to the
+    downsample pair, and the RPN head names. Returns {c2_key: torch_key}.
+    """
+    # the blanket-replace chain, in the reference's exact order (incl.
+    # the .biasranch/.biasbox fixups its own blanket ".b" replace needs)
+    chain = [
+        ("_", "."), (".w", ".weight"), (".bn", "_bn"), (".b", ".bias"),
+        ("_bn.s", "_bn.scale"), (".biasranch", ".branch"),
+        ("bbox.pred", "bbox_pred"), ("cls.score", "cls_score"),
+        ("res.conv1_", "conv1_"), (".biasbox", ".bbox"),
+        ("conv.rpn", "rpn.conv"), ("rpn.bbox.pred", "rpn.bbox_pred"),
+        ("rpn.cls.logits", "rpn.cls_logits"),
+        ("_bn.scale", "_bn.weight"), ("conv1_bn.", "bn1."),
+        ("res2.", "layer1."), ("res3.", "layer2."), ("res4.", "layer3."),
+        ("res5.", "layer4."),
+        (".branch2a.", ".conv1."), (".branch2a_bn.", ".bn1."),
+        (".branch2b.", ".conv2."), (".branch2b_bn.", ".bn2."),
+        (".branch2c.", ".conv3."), (".branch2c_bn.", ".bn3."),
+        (".branch1.", ".downsample.0."), (".branch1_bn.", ".downsample.1."),
+        ("rpn.", "rpn.head."),
+    ]
+    out = {}
+    for orig in keys:
+        k = "fc1000_w" if orig == "pred_w" else (
+            "fc1000_b" if orig == "pred_b" else orig)
+        for a, b in chain:
+            k = k.replace(a, b)
+        out[orig] = k
+    return out
+
+
+def load_caffe2_pickle(path: str, cfg: DetectorConfig) -> Dict[str, Any]:
+    """Legacy Detectron/Caffe2 ``.pkl`` checkpoint → flax params
+    (reference ``c2_model_loading.py::load_c2_format`` +
+    DetectronCheckpointer). Caffe2 AffineChannel has no running stats, so
+    each ``*_bn`` gets identity stats (mean 0, var 1) before the frozen-BN
+    fold — matching the reference's FrozenBatchNorm2d defaults. Heads
+    absent from the blob file keep their fresh initialization (reference
+    ``skip_unmatched_layers`` semantics)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blobs = pickle.load(f, encoding="latin1")
+    if "blobs" in blobs:
+        blobs = blobs["blobs"]
+    blobs = {k: v for k, v in blobs.items()
+             if "momentum" not in k and isinstance(v, np.ndarray)}
+    renamed = {}
+    for c2k, tk in rename_c2_keys(blobs.keys()).items():
+        renamed[tk] = np.asarray(blobs[c2k])
+    # synthesize identity running stats for every affine-only BN
+    # (bn1/2/3, the stem bn1, downsample.1)
+    import re
+
+    bn_pat = re.compile(r"(\.bn\d|\.downsample\.1|^bn1)\.weight$")
+    for k in list(renamed):
+        if bn_pat.search(k):
+            base = k[: -len(".weight")]
+            renamed.setdefault(base + ".running_mean",
+                               np.zeros_like(renamed[k]))
+            renamed.setdefault(base + ".running_var",
+                               np.ones_like(renamed[k]))
+    from cpt_tpu.utils.convert import align_state_dict
+
+    base_sd = random_vinvl_state_dict(cfg)
+    base_sd.update(align_state_dict(renamed, base_sd))
+    return convert_detector_state_dict(base_sd, cfg)

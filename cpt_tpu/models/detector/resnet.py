@@ -17,10 +17,37 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cpt_tpu.models.detector.config import BackboneConfig
 
 Array = jax.Array
+
+
+class _ConvKernel(nn.Module):
+    """nn.Conv's exact param tree ({kernel}, lecun_normal, no bias) —
+    lets the grouped 3×3 route through either XLA or the slice-dense
+    Pallas kernel without changing checkpoints."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _AffineParams(nn.Module):
+    """FrozenBN's param tree ({scale: ones, bias: zeros})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32))
 
 
 class FrozenBN(nn.Module):
@@ -47,7 +74,16 @@ def conv(features: int, kernel: int, stride: int = 1, groups: int = 1,
 
 
 class Bottleneck(nn.Module):
-    """1×1 → grouped 3×3 (stride here) → 1×1, residual add, relu."""
+    """1×1 → grouped 3×3 (stride here) → 1×1, residual add, relu.
+
+    The grouped 3×3 + frozen-BN + relu sub-block routes through the
+    slice-dense Pallas kernel (``ops/grouped_conv.py::
+    grouped_conv3x3_sd`` — measured 5-7% over XLA's grouped lowering at
+    the extraction stage shapes, with the BN affine and relu fused into
+    the f32 epilogue) when ``grouped_impl`` allows and the shape is
+    eligible; otherwise XLA's ``feature_group_count`` path. Both paths
+    share one parameter tree (nn.Conv/FrozenBN layout).
+    """
 
     bottleneck_channels: int
     out_channels: int
@@ -55,9 +91,13 @@ class Bottleneck(nn.Module):
     stride: int
     stride_in_1x1: bool
     dtype: Any = jnp.float32
+    grouped_impl: str = "auto"   # auto | xla | pallas
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from cpt_tpu.ops.grouped_conv import (grouped_conv3x3_sd_vjp,
+                                              sd_eligible)
+
         s1, s3 = ((self.stride, 1) if self.stride_in_1x1
                   else (1, self.stride))
         identity = x
@@ -71,10 +111,26 @@ class Bottleneck(nn.Module):
                    dtype=self.dtype)(x)
         out = FrozenBN(self.bottleneck_channels, self.dtype, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = conv(self.bottleneck_channels, 3, s3, groups=self.num_groups,
-                   name="conv2", dtype=self.dtype)(out)
-        out = FrozenBN(self.bottleneck_channels, self.dtype, name="bn2")(out)
-        out = jax.nn.relu(out)
+
+        bc = self.bottleneck_channels
+        cpg = bc // self.num_groups
+        k2 = _ConvKernel((3, 3, cpg, bc), name="conv2")()
+        s2, b2 = _AffineParams(bc, name="bn2")()
+        use_pallas = (self.grouped_impl == "pallas"
+                      or (self.grouped_impl == "auto"
+                          and sd_eligible(out.shape[1], out.shape[2], bc,
+                                          cpg, s3)))
+        if use_pallas:
+            out = grouped_conv3x3_sd_vjp(out, k2.astype(self.dtype),
+                                         s2, b2, self.num_groups, True)
+        else:
+            out = lax.conv_general_dilated(
+                out, k2.astype(self.dtype), (s3, s3), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.num_groups)
+            out = out * s2.astype(self.dtype) + b2.astype(self.dtype)
+            out = jax.nn.relu(out)
+
         out = conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBN(self.out_channels, self.dtype, name="bn3")(out)
         return jax.nn.relu(out + identity)
@@ -106,6 +162,7 @@ class Stage(nn.Module):
     first_stride: int
     stride_in_1x1: bool
     dtype: Any = jnp.float32
+    grouped_impl: str = "auto"
 
     def setup(self):
         self.blocks = [
@@ -113,6 +170,7 @@ class Stage(nn.Module):
                        self.num_groups,
                        self.first_stride if i == 0 else 1,
                        self.stride_in_1x1, self.dtype,
+                       self.grouped_impl,
                        name=f"block_{i}")
             for i in range(self.block_count)
         ]
@@ -156,6 +214,7 @@ class ResNetC4(nn.Module):
                 first_stride=1 if i == 0 else 2,
                 stride_in_1x1=c.stride_in_1x1,
                 dtype=self.dtype,
+                grouped_impl=c.grouped_conv_impl,
                 name=f"layer{i + 1}",
             ))
         self.stages = stages
@@ -200,5 +259,6 @@ class ResNetC5Head(nn.Module):
             first_stride=2,
             stride_in_1x1=c.stride_in_1x1,
             dtype=self.dtype,
+            grouped_impl=c.grouped_conv_impl,
             name=f"layer{idx + 1}",
         )(x)

@@ -330,18 +330,53 @@ def _sd_kernel(x_hbm, w_ref, s_ref, b_ref, out_ref, xtile, xs, patches,
     out_ref[:] = acc.reshape(th, w_out, 128).astype(out_dtype)
 
 
+def sd_eligible(h: int, w: int, ch: int, cpg: int, stride: int) -> bool:
+    """Shapes the slice-dense kernel handles (and wins on): stride 1,
+    whole 128-lane slices, 8-aligned width, a usable row-tile divisor."""
+    return (stride == 1 and ch % 128 == 0 and 128 % cpg == 0
+            and w % 8 == 0 and any(h % th == 0 for th in (8, 4, 5, 2))
+            and jax.default_backend() not in ("cpu", "gpu"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def grouped_conv3x3_sd_vjp(x: Array, w33: Array, scale: Array, bias: Array,
+                           groups: int, relu: bool = False) -> Array:
+    """Differentiable wrapper over the slice-dense kernel (backward via
+    the XLA reference formulation, like ``grouped_conv3x3``)."""
+    return grouped_conv3x3_sd(x, w33, scale, bias, groups, relu,
+                              mode="dots9")
+
+
+def _sd_fwd(x, w33, scale, bias, groups, relu):
+    return grouped_conv3x3_sd_vjp(x, w33, scale, bias, groups, relu), (
+        x, w33, scale, bias)
+
+
+def _sd_bwd(groups, relu, res, g):
+    x, w33, scale, bias = res
+
+    def f(x_, w_, s_, b_):
+        return reference_grouped_conv3x3(x_, w_, s_, b_, groups, 1, relu)
+
+    return jax.vjp(f, x, w33, scale, bias)[1](g)
+
+
+grouped_conv3x3_sd_vjp.defvjp(_sd_fwd, _sd_bwd)
+
+
 def grouped_conv3x3_sd(x: Array, w33: Array, scale: Optional[Array] = None,
                        bias: Optional[Array] = None, groups: int = 32,
                        relu: bool = False,
                        packed: Optional[Array] = None,
-                       mode: str = "cat9") -> Array:
+                       mode: str = "dots9") -> Array:
     """Grouped 3×3 conv, pad 1, stride 1, NHWC, via slice-dense taps
     (+optional fused frozen-BN affine & ReLU).
 
     x [N, H, W, ch], w33 [3, 3, ch//groups, ch] (ignored when ``packed``
     — a prepacked ``pack_weights_sd`` output — is given), scale/bias [ch].
-    ``mode``: "cat9" (one K=1152 matmul/tile, fastest measured), "cat3"
-    (three K=384), "dots9" (nine K=128).
+    ``mode``: "dots9" (nine accumulated K=128 dots — fastest measured,
+    the production default), "cat3" (three K=384), "cat9" (one K=1152
+    im2col dot; the patch build eats the rate gain).
     """
     n, h, w, ch = x.shape
     w_out = w
