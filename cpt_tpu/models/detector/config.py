@@ -23,9 +23,13 @@ class BackboneConfig:
     res2_out_channels: int = 256
     stride_in_1x1: bool = False
     out_channels: int = 1024                      # BACKBONE_OUT_CHANNELS
-    # grouped 3x3 backend: "auto" = slice-dense Pallas kernel on TPU for
-    # eligible (stride-1, 128-aligned) shapes, else XLA; "xla" forces XLA
-    grouped_conv_impl: str = "auto"
+    # grouped 3x3 backend. "xla" (default): XLA's feature_group_count
+    # lowering — measured AT the v5e hardware ceiling for these shapes
+    # (PERF.md round-3 study). "pallas": the slice-dense kernel — wins
+    # 5-7% in isolation but REGRESSES the full extraction ~23% in
+    # context (layout conversions around each pallas_call); kept for
+    # study/future toolchains. "auto" = pallas on eligible TPU shapes.
+    grouped_conv_impl: str = "xla"
 
     @property
     def stage2_bottleneck_channels(self) -> int:
