@@ -74,6 +74,10 @@ def build_args():
                    help="keep --windowed even when halo < backbone RF "
                         "(approximate features; drift auto-measured and "
                         "logged on the first task)")
+    p.add_argument("--windows", default="448x576,512x640",
+                   help="comma-separated HxW window ladder for --windowed; "
+                        "each copy routes to the smallest window its paint "
+                        "fits (per-task auto window sizing)")
     p.add_argument("--resize", action="store_true",
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")
@@ -174,9 +178,11 @@ def main(argv=None):
         from cpt_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
+    windows = [tuple(int(v) for v in w.split("x"))
+               for w in args.windows.split(",") if w]
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
-                          windowed=args.windowed,
+                          windowed=args.windowed, window=windows,
                           allow_approximate=args.allow_approximate,
                           mesh=mesh)
 

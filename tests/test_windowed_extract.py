@@ -136,6 +136,41 @@ def test_extractor_windowed_mode_matches_full(tmp_path):
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
 
 
+def test_extractor_multi_window_auto_sizing(tmp_path):
+    """window=[(small), (large)]: each copy routes to the smallest window
+    its paint fits (per-task auto window sizing); features still match
+    the exact extractor."""
+    rng = np.random.RandomState(2)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    # small central (fits the small window), medium (large window only),
+    # huge (full path)
+    dets = np.asarray([[120.0, 120.0, 136.0, 136.0],
+                       [90.0, 90.0, 170.0, 170.0],
+                       [10.0, 10.0, 240.0, 240.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q0", image, (CANVAS, CANVAS), dets, "query")
+
+    exact = Extractor(model, params, cfg, copies_per_chunk=2)
+    ef, el, es = exact.extract_task(mk())
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=[(160, 160), (224, 224)], halo=48)
+    assert wnd.windows == [(160, 160), (224, 224)]
+    assert len(wnd.wfns) == 2
+    wf, wl, ws = wnd.extract_task(mk())
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.slow
 def test_windowed_mask_painting_exact():
     """Mask-painted copies (VCR-style) through the windowed path match the
