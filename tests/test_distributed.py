@@ -163,7 +163,11 @@ def test_two_process_host_sharded_extraction(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, err[-3000:]
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        # Gloo teardown can interleave its own stdout lines after ours —
+        # parse the last JSON line, not the last line
+        json_lines = [l for l in out.strip().splitlines()
+                      if l.startswith("{")]
+        outs.append(json.loads(json_lines[-1]))
     outs.sort(key=lambda o: o["pid"])
     assert outs[0]["identical"] is True
     assert outs[0]["rows"] == 4
@@ -193,7 +197,11 @@ def test_two_process_cpu_cluster(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, err[-3000:]
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        # Gloo teardown can interleave its own stdout lines after ours —
+        # parse the last JSON line, not the last line
+        json_lines = [l for l in out.strip().splitlines()
+                      if l.startswith("{")]
+        outs.append(json.loads(json_lines[-1]))
     outs.sort(key=lambda o: o["pid"])
     # global reduction saw both hosts' data: sum(0..7) = 28
     assert outs[0]["total"] == outs[1]["total"] == 28.0
