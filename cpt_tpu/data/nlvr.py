@@ -33,7 +33,17 @@ class NLVRData:
 
     def __init__(self, feat_file: str, examples: Sequence[NLVRExample],
                  tokenizer: BertTokenizer, max_seq_len: int = 55,
-                 img_seq_len: int = 40, img_feat_dim: int = 2054):
+                 img_seq_len: int = 40, img_feat_dim: int = 2054,
+                 mode: str = "pair"):
+        """``mode="pair"``: two (statement, od, image) sequences per
+        example for ``ImageBertForMultipleChoice`` (reference
+        ``--use_pair``, ``tensorize_example_pair``). ``mode="concat"``:
+        ONE sequence with both images' od labels joined and their
+        features stacked, for ``ImageBertForSequenceClassification``
+        (the reference's default ``tensorize_example`` construction,
+        run_nlvr.py:132-146)."""
+        assert mode in ("pair", "concat")
+        self.mode = mode
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
         self.examples = [e for e in examples
@@ -56,7 +66,10 @@ class NLVRData:
         return feats, od
 
     def batch(self, indices: Sequence[int], pad_to: Optional[int] = None):
-        """→ arrays shaped [N, 2, ...] for ImageBertForMultipleChoice."""
+        """→ [N, 2, ...] choice arrays (pair mode) or flat [N, ...]
+        concatenated-pair arrays (concat mode)."""
+        if self.mode == "concat":
+            return self._concat_batch(indices, pad_to)
         n = len(indices)
         total = pad_to if pad_to is not None else n
         t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
@@ -76,6 +89,30 @@ class NLVRData:
                 segs[i, c] = seq.segment_ids
                 attn[i, c] = seq.attention_mask
                 feats[i, c] = pad_img_feats(f, r)
+            if ex.label is not None:
+                labels[i] = ex.label
+        return ids, segs, attn, feats, labels
+
+    def _concat_batch(self, indices: Sequence[int],
+                      pad_to: Optional[int] = None):
+        n = len(indices)
+        total = pad_to if pad_to is not None else n
+        t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
+        ids = np.zeros((total, t), np.int32)
+        segs = np.zeros((total, t), np.int32)
+        attn = np.zeros((total, t + r), np.int32)
+        feats = np.zeros((total, r, d), np.float32)
+        labels = np.full((total,), -1, np.int32)
+        for i, idx in enumerate(indices):
+            ex = self.examples[idx]
+            fl, odl = self._feats(ex.img_left)
+            fr, odr = self._feats(ex.img_right)
+            f = np.concatenate([fl, fr])[:r]
+            seq = tensorize_pair(self.tokenizer, ex.statement,
+                                 odl + " " + odr, f.shape[0], t, r)
+            ids[i], segs[i], attn[i] = (seq.input_ids, seq.segment_ids,
+                                        seq.attention_mask)
+            feats[i] = pad_img_feats(f, r)
             if ex.label is not None:
                 labels[i] = ex.label
         return ids, segs, attn, feats, labels

@@ -28,6 +28,13 @@ def build_args():
     p.add_argument("--val_examples", default=None)
     p.add_argument("--max_seq_length", type=int, default=55)
     p.add_argument("--max_img_seq_length", type=int, default=40)
+    p.add_argument("--pair_mode", default="pair",
+                   choices=["pair", "concat"],
+                   help="pair = two choice sequences + multiple-choice "
+                        "head (reference --use_pair, the published NLVR2 "
+                        "recipe); concat = one sequence with both images' "
+                        "labels/features + a binary classifier (the "
+                        "reference's default tensorize_example path)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
@@ -39,18 +46,26 @@ def main(argv=None):
     initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
-    # reference NLVR config: classifier over pooled pair, num_labels=2,
-    # num_choices=2, classifier output reshaped [B, nc * num_labels]
-    cfg = model_config(args, num_labels=1, classifier="mlp")
-    model = ImageBertForMultipleChoice(cfg, num_choices=2,
-                                       dtype=dtype_of(args))
+    if args.pair_mode == "pair":
+        # reference NLVR config: classifier over pooled pair, num_labels=2,
+        # num_choices=2, classifier output reshaped [B, nc * num_labels]
+        cfg = model_config(args, num_labels=1, classifier="mlp")
+        model = ImageBertForMultipleChoice(cfg, num_choices=2,
+                                           dtype=dtype_of(args))
+    else:
+        from cpt_tpu.models.bert.heads import (
+            ImageBertForSequenceClassification)
+
+        cfg = model_config(args, num_labels=2, loss_type="xe",
+                           classifier="mlp")
+        model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))
 
     data = NLVRData(args.feat_file, load_nlvr_examples(args.examples),
                     tokenizer, args.max_seq_length, args.max_img_seq_length,
-                    cfg.img_feature_dim)
+                    cfg.img_feature_dim, mode=args.pair_mode)
     val = (NLVRData(args.feat_file, load_nlvr_examples(args.val_examples),
                     tokenizer, args.max_seq_length, args.max_img_seq_length,
-                    cfg.img_feature_dim)
+                    cfg.img_feature_dim, mode=args.pair_mode)
            if args.val_examples else data)
 
     bsz = args.per_gpu_train_batch_size

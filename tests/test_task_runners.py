@@ -144,6 +144,25 @@ def test_run_nlvr_runs(fixture):
 
 
 @pytest.mark.slow
+def test_run_nlvr_concat_mode(fixture):
+    """--pair_mode concat: the reference's default tensorize_example
+    construction (both images' labels joined + features stacked, binary
+    SeqCls head) learns the fixture signal too."""
+    from cpt_tpu.tools.run_nlvr import main
+
+    acc = main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "nlvr.json"),
+        "--pair_mode", "concat",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "20", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"NLVR concat mode failed to learn: {acc}"
+
+
+@pytest.mark.slow
 def test_run_retrieval_ranks(fixture):
     from cpt_tpu.tools.run_retrieval import main
 
