@@ -295,3 +295,47 @@ def write_detection_tsv(root: str, name: str, images: Dict[str, np.ndarray],
                 f"hw: {name}.hw.tsv\n"
                 f"labelmap: {name}.labelmap.json\n")
     return yaml_path
+
+
+class ConcatDetectionDataset:
+    """Concatenation of several detection TSV datasets — the reference's
+    ``DATASETS.TRAIN`` tuple → ``torch ConcatDataset`` path
+    (``data/build.py:46-70``). Exposes the same per-index surface as one
+    ``DetectionTSVDataset``."""
+
+    def __init__(self, datasets: Sequence):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        self.offsets = []
+        total = 0
+        for d in self.datasets:
+            self.offsets.append(total)
+            total += len(d)
+        self.total = total
+
+    def __len__(self) -> int:
+        return self.total
+
+    def _locate(self, idx: int):
+        if idx < 0 or idx >= self.total:
+            raise IndexError(idx)
+        for d, off in zip(reversed(self.datasets), reversed(self.offsets)):
+            if idx >= off:
+                return d, idx - off
+        raise IndexError(idx)
+
+    def __getitem__(self, idx: int):
+        d, i = self._locate(idx)
+        return d[i]
+
+    def get_img_key(self, idx: int):
+        d, i = self._locate(idx)
+        return d.get_img_key(i)
+
+    def get_img_info(self, idx: int):
+        d, i = self._locate(idx)
+        return d.get_img_info(i)
+
+    def get_target(self, idx: int, **kw):
+        d, i = self._locate(idx)
+        return d.get_target(i, **kw)

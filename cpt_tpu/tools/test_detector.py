@@ -44,6 +44,13 @@ def build_args():
                    help='json [["mAP", 0.35, 0.01], ...]')
     p.add_argument("--coco_eval", action="store_true",
                    help="also report COCO-protocol AP/AP50/AP75")
+    p.add_argument("--bbox_aug", action="store_true",
+                   help="test-time bbox augmentation (reference "
+                        "TEST.BBOX_AUG / engine/bbox_aug.py): pool "
+                        "detections over hflip + --bbox_aug_scales and "
+                        "merge with NMS")
+    p.add_argument("--bbox_aug_scales", default="",
+                   help="comma-separated rescale factors, e.g. 0.75,1.25")
     p.add_argument("--sg", action="store_true",
                    help="scene-graph relation eval over a VG-TSV (--tsv "
                         "with relations): SceneParser inference + both SG "
@@ -112,16 +119,30 @@ def main(argv=None):
             yield ann["img"], img, hw, {
                 "boxes": boxes, "labels": np.asarray(ann["labels"])}
 
+    aug_scales = [float(s) for s in args.bbox_aug_scales.split(",") if s]
+
+    def detect_one(img_np, hw_):
+        feats, boxes, labels, scores, valid, _ = fn(
+            params, jnp.asarray(img_np), anchors,
+            jnp.asarray(hw_, jnp.int32))
+        return {"boxes": boxes, "scores": scores, "labels": labels,
+                "valid": valid}
+
     preds, gts = [], []
     t0 = time.time()
     n = 0
     for key, img, hw, gt in samples():
-        feats, boxes, labels, scores, valid, _ = fn(
-            params, jnp.asarray(img), anchors, jnp.asarray(hw, jnp.int32))
-        v = np.asarray(valid)
-        preds.append({"boxes": np.asarray(boxes)[v],
-                      "labels": np.asarray(labels)[v],
-                      "scores": np.asarray(scores)[v]})
+        if args.bbox_aug:
+            from cpt_tpu.engine.bbox_aug import im_detect_bbox_aug
+
+            out = im_detect_bbox_aug(detect_one, img, hw,
+                                     scales=aug_scales)
+        else:
+            out = detect_one(img, hw)
+        v = np.asarray(out["valid"])
+        preds.append({"boxes": np.asarray(out["boxes"])[v],
+                      "labels": np.asarray(out["labels"])[v],
+                      "scores": np.asarray(out["scores"])[v]})
         gts.append(gt)
         n += 1
     dt = time.time() - t0

@@ -30,7 +30,9 @@ def build_args():
     p.add_argument("--ann_file", default=None)
     p.add_argument("--tsv", default=None,
                    help="od/vg-TSV dataset yaml (reference vg_tsv.py "
-                        "format: img/label/hw TSVs + labelmap jsondict)")
+                        "format: img/label/hw TSVs + labelmap jsondict); "
+                        "comma-separate several yamls to train over their "
+                        "concatenation (DATASETS.TRAIN tuple)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--checkpoint", default=None, help="init weights .pth")
     p.add_argument("--output_dir", default="./detector_ckpt")
@@ -90,9 +92,15 @@ def main(argv=None):
 
     def batches():
         if args.tsv:
-            from cpt_tpu.data.vg_tsv import DetectionTSVDataset
+            from cpt_tpu.data.vg_tsv import (ConcatDetectionDataset,
+                                             DetectionTSVDataset)
 
-            ds = DetectionTSVDataset(args.tsv, attribute_on=True)
+            parts = [DetectionTSVDataset(p, attribute_on=True)
+                     for p in args.tsv.split(",")]
+            # comma-separated yamls = the reference's DATASETS.TRAIN
+            # tuple -> ConcatDataset training path (data/build.py:46-70)
+            ds = (parts[0] if len(parts) == 1
+                  else ConcatDetectionDataset(parts))
             while True:
                 for i in range(len(ds)):
                     img, target, _ = ds[i]

@@ -1,5 +1,6 @@
 """Test-time bbox augmentation: flip-back mapping and merged NMS."""
 import numpy as np
+import pytest
 
 from cpt_tpu.engine.bbox_aug import hflip_boxes, im_detect_bbox_aug
 
@@ -42,3 +43,16 @@ def test_bbox_aug_merges_and_dedups(rng):
                       out["labels"][v].tolist()))
     # duplicate of A suppressed (IoU 1.0 after unmapping); B kept
     assert kept == [(0.7, 4), (0.9, 3)]
+
+
+@pytest.mark.slow
+def test_test_detector_bbox_aug_cli(tmp_path):
+    """test_detector --bbox_aug pools hflip+scale passes through the CLI
+    (reference TEST.BBOX_AUG path)."""
+    from cpt_tpu.tools.test_detector import main as test_main
+
+    results, ok = test_main(["--tiny", "--synthetic", "2",
+                             "--dtype", "float32", "--bbox_aug",
+                             "--bbox_aug_scales", "0.75",
+                             "--output", str(tmp_path / "eval.pk")])
+    assert ok and "mAP" in results

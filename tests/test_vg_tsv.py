@@ -164,3 +164,39 @@ def test_test_detector_sg_eval(tsv_root, tmp_path):
     assert any("rowan" in k for k in keys)
     assert any("danfei" in k for k in keys)
     assert all(0 <= results[k] <= 1 for k in keys)
+
+
+def test_concat_detection_dataset(tsv_root, tmp_path):
+    """ConcatDetectionDataset: DATASETS.TRAIN-tuple semantics
+    (index routing, keys, targets across the boundary)."""
+    from cpt_tpu.data.vg_tsv import ConcatDetectionDataset
+
+    _, yaml_path, _ = tsv_root
+    a = DetectionTSVDataset(yaml_path, attribute_on=True)
+    b = DetectionTSVDataset(yaml_path, attribute_on=True)
+    cat = ConcatDetectionDataset([a, b])
+    assert len(cat) == len(a) + len(b)
+    assert cat.get_img_key(0) == a.get_img_key(0)
+    assert cat.get_img_key(len(a)) == b.get_img_key(0)
+    np.testing.assert_array_equal(cat.get_target(len(a) + 1)["labels"],
+                                  b.get_target(1)["labels"])
+    img, target, idx = cat[len(a) + 2]
+    assert img.shape == (96, 128, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        cat._locate(len(cat))
+
+
+@pytest.mark.slow
+def test_train_detector_concat_tsv(tsv_root, tmp_path):
+    """train_detector --tsv a.yaml,b.yaml trains over the concatenation."""
+    _, yaml_path, _ = tsv_root
+    from cpt_tpu.tools.train_detector import main as train_main
+
+    state = train_main(["--tsv", f"{yaml_path},{yaml_path}", "--tiny",
+                        "--dtype", "float32", "--max_iter", "2",
+                        "--steps", "2", "--warmup_iters", "1",
+                        "--freeze_conv_body_at", "0",
+                        "--output_dir", str(tmp_path / "ckpt")])
+    assert int(state.step) == 2
