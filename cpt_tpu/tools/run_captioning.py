@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pickle
 import random
 
@@ -40,6 +41,18 @@ def build_args():
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--scst_steps", type=int, default=0)
     p.add_argument("--train_steps", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop the loop early while keeping the "
+                        "--train_steps LR-schedule horizon (exact-resume "
+                        "kill point)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save full train state to {output_dir}/state "
+                        "every N steps")
+    p.add_argument("--resume", action="store_true",
+                   help="restore {output_dir}/state and continue "
+                        "mid-run; per-step seeded streams make the "
+                        "continued run exact")
+    p.add_argument("--output_dir", default=None)
     p.add_argument("--use_cbs", action="store_true",
                    help="constrained beam search: constraints = each "
                         "image's top od-label words (reference cbs.py)")
@@ -117,14 +130,35 @@ def main(argv=None):
                 optax.apply_updates(state.params, upd), opt,
                 state.step + 1), loss
 
-        rng = jax.random.PRNGKey(args.seed)
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        start_it = 0
+        if (args.resume and args.output_dir
+                and ckpt_lib.has_checkpoint(
+                    os.path.join(args.output_dir, "state"))):
+            state = ckpt_lib.restore_checkpoint(
+                os.path.join(args.output_dir, "state"), state)
+            start_it = int(state.step)
+            print(f"resumed at step {start_it}")
+
+        base_rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_gpu_train_batch_size
-        for it in range(args.train_steps):
+        stop_at = (min(args.train_steps, args.max_steps) if args.max_steps
+                   else args.train_steps)
+        for it in range(start_it, stop_at):
+            # per-step seeded streams: a resumed run replays the exact
+            # uninterrupted sequence (masking + caption choice + dropout)
+            step_py = random.Random(args.seed * 1_000_003 + it)
             bk = [keys[(it * bsz + j) % len(keys)] for j in range(bsz)]
-            rng, sub = jax.random.split(rng)
-            state, loss = step(state, train_batch(bk, rng_py), sub)
+            sub = jax.random.fold_in(base_rng, it)
+            state, loss = step(state, train_batch(bk, step_py), sub)
             if (it + 1) % 20 == 0:
                 print(f"step {it + 1}: loss {float(loss):.4f}")
+            if (args.save_every and args.output_dir
+                    and (it + 1) % args.save_every == 0):
+                ckpt_lib.save_checkpoint(
+                    os.path.join(args.output_dir, "state"),
+                    f"step{it + 1}", state)
         params = state.params
 
     gen_cfg = GenerationConfig(

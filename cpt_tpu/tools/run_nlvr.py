@@ -37,6 +37,16 @@ def build_args():
                         "reference's default tensorize_example path)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="cap total optimizer steps; the LR schedule keeps "
+                        "the full epoch horizon (exact-resume kill point)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save full train state to {output_dir}/state "
+                        "every N steps")
+    p.add_argument("--resume", action="store_true",
+                   help="restore {output_dir}/state and continue from the "
+                        "saved step (exact: seed-derived shuffles/rngs)")
+    p.add_argument("--output_dir", default=None)
     return add_common_args(p)
 
 
@@ -85,7 +95,9 @@ def main(argv=None):
         shard_b = rep = lambda x: x
 
     if args.num_train_epochs > 0:
-        steps = max(1, len(data) // bsz) * args.num_train_epochs
+        steps_per_epoch = max(1, len(data) // bsz)
+        steps = steps_per_epoch * args.num_train_epochs
+        stop_at = min(steps, args.max_steps) if args.max_steps else steps
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps)
@@ -109,18 +121,43 @@ def main(argv=None):
                 optax.apply_updates(state.params, upd), opt,
                 state.step + 1), loss
 
-        rng = jax.random.PRNGKey(args.seed)
-        order_rng = random.Random(args.seed)
-        for epoch in range(args.num_train_epochs):
+        import os
+
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        gstep = 0
+        if (args.resume and args.output_dir
+                and ckpt_lib.has_checkpoint(
+                    os.path.join(args.output_dir, "state"))):
+            state = jax.tree_util.tree_map(rep, ckpt_lib.restore_checkpoint(
+                os.path.join(args.output_dir, "state"),
+                jax.device_get(state)))
+            gstep = int(state.step)
+            print(f"resumed at step {gstep}")
+
+        base_rng = jax.random.PRNGKey(args.seed)
+        loss = jnp.float32(float("nan"))
+        for epoch in range(gstep // steps_per_epoch,
+                           args.num_train_epochs):
+            if gstep >= stop_at:
+                break
             order = list(range(len(data)))
-            order_rng.shuffle(order)
-            for start in range(0, len(order), bsz):
-                chunk = order[start:start + bsz]
+            random.Random((args.seed + 1) * 7919 + epoch).shuffle(order)
+            for si in range(gstep % steps_per_epoch, steps_per_epoch):
+                if gstep >= stop_at:
+                    break
+                chunk = order[si * bsz:(si + 1) * bsz]
                 batch = data.batch(chunk, pad_to=bsz)
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(base_rng, gstep)
                 state, loss = step(
                     state, shard_b(tuple(jnp.asarray(x) for x in batch)),
                     rep(sub))
+                gstep += 1
+                if (args.save_every and args.output_dir
+                        and gstep % args.save_every == 0):
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(args.output_dir, "state"),
+                        f"step{gstep}", state)
             if (epoch + 1) % 10 == 0:
                 print(f"epoch {epoch + 1}: loss {float(loss):.4f}")
         params = state.params

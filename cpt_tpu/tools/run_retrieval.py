@@ -30,6 +30,16 @@ def build_args():
     p.add_argument("--captions", required=True,
                    help="json {img_key: [captions]}")
     p.add_argument("--train_steps", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop the loop early while keeping the "
+                        "--train_steps LR-schedule horizon")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save full train state to {output_dir}/state "
+                        "every N steps")
+    p.add_argument("--resume", action="store_true",
+                   help="restore {output_dir}/state and continue mid-run "
+                        "(exact: per-step seeded streams)")
+    p.add_argument("--output_dir", default=None)
     p.add_argument("--eval_img_keys_file", default="",
                    help="text file of image keys (one per line) selecting "
                         "an eval subset, e.g. the COCO 1k/5k folds "
@@ -128,16 +138,38 @@ def main(argv=None):
                 optax.apply_updates(state.params, upd), opt,
                 state.step + 1), loss
 
-        rng = jax.random.PRNGKey(args.seed)
-        for it in range(args.train_steps):
+        import os
+
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        start_it = 0
+        if (args.resume and args.output_dir
+                and ckpt_lib.has_checkpoint(
+                    os.path.join(args.output_dir, "state"))):
+            state = jax.tree_util.tree_map(rep, ckpt_lib.restore_checkpoint(
+                os.path.join(args.output_dir, "state"),
+                jax.device_get(state)))
+            start_it = int(state.step)
+            print(f"resumed at step {start_it}")
+
+        base_rng = jax.random.PRNGKey(args.seed)
+        stop_at = (min(args.train_steps, args.max_steps) if args.max_steps
+                   else args.train_steps)
+        for it in range(start_it, stop_at):
+            step_py = random.Random(args.seed * 1_000_003 + it)
             batch = data.train_batch(
-                bsz, rng_py, hard_negatives=args.hard_negative_training)
-            rng, sub = jax.random.split(rng)
+                bsz, step_py, hard_negatives=args.hard_negative_training)
+            sub = jax.random.fold_in(base_rng, it)
             state, loss = step(
                 state, shard_b(tuple(jnp.asarray(x) for x in batch)),
                 rep(sub))
             if (it + 1) % 20 == 0:
                 print(f"step {it + 1}: loss {float(loss):.4f}")
+            if (args.save_every and args.output_dir
+                    and (it + 1) % args.save_every == 0):
+                ckpt_lib.save_checkpoint(
+                    os.path.join(args.output_dir, "state"),
+                    f"step{it + 1}", state)
         params = state.params
 
     @jax.jit

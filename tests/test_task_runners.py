@@ -296,6 +296,60 @@ def test_vqa_mid_epoch_resume_exact(fixture, tmp_path):
 
 
 @pytest.mark.slow
+def test_retrieval_and_nlvr_and_captioning_resume_exact(fixture, tmp_path):
+    """--max_steps/--save_every/--resume continuity for the remaining
+    long runners: interrupted-then-resumed runs end with the same metric
+    as uninterrupted ones (seed-derived per-step streams)."""
+    from cpt_tpu.tools.run_captioning import main as cap_main
+    from cpt_tpu.tools.run_nlvr import main as nlvr_main
+    from cpt_tpu.tools.run_retrieval import main as ret_main
+
+    ret_common = ["--feat_file", fixture["feat_file"],
+                  "--captions", str(fixture["root"] / "captions.json"),
+                  "--max_seq_length", "16", "--max_img_seq_length", "6",
+                  "--train_steps", "20", "--learning_rate", "5e-3",
+                  "--per_gpu_train_batch_size", "8",
+                  "--per_gpu_eval_batch_size", "16",
+                  "--dtype", "float32", *TINY]
+    full = ret_main([*ret_common])
+    ret_main(["--max_steps", "8", "--save_every", "8",
+              "--output_dir", str(tmp_path / "ret"), *ret_common])
+    resumed = ret_main(["--resume", "--output_dir", str(tmp_path / "ret"),
+                        *ret_common])
+    for k in full:
+        assert resumed[k] == pytest.approx(full[k], abs=1e-6)
+
+    nlvr_common = ["--feat_file", fixture["feat_file"],
+                   "--examples", str(fixture["root"] / "nlvr.json"),
+                   "--max_seq_length", "16", "--max_img_seq_length", "6",
+                   "--num_train_epochs", "6", "--learning_rate", "5e-3",
+                   "--per_gpu_train_batch_size", "4",
+                   "--per_gpu_eval_batch_size", "8",
+                   "--dtype", "float32", *TINY]
+    nfull = nlvr_main([*nlvr_common])
+    # 2 steps/epoch; kill mid-epoch at step 3
+    nlvr_main(["--max_steps", "3", "--save_every", "1",
+               "--output_dir", str(tmp_path / "nlvr"), *nlvr_common])
+    nres = nlvr_main(["--resume", "--output_dir", str(tmp_path / "nlvr"),
+                      *nlvr_common])
+    assert nres == pytest.approx(nfull, abs=1e-6)
+
+    cap_common = ["--feat_file", fixture["feat_file"],
+                  "--captions", str(fixture["root"] / "captions.json"),
+                  "--max_seq_length", "18", "--max_seq_a_length", "10",
+                  "--max_img_seq_length", "6",
+                  "--train_steps", "12", "--learning_rate", "3e-3",
+                  "--per_gpu_train_batch_size", "8", "--num_beams", "1",
+                  "--dtype", "float32", *TINY]
+    cfull, _ = cap_main([*cap_common])
+    cap_main(["--max_steps", "5", "--save_every", "5",
+              "--output_dir", str(tmp_path / "cap"), *cap_common])
+    cres, _ = cap_main(["--resume", "--output_dir", str(tmp_path / "cap"),
+                        *cap_common])
+    assert cres == pytest.approx(cfull, abs=1e-6)
+
+
+@pytest.mark.slow
 def test_run_mlm_text_only(fixture):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
 
