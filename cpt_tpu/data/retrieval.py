@@ -120,6 +120,10 @@ class RetrievalData:
         ``caption_indexs`` candidates. Returns
         [(img_key, cand_img_key, cand_cap_idx, label)]."""
         assert self.caption_indexs is not None
+        n_cand = {len(self.caption_indexs[k]) for k in self.img_keys}
+        assert len(n_cand) == 1, (
+            "re-rank requires a uniform candidate count per image "
+            f"(reference compute_ranks reshapes [-1, n]); got {n_cand}")
         out = []
         for key in self.img_keys:
             for ik, ci in self.caption_indexs[key]:

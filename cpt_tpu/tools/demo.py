@@ -115,9 +115,41 @@ def run_detector(args, img: np.ndarray):
     return boxes[keep][order], labels[keep][order], scores[keep][order]
 
 
+def run_webcam(args):
+    """Live detection loop over a capture device (reference
+    ``demo/webcam.py:1-71``): grab frame → detect → overlay → display
+    (or write frames when no display is available)."""
+    import cv2
+
+    cam = cv2.VideoCapture(args.webcam_device)
+    if not cam.isOpened():
+        raise RuntimeError(f"cannot open camera {args.webcam_device}")
+    n = 0
+    try:
+        while args.max_frames <= 0 or n < args.max_frames:
+            ok, bgr = cam.read()
+            if not ok:
+                break
+            img = bgr[:, :, ::-1]
+            boxes, labels, scores = run_detector(args, img)
+            vis = overlay_detections(np.ascontiguousarray(img), boxes,
+                                     labels, scores)
+            if args.out:
+                cv2.imwrite(args.out.replace(".png", f"_{n:04d}.png"),
+                            vis[:, :, ::-1])
+            else:  # pragma: no cover - needs a display
+                cv2.imshow("cpt_tpu detections", vis[:, :, ::-1])
+                if cv2.waitKey(1) == 27:
+                    break
+            n += 1
+    finally:
+        cam.release()
+    print(f"processed {n} frames")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", default=None)
     p.add_argument("--boxes", default=None, help="json [[x1,y1,x2,y2],...]")
     p.add_argument("--out", required=True)
     p.add_argument("--pred_box", default=None)
@@ -133,7 +165,19 @@ def main(argv=None):
     p.add_argument("--conf", type=float, default=0.5,
                    help="confidence threshold (predictor.py:139)")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--webcam", action="store_true",
+                   help="live detection from a capture device (reference "
+                        "demo/webcam.py); frames written to --out when "
+                        "headless")
+    p.add_argument("--webcam_device", type=int, default=0)
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="stop the webcam loop after N frames (0 = until "
+                        "ESC/stream end)")
     args = p.parse_args(argv)
+
+    if args.webcam:
+        return run_webcam(args)
+    assert args.image, "--image required (or --webcam)"
 
     from PIL import Image
 

@@ -47,3 +47,36 @@ def test_detect_overlay_tiny(image_path, tmp_path):
     assert out.exists()
     arr = np.asarray(Image.open(out))
     assert arr.shape == (64, 64, 3)
+
+
+@pytest.mark.slow
+def test_webcam_loop_with_fake_capture(tmp_path, monkeypatch):
+    """--webcam grabs frames, detects, and writes overlays (reference
+    demo/webcam.py loop) — exercised with a fake capture device."""
+    import cv2
+
+    frames = [np.random.RandomState(i).randint(0, 256, (64, 64, 3))
+              .astype(np.uint8) for i in range(2)]
+
+    class FakeCam:
+        def __init__(self, dev):
+            self.i = 0
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if self.i >= len(frames):
+                return False, None
+            self.i += 1
+            return True, frames[self.i - 1]
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCam)
+    out = tmp_path / "cam.png"
+    demo_main(["--webcam", "--max_frames", "2", "--tiny",
+               "--conf", "0.0", "--out", str(out)])
+    assert (tmp_path / "cam_0000.png").exists()
+    assert (tmp_path / "cam_0001.png").exists()
