@@ -106,7 +106,7 @@ class RefcocoCPTData:
                 max_img_seq_len=self.img_seq_len))
 
         ann = self.anns.get(str(img_name))
-        gt_bbox = ann["bbox"] if ann else None
+        gt_bbox = ann.get("bbox") if ann else None
         gt_color_ids = []
         if gt_bbox is not None:
             for color_set, boxes in zip(colors, rect_lists):
