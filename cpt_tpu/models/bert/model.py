@@ -192,6 +192,9 @@ class BertLayer(nn.Module):
                          and c.hidden_size % 128 == 0
                          and c.intermediate_size % 128 == 0))
         if use_fused:
+            assert not dropout_active, (
+                "ffn_impl='fused' has no dropout; train with 'auto' "
+                "(falls back to the dense path when dropout applies)")
             from cpt_tpu.ops.fused_ffn import fused_ffn
 
             return fused_ffn(hidden, w1, b1, w2, b2, gamma, beta,
