@@ -164,7 +164,9 @@ def match_pair_labels(pairs: Array, det_boxes: Array, gt_rels: Array,
     """Assign predicate labels to detection pairs: a pair (i, j) gets gt
     relation (s, o, p)'s predicate if box_i matches gt_s and box_j matches
     gt_o at IoU ≥ thresh; 0 (background) otherwise; −1 for invalid gt rows
-    handled by masking. gt_rels [R, 3] = (subj gt idx, obj gt idx, predicate).
+    handled by masking. gt_rels [R, 3] = (subj gt idx, obj gt idx,
+    predicate); ``gt_valid`` is the per-RELATION-ROW validity mask
+    (length ≥ R — padded rel rows must be marked invalid here).
     """
     from cpt_tpu.structures.boxes import box_iou
 

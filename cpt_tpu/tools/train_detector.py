@@ -54,7 +54,114 @@ def build_args():
                    metavar=("B", "C", "S", "H"),
                    help="brightness/contrast/saturation/hue jitter")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--sg", action="store_true",
+                   help="train the SceneParser relation head over a "
+                        "VG-TSV with relations (reference train_sg_net.py "
+                        "with RELATION_ON: detector frozen, gt boxes as "
+                        "detections, predicate CE)")
+    p.add_argument("--rel_algorithm", default="sg_reldn",
+                   choices=["sg_reldn", "sg_imp", "sg_msdn", "sg_grcnn",
+                            "sg_nm"])
+    p.add_argument("--max_rel_dets", type=int, default=16)
+    p.add_argument("--max_rels", type=int, default=32,
+                   help="gt relation slots per image (padded)")
     return p
+
+
+def train_scene_graph(args, cfg, dtype):
+    """Relation-head training: gt boxes as detections, detector gradients
+    zeroed (the reference SceneParser freezes the detector —
+    ``scene_parser.py:39`` + ``train_sg_net.py``)."""
+    import optax
+
+    from cpt_tpu.data.vg_tsv import VGTSVDataset
+    from cpt_tpu.engine.solver import SolverConfig, warmup_multistep_lr
+    from cpt_tpu.models.detector.scene_parser import SceneParser
+
+    assert args.tsv, "--sg requires --tsv (VG-TSV with relations)"
+    ds = VGTSVDataset(args.tsv.split(",")[0], attribute_on=False,
+                      relation_on=True)
+    n_rel = len(ds.relation_to_ind)
+    parser = SceneParser(cfg, num_rel_classes=n_rel,
+                         algorithm=args.rel_algorithm,
+                         max_rel_dets=args.max_rel_dets, dtype=dtype)
+    freq = jnp.asarray(ds.compute_freq_prior().astype(np.float32))
+
+    h = w = cfg.input.pad_h
+    from cpt_tpu.models.detector.rpn import grid_anchors
+
+    anchors = jnp.asarray(grid_anchors(cfg.rpn, h // 16, w // 16))
+    params = jax.jit(parser.init)(
+        jax.random.PRNGKey(0), jnp.zeros((h, w, 3)), jnp.asarray([h, w]),
+        anchors, freq)
+    if args.checkpoint:
+        params["params"]["detector"] = load_vinvl_checkpoint(
+            args.checkpoint, cfg)
+        print(f"loaded detector {args.checkpoint}")
+
+    k, r = args.max_rel_dets, args.max_rels
+
+    def samples():
+        while True:
+            for i in range(len(ds)):
+                img, target, _ = ds[i]
+                canvas = np.zeros((h, w, 3), np.float32)
+                ih, iw = img.shape[:2]
+                canvas[: min(ih, h), : min(iw, w)] = img[:h, :w]
+                boxes = np.zeros((k, 4), np.float32)
+                labels = np.zeros((k,), np.int32)
+                valid = np.zeros((k,), bool)
+                n = min(len(target["boxes"]), k)
+                boxes[:n] = target["boxes"][:n]
+                labels[:n] = target["labels"][:n]
+                valid[:n] = True
+                rels = np.zeros((r, 3), np.int32)
+                rel_valid = np.zeros((r,), bool)
+                tr = target.get("relation_triplets",
+                                np.zeros((0, 3), np.int64))
+                tr = tr[(tr[:, 0] < n) & (tr[:, 1] < n)][:r]
+                rels[: len(tr)] = tr
+                rel_valid[: len(tr)] = True
+                yield (jnp.asarray(canvas),
+                       jnp.asarray([min(ih, h), min(iw, w)], jnp.int32),
+                       jnp.asarray(boxes), jnp.asarray(labels),
+                       jnp.asarray(valid), jnp.asarray(rels),
+                       jnp.asarray(rel_valid))
+
+    sched = warmup_multistep_lr(SolverConfig(
+        base_lr=args.base_lr, steps=tuple(args.steps),
+        max_iter=args.max_iter, warmup_iters=args.warmup_iters))
+    tx = optax.sgd(sched, momentum=0.9)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, it):
+        def loss_fn(p):
+            # match_pair_labels consumes gt_valid as a per-REL-row mask
+            img, hw_, b, l, v, rels, rel_valid = batch
+            return parser.apply(p, img, hw_, b, l, v, rels, b, rel_valid,
+                                freq, method=parser.relation_train_loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # detector frozen: zero its gradient subtree
+        grads["params"]["detector"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["params"]["detector"])
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    it = samples()
+    loss = None
+    for i in range(args.max_iter):
+        params, opt_state, loss = step(params, opt_state, next(it),
+                                       jnp.int32(i))
+        if (i + 1) % 20 == 0 or i + 1 == args.max_iter:
+            print(f"iter {i + 1}: rel loss {float(loss):.4f}")
+    if args.output_dir:
+        from cpt_tpu.utils import checkpoint as ckpt_lib
+
+        ckpt_lib.save_checkpoint(args.output_dir, "scene_parser",
+                                 {"params": params["params"]})
+    return params, float(loss)
 
 
 def main(argv=None):
@@ -64,6 +171,8 @@ def main(argv=None):
     args = build_args().parse_args(argv)
     cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.sg:
+        return train_scene_graph(args, cfg, dtype)
     trainer = AttrRCNNTrainer(cfg, dtype=dtype)
     rng = np.random.RandomState(0)
 

@@ -200,3 +200,20 @@ def test_train_detector_concat_tsv(tsv_root, tmp_path):
                         "--freeze_conv_body_at", "0",
                         "--output_dir", str(tmp_path / "ckpt")])
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_train_detector_sg_relation_training(tsv_root, tmp_path):
+    """train_detector --sg: relation-head training over the VG-TSV
+    (detector frozen, predicate CE finite and decreasing-capable)."""
+    _, yaml_path, _ = tsv_root
+    from cpt_tpu.tools.train_detector import main as train_main
+
+    params, loss = train_main(["--tsv", yaml_path, "--tiny",
+                               "--dtype", "float32", "--sg",
+                               "--max_rel_dets", "4", "--max_rels", "8",
+                               "--max_iter", "3", "--warmup_iters", "1",
+                               "--base_lr", "0.01",
+                               "--output_dir", str(tmp_path / "sg")])
+    assert np.isfinite(loss)
+    assert "relation" in params["params"]
