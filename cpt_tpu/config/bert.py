@@ -66,6 +66,11 @@ class BertConfig:
 # task driver (reference `Oscar/oscar/fewshot/refcoco_cpt.py:492-499`).
 OSCAR_BASE = BertConfig()
 
+# BERT-large geometry for the VinVL_L rows in the Oscar performance table
+# (`Oscar/README.md:30`; same img-feature pipeline, bigger encoder)
+OSCAR_LARGE = BertConfig(hidden_size=1024, num_hidden_layers=24,
+                         num_attention_heads=16, intermediate_size=4096)
+
 
 def tiny_bert_config(**kw) -> BertConfig:
     """A tiny config for unit tests (fast CPU tracing, real code paths)."""

@@ -7,7 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from cpt_tpu.config.bert import OSCAR_BASE, BertConfig
+from cpt_tpu.config.bert import OSCAR_BASE, OSCAR_LARGE, BertConfig
 from cpt_tpu.utils import convert as cv
 from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
 
@@ -25,6 +25,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--per_gpu_eval_batch_size", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--model_size", default="base",
+                   choices=["base", "large"],
+                   help="Oscar encoder geometry: base (VinVL_B) or large "
+                        "(VinVL_L, Oscar/README.md:30)")
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_hidden_layers", type=int, default=None)
     p.add_argument("--img_feature_dim", type=int, default=None)
@@ -32,6 +36,8 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 
 def model_config(args, **extra) -> BertConfig:
+    base = (OSCAR_LARGE if getattr(args, "model_size", "base") == "large"
+            else OSCAR_BASE)
     overrides = dict(extra)
     for k in ("hidden_size", "num_hidden_layers", "img_feature_dim"):
         if getattr(args, k, None) is not None:
@@ -40,7 +46,7 @@ def model_config(args, **extra) -> BertConfig:
         overrides.setdefault("num_attention_heads",
                              max(1, args.hidden_size // 16))
         overrides.setdefault("intermediate_size", args.hidden_size * 4)
-    return dataclasses.replace(OSCAR_BASE, **overrides) if overrides else OSCAR_BASE
+    return dataclasses.replace(base, **overrides) if overrides else base
 
 
 def build_tokenizer(args) -> BertTokenizer:

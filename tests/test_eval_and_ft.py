@@ -169,3 +169,20 @@ def test_coco_map_perfect_and_degraded():
     gt1 = [{"boxes": gt[0]["boxes"][:1], "labels": np.asarray([1])}]
     r3 = eval_detection_coco(fp_first, gt1)
     assert 0.0 < r3["AP50"] < 1.0
+
+
+def test_model_size_large_preset():
+    """--model_size large selects the VinVL_L encoder geometry."""
+    import argparse
+
+    from cpt_tpu.tools._common import add_common_args, model_config
+
+    args = add_common_args(argparse.ArgumentParser()).parse_args(
+        ["--model_size", "large"])
+    cfg = model_config(args)
+    assert (cfg.hidden_size, cfg.num_hidden_layers,
+            cfg.num_attention_heads, cfg.intermediate_size) == (
+        1024, 24, 16, 4096)
+    # base stays the default
+    args_b = add_common_args(argparse.ArgumentParser()).parse_args([])
+    assert model_config(args_b).hidden_size == 768
