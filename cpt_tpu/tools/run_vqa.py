@@ -106,9 +106,14 @@ def evaluate(model, params, data: VQAData, batch_size: int, mesh=None):
 
 
 def load_label2ans(path, num_labels):
+    """json list / {label: answer} dict, or the reference's pickled
+    ``trainval_label2ans.pkl`` list (run_vqa.py cmds)."""
     if path is None:
         return [str(i) for i in range(num_labels)]
-    blob = json.load(open(path))
+    if path.endswith(".pkl"):
+        blob = pickle.load(open(path, "rb"))
+    else:
+        blob = json.load(open(path))
     if isinstance(blob, dict):
         return [blob.get(str(i), str(i)) for i in range(num_labels)]
     return list(blob)

@@ -404,3 +404,18 @@ def test_run_nlvr_and_retrieval_dp(fixture):
         "--per_gpu_eval_batch_size", "16", "--dp", "2", *TINY,
     ])
     assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_load_label2ans_formats(tmp_path):
+    """json list / dict / reference .pkl list all load."""
+    import pickle as pk
+
+    from cpt_tpu.tools.run_vqa import load_label2ans
+
+    json.dump(["no", "yes"], open(tmp_path / "l.json", "w"))
+    assert load_label2ans(str(tmp_path / "l.json"), 2) == ["no", "yes"]
+    json.dump({"0": "no", "1": "yes"}, open(tmp_path / "d.json", "w"))
+    assert load_label2ans(str(tmp_path / "d.json"), 2) == ["no", "yes"]
+    pk.dump(["a", "b"], open(tmp_path / "l.pkl", "wb"))
+    assert load_label2ans(str(tmp_path / "l.pkl"), 2) == ["a", "b"]
+    assert load_label2ans(None, 2) == ["0", "1"]
