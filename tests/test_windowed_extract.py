@@ -348,6 +348,40 @@ def test_sharded_windowed_matches_single_device():
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_extractor_multi_window_sharded(tmp_path):
+    """Window ladder + dp mesh: dp-sharded multi-window Extractor matches
+    the single-device exact extractor."""
+    rng = np.random.RandomState(3)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+    from cpt_tpu.parallel.mesh import make_mesh
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[120.0, 120.0, 136.0, 136.0],
+                       [90.0, 90.0, 170.0, 170.0],
+                       [100.0, 110.0, 150.0, 140.0],
+                       [10.0, 10.0, 240.0, 240.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_task("q0", image, (CANVAS, CANVAS), dets, "query")
+
+    exact = Extractor(model, params, cfg, copies_per_chunk=4)
+    ef, el, es = exact.extract_task(mk())
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    wnd = Extractor(model, params, cfg, copies_per_chunk=4, windowed=True,
+                    window=[(160, 160), (224, 224)], halo=48, mesh=mesh)
+    wf, wl, ws = wnd.extract_task(mk())
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
+
+
 def _deep_cfg():
     """>2 stages with rf_early(2)=13 << rf_full=101: halo 48 is exact for
     the two-level split but NOT for one-level."""
