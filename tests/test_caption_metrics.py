@@ -162,3 +162,14 @@ def test_ptb_tokenizer_jar_parity_goldens():
     # bare "-" token is removed
     assert ptb_tokenize("a black-and-white photo - old") == [
         "a", "black-and-white", "photo", "old"]
+
+
+def test_ptb_tokenizer_numbers_and_idempotence():
+    from cpt_tpu.utils.ptb_tokenizer import ptb_tokenize
+
+    # decimals and times stay joined (PTB number handling)
+    assert ptb_tokenize("a 1.5 meter wall at 3:30pm") == [
+        "a", "1.5", "meter", "wall", "at", "3:30pm"]
+    # idempotence: re-tokenizing the joined output is stable
+    toks = ptb_tokenize("Two dogs, running fast!")
+    assert ptb_tokenize(" ".join(toks)) == toks

@@ -96,3 +96,17 @@ def test_bert_layer_param_tree_unchanged_and_paths_agree():
         out_f = layer_f.apply(params, x, bias)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_interpret_parity_bf16():
+    """bf16 inputs through the kernel track the bf16 reference path."""
+    args = _inputs()
+    args = (args[0].astype(jnp.bfloat16), args[1].astype(jnp.bfloat16),
+            args[2], args[3].astype(jnp.bfloat16), *args[4:])
+    ref = _reference_ffn(*args, 1e-12, False)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_ffn(*args)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05)

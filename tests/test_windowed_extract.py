@@ -782,3 +782,26 @@ def test_two_level_mask_painting_exact():
     d = feature_drift(exact, got)
     assert d["feat_max_rel"] < 2e-4, d
     assert d["label_agreement"] == 1.0
+
+
+def test_window_origins_invariants_fuzz():
+    """Property test: origins are stride-aligned and in-canvas; every
+    'fits' rect sits >= halo (eligibility margin) inside its window."""
+    from cpt_tpu.engine.windowed import window_origins
+
+    rng = np.random.RandomState(7)
+    canvas = (640, 1024)
+    window, halo = (512, 640), 160
+    x1 = rng.uniform(0, 900, (200, 1))
+    y1 = rng.uniform(0, 560, (200, 1))
+    rects = np.stack([x1, y1,
+                      x1 + rng.uniform(5, 500, (200, 1)),
+                      y1 + rng.uniform(5, 400, (200, 1))],
+                     axis=2).astype(np.float32)
+    origins, fits = window_origins(rects, window, canvas, halo)
+    origins = np.asarray(origins)
+    assert (origins % 16 == 0).all()          # stride-aligned windows
+    assert (origins >= 0).all()
+    assert (origins[:, 0] + window[0] <= canvas[0]).all()
+    assert (origins[:, 1] + window[1] <= canvas[1]).all()
+    assert fits.any() and (~fits).any()
