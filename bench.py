@@ -86,13 +86,24 @@ def bench_scoring():
     return BATCH * n_iter / dt
 
 
-def bench_extraction(c=128, h=640, w=1024):
-    """Stage-1 VinVL X152-C4 extraction copies/s (single-call wall-clock)."""
+def _with_precision(cfg, precision):
+    if precision == "bf16":
+        return cfg
+    from dataclasses import replace
+
+    return replace(cfg, backbone=replace(cfg.backbone, precision=precision))
+
+
+def bench_extraction(c=128, h=640, w=1024, precision="bf16"):
+    """Stage-1 VinVL X152-C4 extraction copies/s (single-call wall-clock).
+
+    ``precision="int8"`` measures the opt-in W8A8 quantized inference
+    path (ops/quant.py) — same program otherwise."""
     from cpt_tpu.engine.extract import make_extract_fn
     from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
     from cpt_tpu.models.detector.config import VINVL_X152C4
 
-    cfg = VINVL_X152C4
+    cfg = _with_precision(VINVL_X152C4, precision)
     model = AttrRCNN(cfg, dtype=jnp.bfloat16)
     m = cfg.max_force_boxes
     rng = np.random.RandomState(0)
@@ -170,7 +181,8 @@ def eligibility_fractions(h=640, w=1024, n=20000, seed=1):
 
 
 def bench_extraction_two_level(c=128, h=640, w=1024,
-                               window=(512, 640), halo=160):
+                               window=(512, 640), halo=160,
+                               precision="bf16"):
     """Stage-1 via the two-level EXACT windowed path (production
     ``Extractor(windowed=True)`` on X152: per-copy early stages on the
     painted window — RF through them is 77 px < halo — deep stack on the
@@ -182,7 +194,7 @@ def bench_extraction_two_level(c=128, h=640, w=1024,
     from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
     from cpt_tpu.models.detector.config import VINVL_X152C4
 
-    cfg = VINVL_X152C4
+    cfg = _with_precision(VINVL_X152C4, precision)
     model = AttrRCNN(cfg, dtype=jnp.bfloat16)
     m = cfg.max_force_boxes
     rng = np.random.RandomState(0)

@@ -30,6 +30,13 @@ class BackboneConfig:
     # context (layout conversions around each pallas_call); kept for
     # study/future toolchains. "auto" = pallas on eligible TPU shapes.
     grouped_conv_impl: str = "xla"
+    # activation/weight precision for the conv body. "bf16" (default):
+    # exact parity path. "int8": W8A8 post-training quantization
+    # (ops/quant.py — per-channel weight scales, dynamic per-tensor
+    # activation scales, int32 accumulation); inference only, measured
+    # 1.3-2.1x per-op on the v5e's 394 TOP/s int8 MXU mode (PERF.md
+    # "int8 precision study").
+    precision: str = "bf16"
 
     @property
     def stage2_bottleneck_channels(self) -> int:

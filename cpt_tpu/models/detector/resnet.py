@@ -92,12 +92,15 @@ class Bottleneck(nn.Module):
     stride_in_1x1: bool
     dtype: Any = jnp.float32
     grouped_impl: str = "auto"   # auto | xla | pallas
+    precision: str = "bf16"      # bf16 | int8 (W8A8 PTQ, inference only)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from cpt_tpu.ops.grouped_conv import (grouped_conv3x3_sd_vjp,
                                               sd_eligible)
 
+        if self.precision == "int8":
+            return self._int8(x)
         s1, s3 = ((self.stride, 1) if self.stride_in_1x1
                   else (1, self.stride))
         identity = x
@@ -135,18 +138,67 @@ class Bottleneck(nn.Module):
         out = FrozenBN(self.out_channels, self.dtype, name="bn3")(out)
         return jax.nn.relu(out + identity)
 
+    def _int8(self, x: Array) -> Array:
+        """W8A8 path (ops/quant.py). Same parameter tree as the bf16
+        branch (checkpoints are interchangeable); the input is quantized
+        once and shared by conv1 and the downsample branch; every
+        dequant is folded into the frozen-BN per-channel epilogue.
+        Residual add + final relu stay in ``self.dtype``."""
+        from cpt_tpu.ops.quant import int8_conv, quant_act
+
+        s1, s3 = ((self.stride, 1) if self.stride_in_1x1
+                  else (1, self.stride))
+        bc = self.bottleneck_channels
+        cpg = bc // self.num_groups
+        cin = x.shape[-1]
+
+        qx = quant_act(x)
+        if cin != self.out_channels:
+            kd = _ConvKernel((1, 1, cin, self.out_channels),
+                             name="downsample_conv")()
+            sd, bd = _AffineParams(self.out_channels, name="downsample_bn")()
+            identity = int8_conv(qx, kd, self.stride, 0, 1, sd, bd,
+                                 relu=False, out_dtype=self.dtype)
+        else:
+            identity = x
+
+        k1 = _ConvKernel((1, 1, cin, bc), name="conv1")()
+        sc1, b1 = _AffineParams(bc, name="bn1")()
+        out = int8_conv(qx, k1, s1, 0, 1, sc1, b1, relu=True,
+                        out_dtype=self.dtype)
+
+        k2 = _ConvKernel((3, 3, cpg, bc), name="conv2")()
+        sc2, b2 = _AffineParams(bc, name="bn2")()
+        out = int8_conv(quant_act(out), k2, s3, 1, self.num_groups,
+                        sc2, b2, relu=True, out_dtype=self.dtype)
+
+        k3 = _ConvKernel((1, 1, bc, self.out_channels), name="conv3")()
+        sc3, b3 = _AffineParams(self.out_channels, name="bn3")()
+        out = int8_conv(quant_act(out), k3, 1, 0, 1, sc3, b3,
+                        relu=False, out_dtype=self.dtype)
+        return jax.nn.relu(out + identity)
+
 
 class Stem(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
+    precision: str = "bf16"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Conv(self.out_channels, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False, name="conv1",
-                    dtype=self.dtype)(x)
-        x = FrozenBN(self.out_channels, self.dtype, name="bn1")(x)
-        x = jax.nn.relu(x)
+        if self.precision == "int8":
+            from cpt_tpu.ops.quant import int8_conv, quant_act
+            k = _ConvKernel((7, 7, x.shape[-1], self.out_channels),
+                            name="conv1")()
+            s, b = _AffineParams(self.out_channels, name="bn1")()
+            x = int8_conv(quant_act(x), k, 2, 3, 1, s, b, relu=True,
+                          out_dtype=self.dtype)
+        else:
+            x = nn.Conv(self.out_channels, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        name="conv1", dtype=self.dtype)(x)
+            x = FrozenBN(self.out_channels, self.dtype, name="bn1")(x)
+            x = jax.nn.relu(x)
         # 3×3/2 maxpool, pad 1 (torch semantics: pad with -inf)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -163,6 +215,7 @@ class Stage(nn.Module):
     stride_in_1x1: bool
     dtype: Any = jnp.float32
     grouped_impl: str = "auto"
+    precision: str = "bf16"
 
     def setup(self):
         self.blocks = [
@@ -170,7 +223,7 @@ class Stage(nn.Module):
                        self.num_groups,
                        self.first_stride if i == 0 else 1,
                        self.stride_in_1x1, self.dtype,
-                       self.grouped_impl,
+                       self.grouped_impl, self.precision,
                        name=f"block_{i}")
             for i in range(self.block_count)
         ]
@@ -202,7 +255,8 @@ class ResNetC4(nn.Module):
 
     def setup(self):
         c = self.config
-        self.stem = Stem(c.stem_out_channels, self.dtype)
+        self.stem = Stem(c.stem_out_channels, self.dtype,
+                         precision=c.precision)
         stages = []
         for i, blocks in enumerate(c.stage_blocks):
             factor = 2 ** i
@@ -215,6 +269,7 @@ class ResNetC4(nn.Module):
                 stride_in_1x1=c.stride_in_1x1,
                 dtype=self.dtype,
                 grouped_impl=c.grouped_conv_impl,
+                precision=c.precision,
                 name=f"layer{i + 1}",
             ))
         self.stages = stages
@@ -260,5 +315,6 @@ class ResNetC5Head(nn.Module):
             stride_in_1x1=c.stride_in_1x1,
             dtype=self.dtype,
             grouped_impl=c.grouped_conv_impl,
+            precision=c.precision,
             name=f"layer{idx + 1}",
         )(x)

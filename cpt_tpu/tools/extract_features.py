@@ -82,6 +82,10 @@ def build_args():
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
+                   help="conv-body precision: int8 = W8A8 post-training "
+                        "quantized inference (ops/quant.py; ~1.3x faster "
+                        "extraction on TPU, small feature drift)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny detector config (smoke tests)")
     p.add_argument("--synthetic", type=int, default=None,
@@ -149,6 +153,11 @@ def main(argv=None):
         print(f"{args.output} exists; skipping (use --overwrite to redo)")
         return
     cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    if args.precision != "bf16":
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(cfg, backbone=_dc_replace(
+            cfg.backbone, precision=args.precision))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = AttrRCNN(cfg, dtype=dtype)
 
