@@ -129,5 +129,159 @@ def main():
         print(json.dumps(res), flush=True)
 
 
+def ffn_study():
+    """Scoring-stage FFN: fused bf16 Pallas kernel (production) vs an
+    XLA-level W8A8 int8 FFN (dynamic act scales, int32 accum, f32
+    gelu/LN epilogues — quantize overhead INCLUDED) at the bench shapes
+    (BATCH=128 x seq=128 -> M=16384 tokens, 768->3072->768)."""
+    from cpt_tpu.ops.fused_ffn import fused_ffn
+    from cpt_tpu.ops.quant import int8_matmul, quant_act
+
+    M, H, I = 128 * 128, 768, 3072
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(M, H).astype(np.float32) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(H, I).astype(np.float32) * 0.02)
+    b1 = jnp.zeros((I,), jnp.float32)
+    w2 = jnp.asarray(rng.randn(I, H).astype(np.float32) * 0.02)
+    b2 = jnp.zeros((H,), jnp.float32)
+    gamma = jnp.ones((H,), jnp.float32)
+    beta = jnp.zeros((H,), jnp.float32)
+    useful = 2.0 * M * H * I * 2  # both matmuls
+
+    def fused(c, _):
+        return fused_ffn(c, w1, b1, w2, b2, gamma, beta)
+
+    def xla_int8(c, _):
+        inter = int8_matmul(quant_act(c), w1, b1, out_dtype=jnp.float32)
+        inter = jax.nn.gelu(inter, approximate=False).astype(jnp.bfloat16)
+        out = int8_matmul(quant_act(inter), w2, b2, out_dtype=jnp.float32)
+        y = out + c.astype(jnp.float32)
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+        y = (y - mu) * jax.lax.rsqrt(var + 1e-12)
+        return (y * gamma + beta).astype(jnp.bfloat16)
+
+    def xla_bf16(c, _):
+        inter = jnp.dot(c, w1.astype(jnp.bfloat16)) + b1.astype(jnp.bfloat16)
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = jnp.dot(inter, w2.astype(jnp.bfloat16)) + b2.astype(jnp.bfloat16)
+        y = (out + c).astype(jnp.float32)
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+        y = (y - mu) * jax.lax.rsqrt(var + 1e-12)
+        return (y * gamma + beta).astype(jnp.bfloat16)
+
+    for tag, f in [("fused_bf16", fused), ("xla_bf16", xla_bf16),
+                   ("xla_int8", xla_int8)]:
+        @jax.jit
+        def loop(c, f=f):
+            def body(c, _):
+                y = f(c, None)
+                return (c + y * jnp.bfloat16(1e-3)).astype(jnp.bfloat16), ()
+            c, _ = lax.scan(body, c, None, length=ITERS)
+            return c
+        dt = time_loop(loop, x)
+        print(json.dumps({"op": f"ffn {tag}", "ms": round(dt * 1e3, 3),
+                          "tfs": round(useful / dt / 1e12, 1)}), flush=True)
+
+
+def ffn_pallas_study():
+    """W8A8 int8 INSIDE the fused Pallas FFN kernel (per-tile dynamic
+    activation quantize in VMEM, per-column weight scales, int32 accum)
+    vs the production bf16 fused kernel. Result (PERF.md): Mosaic's
+    int8 dot caps at ~86-90 TF/s (not the 394 TOP/s headline), so the
+    full kernel nets only ~4-6% — inside relay noise. Validated
+    numerically (cos 0.9999 vs bf16)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cpt_tpu.ops.fused_ffn import _gelu, fused_ffn
+
+    M, H, F = 128 * 128, 768, 3072
+
+    def kern(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+             g_ref, lb_ref, out_ref, *, eps):
+        x = x_ref[:]
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        h = jnp.dot(xq, w1_ref[:], preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
+        h = _gelu(h, False)
+        sh = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+        y = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sh * s2_ref[0]) + b2_ref[0] + xf
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        out_ref[:] = ((y - mu) * jax.lax.rsqrt(var + eps) * g_ref[0]
+                      + lb_ref[0]).astype(x.dtype)
+
+    def ffn_int8(x, w1q, s1, b1, w2q, s2, b2, gamma, beta, tm):
+        row = lambda i: (i, 0)
+        fixed = lambda i: (0, 0)
+        return pl.pallas_call(
+            functools.partial(kern, eps=1e-12), grid=(M // tm,),
+            in_specs=[pl.BlockSpec((tm, H), row, memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(s, fixed, memory_space=pltpu.VMEM)
+               for s in ((H, F), (1, F), (1, F), (F, H), (1, H), (1, H),
+                         (1, H), (1, H))],
+            out_specs=pl.BlockSpec((tm, H), row, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, H), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * M * H * F, bytes_accessed=4 * M * H,
+                transcendentals=M * F),
+        )(x, w1q, s1.reshape(1, F), b1.reshape(1, F), w2q,
+          s2.reshape(1, H), b2.reshape(1, H), gamma.reshape(1, H),
+          beta.reshape(1, H))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(M, H).astype(np.float32) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(H, F).astype(np.float32) * 0.02)
+    w2 = jnp.asarray(rng.randn(F, H).astype(np.float32) * 0.02)
+    b1, b2 = jnp.zeros((F,), jnp.float32), jnp.zeros((H,), jnp.float32)
+    gamma, beta = jnp.ones((H,), jnp.float32), jnp.zeros((H,), jnp.float32)
+
+    def qw(w):
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
+    w1q, s1 = qw(w1)
+    w2q, s2 = qw(w2)
+    useful = 4.0 * M * H * F
+
+    ref = np.asarray(fused_ffn(x, w1, b1, w2, b2, gamma, beta),
+                     np.float32).ravel()
+    for tag, f in [
+            ("pallas_int8_tm1024",
+             lambda c: ffn_int8(c, w1q, s1, b1, w2q, s2, b2, gamma, beta,
+                                1024)),
+            ("pallas_bf16",
+             lambda c: fused_ffn(c, w1, b1, w2, b2, gamma, beta))]:
+        got = np.asarray(f(x), np.float32).ravel()
+        cos = float(ref @ got / (np.linalg.norm(ref) * np.linalg.norm(got)
+                                 + 1e-9))
+
+        @jax.jit
+        def loop(c, f=f):
+            def body(c, _):
+                y = f(c)
+                return (c + y * jnp.bfloat16(1e-3)).astype(jnp.bfloat16), ()
+            c, _ = lax.scan(body, c, None, length=ITERS)
+            return c
+
+        dt = time_loop(loop, x)
+        print(json.dumps({"op": f"ffn {tag}", "ms": round(dt * 1e3, 3),
+                          "tfs": round(useful / dt / 1e12, 1),
+                          "cos": round(cos, 5)}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ffn":
+        ffn_study()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ffn_pallas":
+        ffn_pallas_study()
+    else:
+        main()

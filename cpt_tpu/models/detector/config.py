@@ -31,11 +31,12 @@ class BackboneConfig:
     # study/future toolchains. "auto" = pallas on eligible TPU shapes.
     grouped_conv_impl: str = "xla"
     # activation/weight precision for the conv body. "bf16" (default):
-    # exact parity path. "int8": W8A8 post-training quantization
-    # (ops/quant.py — per-channel weight scales, dynamic per-tensor
-    # activation scales, int32 accumulation); inference only, measured
-    # 1.3-2.1x per-op on the v5e's 394 TOP/s int8 MXU mode (PERF.md
-    # "int8 precision study").
+    # exact parity path — also the FASTEST measured composed (PERF.md
+    # "int8 precision study": W8A8 wins 1.3-2.1x per-op but regresses
+    # ~28% composed on the current v5e toolchain). "int8": opt-in W8A8
+    # post-training quantization (ops/quant.py — per-channel weight
+    # scales, dynamic per-tensor activation scales, int32 accumulation);
+    # inference only, kept for future toolchains.
     precision: str = "bf16"
 
     @property

@@ -1,10 +1,15 @@
 """W8A8 symmetric quantization for TPU int8 inference.
 
-The reference has no quantized path — this is a beyond-reference
-performance feature exploiting the v5e MXU's 394 TOP/s int8 mode
-(2x the 197 TF/s bf16 peak). Measured op-level speedups at the real
-extraction shapes (PERF.md "int8 precision study"): grouped 3x3 legs
-1.28-1.49x, dense 1x1 legs 1.37-1.71x, head-sized matmuls 2.07x.
+The reference has no quantized path — this targets the v5e MXU's
+394 TOP/s int8 mode (2x the 197 TF/s bf16 peak). Measured op-level
+speedups at the real extraction shapes (PERF.md "int8 precision
+study"): grouped 3x3 legs 1.28-1.49x, dense 1x1 legs 1.37-1.71x,
+head-sized matmuls 2.07x. HOWEVER the composed X152 extraction
+measures ~28% SLOWER than bf16 on the current toolchain (relayouts +
+int32 footprints + dynamic-amax passes — see PERF.md "Composed
+verdict"), so production stays bf16; this path is opt-in
+(`BackboneConfig.precision="int8"`) and kept correctness-tested for
+toolchains/chips where the int8 rate is reachable.
 
 Scheme (standard post-training quantization, inference only):
 
