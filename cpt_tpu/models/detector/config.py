@@ -36,7 +36,8 @@ class BackboneConfig:
     # ~28% composed on the current v5e toolchain). "int8": opt-in W8A8
     # post-training quantization (ops/quant.py — per-channel weight
     # scales, dynamic per-tensor activation scales, int32 accumulation);
-    # inference only, kept for future toolchains.
+    # inference only, kept for future toolchains. "int8:<s>": static
+    # activation scale s (calibrated mode — no per-conv amax pass).
     precision: str = "bf16"
 
     @property

@@ -99,7 +99,7 @@ class Bottleneck(nn.Module):
         from cpt_tpu.ops.grouped_conv import (grouped_conv3x3_sd_vjp,
                                               sd_eligible)
 
-        if self.precision == "int8":
+        if self.precision.startswith("int8"):
             return self._int8(x)
         s1, s3 = ((self.stride, 1) if self.stride_in_1x1
                   else (1, self.stride))
@@ -143,16 +143,22 @@ class Bottleneck(nn.Module):
         branch (checkpoints are interchangeable); the input is quantized
         once and shared by conv1 and the downsample branch; every
         dequant is folded into the frozen-BN per-channel epilogue.
-        Residual add + final relu stay in ``self.dtype``."""
-        from cpt_tpu.ops.quant import int8_conv, quant_act
+        Residual add + final relu stay in ``self.dtype``.
 
+        ``precision="int8"`` uses dynamic per-tensor activation scales;
+        ``"int8:<s>"`` pins a static scale (calibrated mode — removes
+        the per-conv amax reduction pass; graph-identical in cost to
+        per-layer calibrated constants)."""
+        from cpt_tpu.ops.quant import int8_conv, quant_act, static_scale
+
+        sc = static_scale(self.precision)
         s1, s3 = ((self.stride, 1) if self.stride_in_1x1
                   else (1, self.stride))
         bc = self.bottleneck_channels
         cpg = bc // self.num_groups
         cin = x.shape[-1]
 
-        qx = quant_act(x)
+        qx = quant_act(x, sc)
         if cin != self.out_channels:
             kd = _ConvKernel((1, 1, cin, self.out_channels),
                              name="downsample_conv")()
@@ -169,12 +175,12 @@ class Bottleneck(nn.Module):
 
         k2 = _ConvKernel((3, 3, cpg, bc), name="conv2")()
         sc2, b2 = _AffineParams(bc, name="bn2")()
-        out = int8_conv(quant_act(out), k2, s3, 1, self.num_groups,
+        out = int8_conv(quant_act(out, sc), k2, s3, 1, self.num_groups,
                         sc2, b2, relu=True, out_dtype=self.dtype)
 
         k3 = _ConvKernel((1, 1, bc, self.out_channels), name="conv3")()
         sc3, b3 = _AffineParams(self.out_channels, name="bn3")()
-        out = int8_conv(quant_act(out), k3, 1, 0, 1, sc3, b3,
+        out = int8_conv(quant_act(out, sc), k3, 1, 0, 1, sc3, b3,
                         relu=False, out_dtype=self.dtype)
         return jax.nn.relu(out + identity)
 
@@ -186,13 +192,13 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        if self.precision == "int8":
-            from cpt_tpu.ops.quant import int8_conv, quant_act
+        if self.precision.startswith("int8"):
+            from cpt_tpu.ops.quant import int8_conv, quant_act, static_scale
             k = _ConvKernel((7, 7, x.shape[-1], self.out_channels),
                             name="conv1")()
             s, b = _AffineParams(self.out_channels, name="bn1")()
-            x = int8_conv(quant_act(x), k, 2, 3, 1, s, b, relu=True,
-                          out_dtype=self.dtype)
+            x = int8_conv(quant_act(x, static_scale(self.precision)), k,
+                          2, 3, 1, s, b, relu=True, out_dtype=self.dtype)
         else:
             x = nn.Conv(self.out_channels, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False,

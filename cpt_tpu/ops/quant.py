@@ -43,6 +43,16 @@ Array = jax.Array
 _EPS = 1e-8
 
 
+def static_scale(precision: str):
+    """Parse a ``"int8:<s>"`` precision string into a pinned activation
+    scale (calibrated mode — the per-conv amax pass disappears and the
+    quantize fuses into the preceding epilogue); ``"int8"`` → None
+    (dynamic per-tensor scales)."""
+    if ":" in precision:
+        return jnp.float32(float(precision.split(":", 1)[1]))
+    return None
+
+
 class QuantTensor(NamedTuple):
     """int8 data + the f32 scale such that ``data * scale ~= original``."""
 

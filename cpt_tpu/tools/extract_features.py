@@ -82,12 +82,14 @@ def build_args():
                    help="apply the MIN/MAX_SIZE_TEST 600/1000 resize rule "
                         "(the RefCOCO reference path runs without resize)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
-                   help="conv-body precision. int8 = W8A8 post-training "
-                        "quantized inference (ops/quant.py). NOTE: on the "
-                        "current v5e toolchain int8 measures SLOWER composed "
-                        "(PERF.md int8 study) — bf16 is the production "
-                        "choice; int8 is kept for future toolchains")
+    p.add_argument("--precision", default="bf16",
+                   help="conv-body precision: bf16 (default), int8 (W8A8 "
+                        "post-training quantized inference, dynamic "
+                        "activation scales), or int8:<s> (static scale s). "
+                        "NOTE: on the current v5e toolchain int8 measures "
+                        "SLOWER composed (PERF.md int8 study) — bf16 is "
+                        "the production choice; int8 is kept for future "
+                        "toolchains")
     p.add_argument("--tiny", action="store_true",
                    help="tiny detector config (smoke tests)")
     p.add_argument("--synthetic", type=int, default=None,

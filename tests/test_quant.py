@@ -111,6 +111,23 @@ def test_int8_backbone_param_tree_identical():
     assert jax.tree.all(jax.tree.map(lambda a, b: a == b, shapes32, shapes8))
 
 
+def test_int8_static_scale_backbone():
+    """'int8:<s>' pins a static activation scale (calibrated mode);
+    same param tree, output stays close to f32."""
+    from dataclasses import replace
+
+    cfg = tiny_detector_config().backbone
+    bb = ResNetC4(cfg, jnp.float32)
+    bb8 = ResNetC4(replace(cfg, precision="int8:0.05"), jnp.float32)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    params = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+    y32 = np.asarray(jax.jit(bb.apply)(params, x), np.float32).ravel()
+    y8 = np.asarray(jax.jit(bb8.apply)(params, x), np.float32).ravel()
+    cos = float(y32 @ y8 / (np.linalg.norm(y32) * np.linalg.norm(y8) + 1e-9))
+    assert cos > 0.97, cos
+
+
 def test_int8_backbone_close_to_f32():
     bb_f32, bb_i8 = _backbone_pair()
     rng = np.random.RandomState(5)
