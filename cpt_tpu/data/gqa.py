@@ -105,9 +105,15 @@ class GQACPTData:
         return len(self.examples)
 
     def train_indices(self, n_sample: int, seed: int) -> List[int]:
-        """Seeded sampling WITH replacement among color-marked examples."""
-        pool = [i for i, ex in enumerate(self.examples)
-                if str(ex.q_id) in self.qid2feat]
+        """Seeded sampling WITH replacement among color-marked examples;
+        without a color TSV (``use_color=0`` pt baseline / FT variant) the
+        pool is every labeled example instead."""
+        if self.color_tsv is not None:
+            pool = [i for i, ex in enumerate(self.examples)
+                    if str(ex.q_id) in self.qid2feat]
+        else:
+            pool = [i for i, ex in enumerate(self.examples)
+                    if ex.label is not None]
         rng = random.Random(seed)
         return rng.choices(pool, k=n_sample) if pool else []
 

@@ -179,6 +179,30 @@ def make_nsp_train_step(model, tx, *, head: Optional[str] = None,
     return step
 
 
+def make_cls_train_step(model, tx, *, dropout: bool = True):
+    """Jitted pooled-classifier step (ImageBertForSequenceClassification);
+    the model computes its own loss from ``labels`` (xe/kl/bce by config).
+    Reference FT baselines train this way (``fewshot/gqa_ft.py:426-440``,
+    ``modeling_gqa.py:65-76``)."""
+
+    def loss_fn(params, batch, rng):
+        input_ids, segment_ids, attention_mask, img_feats, labels = batch
+        rngs = {"dropout": rng} if dropout else {}
+        loss, _ = model.apply(params, input_ids, segment_ids, attention_mask,
+                              img_feats=img_feats, labels=labels,
+                              deterministic=not dropout, rngs=rngs)
+        return loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
 def batch_arrays_mlm(flat_batch) -> Tuple[jnp.ndarray, ...]:
     t = flat_batch.tensors
     return (jnp.asarray(t.input_ids), jnp.asarray(t.segment_ids),

@@ -6,6 +6,12 @@ answer vocabulary's first tokens at the [MASK] slot; training uses the
 the sampled dataset, ``gqa_cpt.py:328-334``); best model selected by val
 accuracy. Results saved as ``val_results.pk``-style pickles for the
 reference eval scripts (``eval/gqa/show*.py``).
+
+``--model_variant ft`` is the few-shot finetune baseline
+(``Oscar/oscar/fewshot/gqa_ft.py`` + ``modeling_gqa.py:23-76``): the raw
+(un-colored) question, plain image features, and a freshly-initialized
+linear classifier over the pooled output scoring all answer labels with
+CE — the comparison row for CPT in the paper's few-shot GQA table.
 """
 from __future__ import annotations
 
@@ -48,6 +54,10 @@ def build_args():
     p.add_argument("--max_seq_length", type=int, default=45)
     p.add_argument("--max_img_seq_length", type=int, default=45)
     p.add_argument("--use_color", type=int, default=1)
+    p.add_argument("--model_variant", default="cpt", choices=["cpt", "ft"],
+                   help="cpt: [MASK] answer-vocab scoring (REC_MLM_CPT); "
+                        "ft: fresh pooled linear classifier over answer "
+                        "labels (reference fewshot/gqa_ft.py)")
     p.add_argument("--eval_every", type=int, default=0,
                    help="epochs between val evals; keeps the best params "
                         "(reference best-model deepcopy, gqa_cpt.py:381-386)")
@@ -74,19 +84,27 @@ def model_config(args):
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
-def evaluate(model, params, data: GQACPTData, batch_size: int):
-    fn = make_mlm_at_mask_fn(model)
+def evaluate(model, params, data: GQACPTData, batch_size: int,
+             variant: str = "cpt"):
+    if variant == "cpt":
+        fn = make_mlm_at_mask_fn(model)
+    else:                                # ft: pooled classifier logits
+        @jax.jit
+        def fn(params, ids, segs, attn, feats, _mask_pos):
+            _, logits = model.apply(params, ids, segs, attn, img_feats=feats)
+            return logits.astype(jnp.float32)
     n_correct, n_total = 0, 0
     results = {}
     for start in range(0, len(data), batch_size):
         idxs = list(range(start, min(start + batch_size, len(data))))
         batch, _tokens, answers = data.batch(idxs, pad_to=batch_size)
-        at_mask = np.asarray(fn(params, jnp.asarray(batch.input_ids),
-                                jnp.asarray(batch.segment_ids),
-                                jnp.asarray(batch.attention_mask),
-                                jnp.asarray(batch.img_feats),
-                                jnp.asarray(batch.mask_pos)))
-        scores = at_mask[:, data.answer_token_ids]      # [N, num_answers]
+        out = np.asarray(fn(params, jnp.asarray(batch.input_ids),
+                            jnp.asarray(batch.segment_ids),
+                            jnp.asarray(batch.attention_mask),
+                            jnp.asarray(batch.img_feats),
+                            jnp.asarray(batch.mask_pos)))
+        # cpt: [MASK] logits sliced to the answer vocab; ft: class logits
+        scores = out[:, data.answer_token_ids] if variant == "cpt" else out
         pred = scores.argmax(-1)
         for j, idx in enumerate(idxs):
             ex = data.examples[idx]
@@ -107,19 +125,34 @@ def main(argv=None):
     tokenizer = BertTokenizer(args.vocab if args.vocab else toy_vocab())
     cfg = model_config(args)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = REC_MLM_CPT(cfg, dtype=dtype)
     ans2label = json.load(open(args.ans2label))
+    ft = args.model_variant == "ft"
+    if ft:
+        import dataclasses
+
+        from cpt_tpu.models.bert.heads import ImageBertForSequenceClassification
+
+        # reference FT: one linear layer over pooled output, CE over labels
+        # (modeling_gqa.py:30-35, fewshot/gqa_ft.py:430); raw question, no
+        # color marking
+        cfg = dataclasses.replace(cfg, num_labels=len(ans2label),
+                                  classifier="linear", loss_type="xe")
+        model = ImageBertForSequenceClassification(cfg, dtype=dtype)
+        use_color = False
+    else:
+        model = REC_MLM_CPT(cfg, dtype=dtype)
+        use_color = bool(args.use_color)
 
     train_data = GQACPTData(args.img_feat_file, args.color_img_feat_file,
                             load_gqa_examples(args.questions), ans2label,
                             tokenizer, args.max_seq_length,
                             args.max_img_seq_length, cfg.img_feature_dim,
-                            use_color=bool(args.use_color))
+                            use_color=use_color)
     val_data = (GQACPTData(args.img_feat_file, args.color_img_feat_file,
                            load_gqa_examples(args.val_questions), ans2label,
                            tokenizer, args.max_seq_length,
                            args.max_img_seq_length, cfg.img_feature_dim,
-                           use_color=bool(args.use_color))
+                           use_color=use_color)
                 if args.val_questions else None)
 
     bsz = args.per_gpu_train_batch_size
@@ -131,8 +164,9 @@ def main(argv=None):
     if args.checkpoint:
         sd = cv.load_torch_file(args.checkpoint)
         pre = cv.convert_bert_state_dict(sd, cfg)
+        task = "bert_only" if ft else "rec_mlm_cpt"  # FT: fresh classifier
         params = {"params": cv.merge_pretrained_into_init(
-            init["params"], cv.params_for_task(pre, "rec_mlm_cpt"))}
+            init["params"], cv.params_for_task(pre, task))}
     else:
         params = init
         print("WARNING: random init (no --checkpoint)")
@@ -151,7 +185,8 @@ def main(argv=None):
             num_train_steps=total, grad_accum_steps=accum)
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
-        step_fn = train_lib.make_mlm_train_step(model, tx)
+        step_fn = (train_lib.make_cls_train_step(model, tx) if ft
+                   else train_lib.make_mlm_train_step(model, tx))
         rng = jax.random.PRNGKey(args.random_seed)
 
         t0 = time.time()
@@ -160,13 +195,15 @@ def main(argv=None):
             order = list(train_idxs)
             for start in range(0, len(order), bsz):
                 chunk = order[start:start + bsz]
-                batch, label_tokens, _ = train_data.batch(chunk, pad_to=bsz)
-                arrays = (jnp.asarray(batch.input_ids),
+                batch, label_tokens, answers = train_data.batch(
+                    chunk, pad_to=bsz)
+                common = (jnp.asarray(batch.input_ids),
                           jnp.asarray(batch.segment_ids),
                           jnp.asarray(batch.attention_mask),
-                          jnp.asarray(batch.img_feats),
-                          jnp.asarray(batch.mask_pos),
-                          jnp.asarray(label_tokens))
+                          jnp.asarray(batch.img_feats))
+                arrays = (common + (jnp.asarray(answers),) if ft
+                          else common + (jnp.asarray(batch.mask_pos),
+                                         jnp.asarray(label_tokens)))
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, arrays, sub)
             if (epoch + 1) % 10 == 0:
@@ -175,7 +212,8 @@ def main(argv=None):
             if (args.eval_every and val_data is not None
                     and (epoch + 1) % args.eval_every == 0):
                 acc, _ = evaluate(model, state.params, val_data,
-                                  args.per_gpu_eval_batch_size)
+                                  args.per_gpu_eval_batch_size,
+                                  args.model_variant)
                 if acc > best_acc:
                     best_acc, best_params = acc, jax.device_get(state.params)
                 print(f"epoch {epoch + 1}: val acc {acc:.2f} "
@@ -184,7 +222,8 @@ def main(argv=None):
 
     eval_data = val_data or train_data
     acc, results = evaluate(model, params, eval_data,
-                            args.per_gpu_eval_batch_size)
+                            args.per_gpu_eval_batch_size,
+                            args.model_variant)
     print(f"accuracy: {acc:.2f}")
     if args.save_dir:
         from cpt_tpu.utils import checkpoint as ckpt_lib

@@ -91,3 +91,24 @@ def test_gqa_cli_learns(tmp_path, gqa_data):
 
     blob = pickle.load(open(tmp_path / "val_results.pk", "rb"))
     assert blob["accuracy"] == acc and len(blob["results"]) == 9
+
+
+@pytest.mark.slow
+def test_gqa_ft_cli_learns(tmp_path, gqa_data):
+    """FT baseline (reference fewshot/gqa_ft.py): raw question, plain
+    features, fresh pooled linear classifier, CE over answer labels."""
+    _, _, paths = gqa_data
+    from cpt_tpu.tools.gqa_cpt import main
+
+    acc = main([
+        "--img_feat_file", paths["img_feat_file"],
+        "--questions", paths["questions"],
+        "--ans2label", paths["ans2label"],
+        "--model_variant", "ft",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--img_feature_dim", "24", "--max_seq_length", "16",
+        "--max_img_seq_length", "6", "--n_sample", "18",
+        "--num_train_epochs", "25", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "6",
+    ])
+    assert acc >= 60.0, f"GQA FT baseline failed to learn: acc={acc}"
