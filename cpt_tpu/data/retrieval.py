@@ -20,12 +20,50 @@ from cpt_tpu.utils.tokenization import BertTokenizer
 from cpt_tpu.utils.tsv import TSVFile, decode_feature
 
 
+def retrieval_attention_mask(att_mask_type: str, seq_a_len: int,
+                             seq_len: int, max_seq_len: int, img_len: int,
+                             max_img_seq_len: int) -> np.ndarray:
+    """Structured attention between the Caption/od-Label/Region blocks
+    (reference ``RetrievalDataset.tensorize_example``,
+    run_retrieval.py:169-194): ``'CLR'`` → the plain 1-D validity mask;
+    ``'CL'``/``'CR'``/``'LR'`` → a 2-D mask with full within-block
+    attention plus the one named cross-block pair."""
+    total = max_seq_len + max_img_seq_len
+    if att_mask_type == "CLR":
+        m = np.zeros((total,), np.int32)
+        m[:seq_len] = 1
+        m[max_seq_len:max_seq_len + img_len] = 1
+        return m
+    m = np.zeros((total, total), np.int32)
+    c = slice(0, seq_a_len)
+    l = slice(seq_a_len, seq_len)
+    r = slice(max_seq_len, max_seq_len + img_len)
+    m[c, c] = 1
+    m[l, l] = 1
+    m[r, r] = 1
+    if att_mask_type == "CL":
+        m[c, l] = 1
+        m[l, c] = 1
+    elif att_mask_type == "CR":
+        m[c, r] = 1
+        m[r, c] = 1
+    elif att_mask_type == "LR":
+        m[l, r] = 1
+        m[r, l] = 1
+    else:
+        raise ValueError(f"Unsupported attention mask type {att_mask_type}")
+    return m
+
+
 class RetrievalData:
     def __init__(self, feat_file: str, captions: Dict[str, List[str]],
                  tokenizer: BertTokenizer, max_seq_len: int = 70,
                  img_seq_len: int = 50, img_feat_dim: int = 2054,
                  eval_img_keys: Optional[Sequence[str]] = None,
-                 caption_indexs: Optional[Dict[str, List]] = None):
+                 caption_indexs: Optional[Dict[str, List]] = None,
+                 att_mask_type: str = "CLR",
+                 num_captions_per_img: Optional[int] = None,
+                 use_od_labels: bool = True):
         """captions: {img_key: [caption strings]}.
 
         ``eval_img_keys`` restricts evaluation to a key subset (reference
@@ -34,12 +72,18 @@ class RetrievalData:
         — per-image hard-negative caption candidates for the re-rank
         evaluation setting (``--eval_caption_index_file``,
         run_retrieval.py:86-95), the setting the reference's published
-        R@K numbers use.
+        R@K numbers use. ``att_mask_type``/``num_captions_per_img``/
+        ``use_od_labels`` mirror the reference flags of the same names.
         """
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
         self.captions = {k: v for k, v in captions.items()
                          if k in self.imgid2idx}
+        if num_captions_per_img is not None:
+            self.captions = {k: v[:num_captions_per_img]
+                             for k, v in self.captions.items()}
+        self.att_mask_type = att_mask_type
+        self.use_od_labels = use_od_labels
         self.img_keys = sorted(self.captions)
         if eval_img_keys is not None:
             keep = [str(k) for k in eval_img_keys]
@@ -66,10 +110,26 @@ class RetrievalData:
         od = " ".join(o["class"] for o in boxlist)
         return feats, od
 
+    @property
+    def attn_shape(self) -> Tuple[int, ...]:
+        t = self.max_seq_len + self.img_seq_len
+        return (t,) if self.att_mask_type == "CLR" else (t, t)
+
     def tensorize(self, caption: str, img_key: str):
         feats, od = self._feats(img_key)
-        seq = tensorize_pair(self.tokenizer, caption, od, feats.shape[0],
-                             self.max_seq_len, self.img_seq_len)
+        seq = tensorize_pair(self.tokenizer, caption,
+                             od if self.use_od_labels else None,
+                             feats.shape[0], self.max_seq_len,
+                             self.img_seq_len)
+        if self.att_mask_type != "CLR":
+            t = self.max_seq_len
+            seq_len = int(seq.attention_mask[:t].sum())
+            n_b = int((seq.segment_ids == 1).sum())   # od tokens + [SEP]
+            img_len = int(seq.attention_mask[t:].sum())
+            seq = dataclasses.replace(
+                seq, attention_mask=retrieval_attention_mask(
+                    self.att_mask_type, seq_len - n_b, seq_len, t,
+                    img_len, self.img_seq_len))
         return seq, pad_img_feats(feats, self.img_seq_len)
 
     def train_batch(self, batch_size: int, rng: random.Random,
@@ -86,7 +146,7 @@ class RetrievalData:
         t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
         ids = np.zeros((batch_size, t), np.int32)
         segs = np.zeros((batch_size, t), np.int32)
-        attn = np.zeros((batch_size, t + r), np.int32)
+        attn = np.zeros((batch_size, *self.attn_shape), np.int32)
         feats = np.zeros((batch_size, r, d), np.float32)
         labels = np.zeros((batch_size,), np.int32)
         for i in range(batch_size):

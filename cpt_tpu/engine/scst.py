@@ -1,10 +1,14 @@
 """Self-critical sequence training (SCST) for captioning.
 
 Parity with the reference's SCST finetune path (``run_captioning.py``
-``--scst``, rewards via the vendored CIDEr scorer): sample a caption per
-image, decode a greedy baseline, reward = CIDEr-D(sample) − CIDEr-D(greedy),
-loss = −reward · logP(sample). The sampling/greedy rollouts run as jitted
-scans (``engine/generation``); the reward computation is host-side.
+``--scst`` + ``ScstRewardCriterion``, ``utils/caption_evaluate.py:115-158``):
+sample ``sample_n`` captions per image (``--sc_train_sample_n``, reference
+default 5), baseline either the greedy decode (``--sc_baseline_type
+greedy``) or the leave-one-out mean of the other samples' rewards
+(``'sample'``: ``(sum - self)/(n-1)``, ``caption_evaluate.py:143-144``),
+reward = CIDEr-D, loss = mean over samples of −(r − baseline)·logP(sample).
+The sampling/greedy rollouts run as jitted scans (``engine/generation``);
+the reward computation is host-side.
 """
 from __future__ import annotations
 
@@ -47,35 +51,72 @@ def sequence_logprob_fn(model, cfg: GenerationConfig):
     return fn
 
 
+def scst_advantages(sample_scores: np.ndarray,
+                    greedy_scores: np.ndarray | None,
+                    baseline_type: str = "greedy") -> np.ndarray:
+    """[B, n] sample rewards → [B, n] advantages (reference
+    ``ScstRewardCriterion.forward``, ``caption_evaluate.py:133-150``).
+
+    ``'greedy'``: baseline = the image's greedy reward. ``'sample'``:
+    leave-one-out mean of the OTHER samples, ``(sum − self)/(n − 1)``
+    (``:143-144``) — per image the advantages then sum to zero."""
+    s = np.asarray(sample_scores, np.float32)
+    if baseline_type == "greedy":
+        assert greedy_scores is not None and len(greedy_scores) == s.shape[0]
+        base = np.asarray(greedy_scores, np.float32)[:, None]
+    elif baseline_type == "sample":
+        assert s.shape[1] >= 2, "sample baseline needs sample_n >= 2"
+        base = (s.sum(1, keepdims=True) - s) / (s.shape[1] - 1)
+    else:
+        raise ValueError(f"unknown baseline_type {baseline_type!r}")
+    return s - base
+
+
 def scst_step(model, params, opt_update, cfg: GenerationConfig,
               scorer: CiderD, tokenizer, batch, image_ids: Sequence[str],
-              rng) -> Tuple[dict, float, float]:
+              rng, sample_n: int = 1, baseline_type: str = "greedy"
+              ) -> Tuple[dict, float, float]:
     """One SCST update. batch = (segment_ids, attn, img_feats).
 
-    Returns (grads, mean sampled reward, mean greedy reward)."""
+    ``sample_n`` rollouts per image (tiled contiguously, matching the
+    reference's ``gt_idx = i // seq_per_img``); baseline per
+    ``scst_advantages``. Returns (grads, mean sampled reward, mean
+    baseline reward)."""
     segment_ids, attn, img_feats = batch
     import dataclasses
 
+    b = segment_ids.shape[0]
+    ctx = (segment_ids, attn, img_feats)
+    if sample_n > 1:
+        ctx = tuple(jnp.repeat(x, sample_n, axis=0) for x in ctx)
+
     sample_cfg = dataclasses.replace(cfg, do_sample=True)
-    sampled, _ = greedy_or_sample(model, params, sample_cfg, segment_ids,
-                                  attn, img_feats, rng)
-    greedy, _ = greedy_or_sample(model, params, cfg, segment_ids, attn,
-                                 img_feats)
+    sampled, _ = greedy_or_sample(model, params, sample_cfg, *ctx, rng)
 
     def tokens_to_words(row):
         return decode_caption(tokenizer, row, cfg).split()
 
+    ids_rep = [i for i in image_ids for _ in range(sample_n)]
     r_sample = np.asarray([scorer.score(i, tokens_to_words(t))
-                           for i, t in zip(image_ids, np.asarray(sampled))])
-    r_greedy = np.asarray([scorer.score(i, tokens_to_words(t))
-                           for i, t in zip(image_ids, np.asarray(greedy))])
-    advantage = jnp.asarray(r_sample - r_greedy, jnp.float32)
+                           for i, t in zip(ids_rep, np.asarray(sampled))]
+                          ).reshape(b, sample_n)
+    if baseline_type == "greedy":
+        greedy, _ = greedy_or_sample(model, params, cfg, segment_ids, attn,
+                                     img_feats)
+        r_base = np.asarray([scorer.score(i, tokens_to_words(t))
+                             for i, t in zip(image_ids, np.asarray(greedy))])
+    else:
+        r_base = None
+    advantage = jnp.asarray(
+        scst_advantages(r_sample, r_base, baseline_type).reshape(-1))
 
     logprob_fn = sequence_logprob_fn(model, cfg)
 
     def loss_fn(p):
-        logp = logprob_fn(p, sampled, segment_ids, attn, img_feats)
+        logp = logprob_fn(p, sampled, *ctx)
         return -jnp.mean(advantage * logp)
 
     grads = jax.grad(loss_fn)(params)
-    return grads, float(r_sample.mean()), float(r_greedy.mean())
+    base_mean = (float(np.mean(r_base)) if r_base is not None
+                 else float(r_sample.mean()))
+    return grads, float(r_sample.mean()), base_mean

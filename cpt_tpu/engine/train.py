@@ -40,6 +40,7 @@ class OptimConfig:
     lr_mul: float = 1.0              # classifier-head LR multiplier
     grad_accum_steps: int = 1
     max_grad_norm: Optional[float] = None
+    scheduler: str = "linear"        # linear | constant (after warmup)
 
 
 def warmup_linear(step, warmup_steps: int, total_steps: int):
@@ -51,9 +52,20 @@ def warmup_linear(step, warmup_steps: int, total_steps: int):
     return jnp.maximum(factor, 1e-8 / 1.0)
 
 
+def warmup_constant(step, warmup_steps: int):
+    """Reference ``WarmupConstantSchedule`` (--scheduler constant): linear
+    ramp over warmup, then flat 1."""
+    step = jnp.asarray(step, jnp.float32)
+    warm = step / jnp.maximum(warmup_steps, 1)
+    return jnp.where(step < warmup_steps, warm, 1.0)
+
+
 def make_lr_schedule(cfg: OptimConfig, mul: float = 1.0):
     def sched(step):
-        f = warmup_linear(step, cfg.warmup_steps, cfg.num_train_steps)
+        if cfg.scheduler == "constant":
+            f = warmup_constant(step, cfg.warmup_steps)
+        else:
+            f = warmup_linear(step, cfg.warmup_steps, cfg.num_train_steps)
         return jnp.maximum(cfg.learning_rate * mul * f, 1e-8)
 
     return sched

@@ -47,12 +47,17 @@ class BertForImageCaptioning(nn.Module):
 
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
                  img_feats=None, masked_pos=None, masked_ids=None,
-                 label_smoothing: float = 0.1, deterministic=True):
+                 label_smoothing: float = 0.1,
+                 drop_worst_ratio: float = 0.0, deterministic=True):
         """Training/scoring forward.
 
         attention_mask: [B, S, S] seq2seq mask. With ``masked_pos``
         ([B, M] positions) returns (loss, logits at masked positions);
-        without, returns (None, full caption logits)."""
+        without, returns (None, full caption logits).
+        ``drop_worst_ratio``: fraction of highest-loss slots excluded
+        (reference ``BertCaptioningLoss``, ``modeling_bert.py:575-600``;
+        activation after ``--drop_worst_after`` steps is the caller's
+        job)."""
         seq, _ = self.bert(input_ids, token_type_ids, attention_mask,
                            img_feats=img_feats, deterministic=deterministic)
         table = self.bert.variables["params"]["embeddings"][
@@ -64,7 +69,8 @@ class BertForImageCaptioning(nn.Module):
         logits = self.mlm_head(gathered, table)
         if masked_ids is None:
             return None, logits
-        loss = smoothed_caption_loss(logits, masked_ids, label_smoothing)
+        loss = smoothed_caption_loss(logits, masked_ids, label_smoothing,
+                                     drop_worst_ratio)
         return loss, logits
 
 

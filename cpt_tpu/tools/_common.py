@@ -32,6 +32,18 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_hidden_layers", type=int, default=None)
     p.add_argument("--img_feature_dim", type=int, default=None)
+    p.add_argument("--classifier", default=None, choices=["linear", "mlp"],
+                   help="task-head shape (reference run_vqa.py --classifier)")
+    p.add_argument("--cls_hidden_scale", type=int, default=None,
+                   help="mlp classifier hidden width multiplier")
+    p.add_argument("--drop_out", type=float, default=None,
+                   help="BERT hidden dropout override (reference --drop_out)")
+    p.add_argument("--use_img_layernorm", action="store_true",
+                   help="LayerNorm on the image-feature embedding "
+                        "(modeling_bert.py:166-171)")
+    p.add_argument("--scheduler", default="linear",
+                   choices=["linear", "constant"],
+                   help="LR schedule after warmup (reference --scheduler)")
     return p
 
 
@@ -39,9 +51,14 @@ def model_config(args, **extra) -> BertConfig:
     base = (OSCAR_LARGE if getattr(args, "model_size", "base") == "large"
             else OSCAR_BASE)
     overrides = dict(extra)
-    for k in ("hidden_size", "num_hidden_layers", "img_feature_dim"):
+    for k in ("hidden_size", "num_hidden_layers", "img_feature_dim",
+              "classifier", "cls_hidden_scale"):
         if getattr(args, k, None) is not None:
             overrides[k] = getattr(args, k)
+    if getattr(args, "drop_out", None) is not None:
+        overrides["hidden_dropout_prob"] = args.drop_out
+    if getattr(args, "use_img_layernorm", False):
+        overrides["use_img_layernorm"] = True
     if args.hidden_size is not None and args.hidden_size < 768:
         overrides.setdefault("num_attention_heads",
                              max(1, args.hidden_size // 16))

@@ -38,8 +38,43 @@ def build_args():
     p.add_argument("--max_seq_a_length", type=int, default=40)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--max_masked_tokens", type=int, default=3)
+    p.add_argument("--mask_prob", type=float, default=0.15,
+                   help="caption-token masking probability "
+                        "(run_captioning.py:836)")
+    p.add_argument("--no_od_labels", action="store_true",
+                   help="drop od-label context (text_b) from training and "
+                        "decoding (reference --add_od_labels off; CPT/VinVL "
+                        "recipes keep it on, so on is our default)")
+    p.add_argument("--label_smoothing", type=float, default=0.1,
+                   help="BertCaptioningLoss label smoothing "
+                        "(modeling_bert.py:575-600)")
+    p.add_argument("--drop_worst_ratio", type=float, default=0.0,
+                   help="fraction of highest-loss slots dropped from the "
+                        "caption loss (run_captioning.py:855)")
+    p.add_argument("--drop_worst_after", type=int, default=0,
+                   help="apply --drop_worst_ratio only from this step on "
+                        "(run_captioning.py:857)")
     p.add_argument("--num_beams", type=int, default=5)
+    p.add_argument("--num_keep_best", type=int, default=1,
+                   help="beams kept per image in the prediction output "
+                        "(run_captioning.py:909)")
+    p.add_argument("--max_gen_length", type=int, default=0,
+                   help="decode-step cap; 0 = full --max_seq_a_length "
+                        "canvas (run_captioning.py:902)")
+    p.add_argument("--do_sample", action="store_true",
+                   help="sampling decode instead of greedy/beam")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
+    p.add_argument("--length_penalty", type=float, default=1.0)
     p.add_argument("--scst_steps", type=int, default=0)
+    p.add_argument("--sc_train_sample_n", type=int, default=5,
+                   help="SCST rollouts per image (run_captioning.py:891)")
+    p.add_argument("--sc_baseline_type", default="greedy",
+                   choices=["greedy", "sample"],
+                   help="REINFORCE baseline: greedy decode or leave-one-out "
+                        "sample mean (caption_evaluate.py:133-144)")
     p.add_argument("--train_steps", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop the loop early while keeping the "
@@ -87,18 +122,20 @@ def main(argv=None):
 
     tens_train = CaptionTensorizer(
         tokenizer, args.max_img_seq_length, args.max_seq_length,
-        args.max_seq_a_length, max_masked_tokens=args.max_masked_tokens)
+        args.max_seq_a_length, max_masked_tokens=args.max_masked_tokens,
+        mask_prob=args.mask_prob)
     tens_test = CaptionTensorizer(
         tokenizer, args.max_img_seq_length, args.max_seq_length,
         args.max_seq_a_length, is_train=False)
+    use_od = not args.no_od_labels
 
     def train_batch(batch_keys, rng_py):
         rows = []
         for k in batch_keys:
             feats, od = load_feats(tsv, imgid2idx, k)
             cap = rng_py.choice(captions[k])
-            rows.append(tens_train.tensorize(cap, feats, text_b=od,
-                                             rng=rng_py))
+            rows.append(tens_train.tensorize(
+                cap, feats, text_b=od if use_od else None, rng=rng_py))
         # tensorize returns (ids, segs, attn, feats, mpos, mids); the model
         # signature is (input_ids, attention_mask, token_type_ids, ...)
         order = (0, 2, 1, 3, 4, 5)
@@ -113,22 +150,34 @@ def main(argv=None):
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(args.train_steps * args.warmup_ratio),
-            num_train_steps=args.train_steps)
+            num_train_steps=args.train_steps,
+            scheduler=args.scheduler)
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
 
-        @jax.jit
-        def step(state, batch, rng):
-            def loss_fn(p):
-                loss, _ = model.apply(p, *batch, deterministic=False,
-                                      rngs={"dropout": rng})
-                return loss
+        # drop_worst_ratio is shape-static (top_k size) → one jitted step
+        # per ratio; at most two compiles (before/after --drop_worst_after)
+        _steps = {}
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            upd, opt = tx.update(grads, state.opt_state, state.params)
-            return train_lib.TrainState(
-                optax.apply_updates(state.params, upd), opt,
-                state.step + 1), loss
+        def step_for(ratio):
+            if ratio not in _steps:
+                @jax.jit
+                def step(state, batch, rng):
+                    def loss_fn(p):
+                        loss, _ = model.apply(
+                            p, *batch, label_smoothing=args.label_smoothing,
+                            drop_worst_ratio=ratio, deterministic=False,
+                            rngs={"dropout": rng})
+                        return loss
+
+                    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                    upd, opt = tx.update(grads, state.opt_state, state.params)
+                    return train_lib.TrainState(
+                        optax.apply_updates(state.params, upd), opt,
+                        state.step + 1), loss
+
+                _steps[ratio] = step
+            return _steps[ratio]
 
         from cpt_tpu.utils import checkpoint as ckpt_lib
 
@@ -151,7 +200,10 @@ def main(argv=None):
             step_py = random.Random(args.seed * 1_000_003 + it)
             bk = [keys[(it * bsz + j) % len(keys)] for j in range(bsz)]
             sub = jax.random.fold_in(base_rng, it)
-            state, loss = step(state, train_batch(bk, step_py), sub)
+            ratio = (args.drop_worst_ratio
+                     if it >= args.drop_worst_after else 0.0)
+            state, loss = step_for(ratio)(state, train_batch(bk, step_py),
+                                          sub)
             if (it + 1) % 20 == 0:
                 print(f"step {it + 1}: loss {float(loss):.4f}")
             if (args.save_every and args.output_dir
@@ -161,12 +213,21 @@ def main(argv=None):
                     f"step{it + 1}", state)
         params = state.params
 
+    gen_len = (min(args.max_gen_length, args.max_seq_a_length)
+               if args.max_gen_length else args.max_seq_a_length)
     gen_cfg = GenerationConfig(
-        max_seq_a_len=args.max_seq_a_length,
+        max_seq_a_len=gen_len,
         bos_token_id=tokenizer.cls_token_id,
         eos_token_id=tokenizer.sep_token_id,
         mask_token_id=tokenizer.mask_token_id,
-        num_beams=args.num_beams)
+        num_beams=args.num_beams,
+        num_keep_best=args.num_keep_best,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        repetition_penalty=args.repetition_penalty,
+        length_penalty=args.length_penalty)
     refs = {k: [c.split() for c in v] for k, v in captions.items()}
     scorer = CiderD(refs)
 
@@ -184,18 +245,22 @@ def main(argv=None):
             batch = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
                      jnp.asarray(f[None]))
             rng, sub = jax.random.split(rng)
-            grads, r_s, r_g = scst_step(model, params, None, gen_cfg,
-                                        scorer, tokenizer, batch, [k], sub)
+            grads, r_s, r_g = scst_step(
+                model, params, None, gen_cfg, scorer, tokenizer, batch, [k],
+                sub, sample_n=args.sc_train_sample_n,
+                baseline_type=args.sc_baseline_type)
             upd, opt = tx.update(grads, opt, params)
             params = optax.apply_updates(params, upd)
             if (it + 1) % 10 == 0:
-                print(f"scst {it + 1}: sample {r_s:.2f} greedy {r_g:.2f}")
+                print(f"scst {it + 1}: sample {r_s:.2f} "
+                      f"{args.sc_baseline_type} baseline {r_g:.2f}")
 
     hyps, outputs = {}, {}
+    dec_rng = jax.random.PRNGKey(args.seed + 2)
     for k in keys:
         feats, od = load_feats(tsv, imgid2idx, k)
-        ids, segs, attn, f, _, _, _ = tens_test.tensorize("", feats,
-                                                          text_b=od)
+        ids, segs, attn, f, _, _, _ = tens_test.tensorize(
+            "", feats, text_b=od if use_od else None)
         ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
                jnp.asarray(f[None]))
         if args.use_cbs:
@@ -224,14 +289,23 @@ def main(argv=None):
                 min_constraints=min(args.min_constraints_to_satisfy,
                                     len(constraints)))
             text = decode_caption(tokenizer, np.asarray(toks), gen_cfg)
-        elif args.num_beams > 1:
+        elif args.num_beams > 1 and not args.do_sample:
             toks, scores = beam_search(model, params, gen_cfg, *ctx)
             text = decode_caption(tokenizer, np.asarray(toks[0, 0]), gen_cfg)
+            if args.num_keep_best > 1:
+                outputs[k] = [
+                    {"caption": decode_caption(tokenizer,
+                                               np.asarray(toks[0, j]),
+                                               gen_cfg),
+                     "confidence": float(scores[0, j])}
+                    for j in range(toks.shape[1])]
         else:
-            toks, scores = greedy_or_sample(model, params, gen_cfg, *ctx)
+            dec_rng, sub = jax.random.split(dec_rng)
+            toks, scores = greedy_or_sample(model, params, gen_cfg, *ctx,
+                                            sub)
             text = decode_caption(tokenizer, np.asarray(toks[0]), gen_cfg)
         hyps[k] = text.split()
-        outputs[k] = text
+        outputs.setdefault(k, text)
     cider = scorer.corpus_score(hyps)
     print(f"CIDEr-D: {cider:.2f}")
     # full coco-caption metric protocol (caption_evaluate.py:59-90 analogue)

@@ -99,7 +99,8 @@ def main(argv=None):
     ocfg = train_lib.OptimConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=int(args.train_steps * args.warmup_ratio),
-        num_train_steps=args.train_steps)
+        num_train_steps=args.train_steps,
+            scheduler=args.scheduler)
     tx = train_lib.build_optimizer(params, ocfg)
     state = train_lib.create_train_state(params, tx)
 

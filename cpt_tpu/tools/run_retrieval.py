@@ -56,6 +56,17 @@ def build_args():
                         "caption-index candidates instead of uniformly")
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--att_mask_type", default="CLR",
+                   choices=["CLR", "CL", "CR", "LR"],
+                   help="caption/od-label/region attention structure "
+                        "(reference run_retrieval.py:169-194)")
+    p.add_argument("--num_captions_per_img", type=int, default=None,
+                   help="cap the captions used per image (reference "
+                        "--num_captions_per_img_train/val)")
+    p.add_argument("--no_od_labels", action="store_true",
+                   help="drop od-label text_b (reference --add_od_labels "
+                        "off; the published recipes keep it on, our "
+                        "default)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
     return add_common_args(p)
@@ -94,7 +105,10 @@ def main(argv=None):
     data = RetrievalData(args.feat_file, json.load(open(args.captions)),
                          tokenizer, args.max_seq_length,
                          args.max_img_seq_length, cfg.img_feature_dim,
-                         eval_img_keys=eval_keys, caption_indexs=cap_idx)
+                         eval_img_keys=eval_keys, caption_indexs=cap_idx,
+                         att_mask_type=args.att_mask_type,
+                         num_captions_per_img=args.num_captions_per_img,
+                         use_od_labels=not args.no_od_labels)
 
     rng_py = random.Random(args.seed)
     bsz = args.per_gpu_train_batch_size
@@ -117,7 +131,8 @@ def main(argv=None):
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(args.train_steps * args.warmup_ratio),
-            num_train_steps=args.train_steps)
+            num_train_steps=args.train_steps,
+            scheduler=args.scheduler)
         tx = train_lib.build_optimizer(params, ocfg)
         state = jax.tree_util.tree_map(
             rep, train_lib.create_train_state(params, tx))
@@ -187,7 +202,7 @@ def main(argv=None):
             chunk = cap_img_pairs[start:start + ebsz]
             ids = np.zeros((ebsz, t), np.int32)
             segs = np.zeros((ebsz, t), np.int32)
-            attn = np.zeros((ebsz, t + r), np.int32)
+            attn = np.zeros((ebsz, *data.attn_shape), np.int32)
             feats = np.zeros((ebsz, r, d), np.float32)
             for k, (cap, ik) in enumerate(chunk):
                 seq, f = data.tensorize(cap, ik)

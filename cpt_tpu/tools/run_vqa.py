@@ -178,7 +178,8 @@ def main(argv=None):
         stop_at = min(steps, args.max_steps) if args.max_steps else steps
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
-            warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps)
+            warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps,
+            scheduler=args.scheduler)
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
 

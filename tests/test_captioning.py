@@ -157,6 +157,51 @@ def test_cider_scores():
     assert perfect > partial > wrong >= 0.0
 
 
+def test_scst_advantages_baselines():
+    from cpt_tpu.engine.scst import scst_advantages
+
+    s = np.array([[1.0, 3.0, 5.0], [2.0, 2.0, 2.0]])
+    g = np.array([2.0, 4.0])
+    adv_g = scst_advantages(s, g, "greedy")
+    np.testing.assert_allclose(adv_g, s - g[:, None])
+    # leave-one-out sample baseline (caption_evaluate.py:143-144):
+    # per image the advantages sum to zero
+    adv_s = scst_advantages(s, None, "sample")
+    np.testing.assert_allclose(adv_s.sum(1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(adv_s[0], [1.0 - 4.0, 3.0 - 3.0, 5.0 - 2.0])
+    with pytest.raises(AssertionError):
+        scst_advantages(s[:, :1], None, "sample")
+    with pytest.raises(ValueError):
+        scst_advantages(s, g, "mean")
+
+
+def test_drop_worst_loss_excludes_worst_slots():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(1, 32, size=(8,)).astype(np.int32))
+    full = smoothed_caption_loss(logits, targets, 0.1, 0.0)
+    dropped = smoothed_caption_loss(logits, targets, 0.1, 0.25)
+    # dropping the worst quarter can only lower the mean per-slot loss
+    assert float(dropped) <= float(full)
+
+
+@pytest.mark.slow
+def test_scst_step_multisample_sample_baseline():
+    from cpt_tpu.engine.scst import scst_step
+
+    model, params, _, feats, _ = _setup_model()
+    segs, attn, f = _gen_context(feats)
+    refs = {"img0": [["the", "red", "dog"]]}
+    scorer = CiderD(refs)
+    grads, r_s, r_b = scst_step(model, params, None, GEN, scorer, TOK,
+                                (segs, attn, f), ["img0"],
+                                jax.random.PRNGKey(0), sample_n=3,
+                                baseline_type="sample")
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert np.isfinite(r_s) and np.isfinite(r_b)
+
+
 @pytest.mark.slow
 def test_scst_step_finite():
     from cpt_tpu.engine.scst import scst_step

@@ -181,6 +181,50 @@ def test_run_retrieval_ranks(fixture):
                             for k in (1, 5, 10)}
 
 
+def test_retrieval_attention_mask_structure():
+    """Block structure of the CL/CR/LR masks (run_retrieval.py:169-194)."""
+    from cpt_tpu.data.retrieval import retrieval_attention_mask
+
+    # seq_a_len=4 (CLS cap SEP), seq_len=7 (+od SEP), max_seq=10, img 3/5
+    m1 = retrieval_attention_mask("CLR", 4, 7, 10, 3, 5)
+    assert m1.shape == (15,)
+    assert m1[:7].all() and not m1[7:10].any()
+    assert m1[10:13].all() and not m1[13:].any()
+    for kind, cross in (("CL", (slice(0, 4), slice(4, 7))),
+                        ("CR", (slice(0, 4), slice(10, 13))),
+                        ("LR", (slice(4, 7), slice(10, 13)))):
+        m = retrieval_attention_mask(kind, 4, 7, 10, 3, 5)
+        assert m.shape == (15, 15)
+        a, b = cross
+        assert m[a, a].all() and m[b, b].all()     # within-block
+        assert m[a, b].all() and m[b, a].all()     # the named cross pair
+        # the third block stays isolated from the other two
+        blocks = {"C": slice(0, 4), "L": slice(4, 7), "R": slice(10, 13)}
+        other = blocks[({"CL": "R", "CR": "L", "LR": "C"})[kind]]
+        assert not m[other, a].any() and not m[a, other].any()
+    with pytest.raises(ValueError):
+        retrieval_attention_mask("RC", 4, 7, 10, 3, 5)
+
+
+@pytest.mark.slow
+def test_run_retrieval_att_mask_and_caption_cap(fixture):
+    """--att_mask_type CR (2-D structured mask through the model) +
+    --num_captions_per_img + --no_od_labels still learn and rank."""
+    from cpt_tpu.tools.run_retrieval import main
+
+    metrics = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--att_mask_type", "CR", "--num_captions_per_img", "1",
+        "--no_od_labels",
+        "--train_steps", "60", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "16", *TINY,
+    ])
+    assert metrics["t2i_R@5"] >= 62.5
+
+
 @pytest.mark.slow
 def test_run_retrieval_rerank_protocol(fixture, tmp_path):
     """Hard-negative re-rank eval (reference run_retrieval.py:86-95,
@@ -378,6 +422,56 @@ def test_run_captioning_end_to_end(fixture, tmp_path):
     ])
     assert len(outputs) == 8
     assert np.isfinite(cider) and cider >= 0.0
+
+
+@pytest.mark.slow
+def test_run_captioning_reference_behavior_flags(fixture, tmp_path):
+    """drop-worst loss, mask_prob, label smoothing, sampling decode with
+    top-k/temperature, num_keep_best beam output (run_captioning.py
+    argparse surface)."""
+    from cpt_tpu.tools.run_captioning import main
+
+    cider, outputs = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "18", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6",
+        "--train_steps", "6", "--learning_rate", "3e-3",
+        "--per_gpu_train_batch_size", "4",
+        "--label_smoothing", "0.2", "--drop_worst_ratio", "0.2",
+        "--drop_worst_after", "3", "--mask_prob", "0.3",
+        "--num_beams", "1", "--do_sample", "--temperature", "0.7",
+        "--top_k", "5", "--repetition_penalty", "1.3",
+        "--max_gen_length", "8", *TINY,
+    ])
+    assert len(outputs) == 8 and np.isfinite(cider)
+
+    cider2, outputs2 = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "18", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6", "--no_od_labels",
+        "--num_beams", "3", "--num_keep_best", "2", *TINY,
+    ])
+    first = next(iter(outputs2.values()))
+    assert isinstance(first, list) and len(first) == 2
+    assert first[0]["confidence"] >= first[1]["confidence"]
+
+
+@pytest.mark.slow
+def test_run_captioning_scst_sample_baseline(fixture):
+    from cpt_tpu.tools.run_captioning import main
+
+    cider, outputs = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "18", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6",
+        "--scst_steps", "2", "--sc_train_sample_n", "2",
+        "--sc_baseline_type", "sample", "--learning_rate", "1e-4",
+        "--num_beams", "1", *TINY,
+    ])
+    assert len(outputs) == 8 and np.isfinite(cider)
 
 
 @pytest.mark.slow
