@@ -244,12 +244,69 @@ class BertPooler(nn.Module):
 
 
 class BertImgModel(nn.Module):
-    """Text ⊕ image-region joint encoder (reference ``BertImgModel``)."""
+    """Text ⊕ image-region joint encoder (reference ``BertImgModel``).
+
+    Setup-style so ``embed`` (the pre-encoder half) is independently
+    callable — the pipeline-parallel path (``parallel/pipeline.py``) runs
+    ``apply(vars, ..., method="embed")`` and pipelines the encoder itself.
+    Attribute names match the former inline names; the param tree is
+    unchanged."""
 
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.config
+        self.embeddings = BertEmbeddings(c, self.dtype)
+        if c.img_feature_type.startswith("dis_code"):
+            self.code_embeddings = nn.Embed(c.code_voc, c.code_dim,
+                                            dtype=self.dtype)
+        self.img_embedding = nn.Dense(c.hidden_size, dtype=self.dtype)
+        if c.use_img_layernorm:
+            self.img_LayerNorm = nn.LayerNorm(epsilon=c.img_layer_norm_eps,
+                                              dtype=self.dtype)
+        self.img_dropout = nn.Dropout(c.hidden_dropout_prob)
+        self.encoder = BertEncoder(c, self.dtype)
+        self.pooler = BertPooler(c, self.dtype)
+
+    def embed(self,
+              input_ids: Array,
+              token_type_ids: Optional[Array] = None,
+              attention_mask: Optional[Array] = None,
+              position_ids: Optional[Array] = None,
+              img_feats: Optional[Array] = None,
+              deterministic: bool = True) -> Tuple[Array, Array]:
+        """→ (embeddings ⊕ projected image features, extended attention
+        bias) — everything before the encoder stack."""
+        c = self.config
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if attention_mask is None:
+            n_img = 0 if img_feats is None else img_feats.shape[1]
+            attention_mask = jnp.ones(
+                (input_ids.shape[0], input_ids.shape[1] + n_img),
+                input_ids.dtype)
+        attn_bias = extend_attention_mask(attention_mask, self.dtype)
+
+        emb = self.embeddings(input_ids, token_type_ids, position_ids,
+                              deterministic)
+
+        if img_feats is not None:
+            if c.img_feature_type.startswith("dis_code"):
+                code = self.code_embeddings(img_feats)
+                if c.img_feature_type == "dis_code_t":
+                    code = jnp.swapaxes(code, 1, 2)
+                img_emb = self.img_embedding(code)
+            else:
+                img_emb = self.img_embedding(img_feats)
+                if c.use_img_layernorm:
+                    img_emb = self.img_LayerNorm(img_emb)
+                img_emb = self.img_dropout(img_emb,
+                                           deterministic=deterministic)
+            emb = jnp.concatenate([emb, img_emb], axis=1)
+
+        return emb, attn_bias
+
     def __call__(self,
                  input_ids: Array,
                  token_type_ids: Optional[Array] = None,
@@ -259,38 +316,10 @@ class BertImgModel(nn.Module):
                  history_states: Optional[Tuple[Array, ...]] = None,
                  head_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Tuple[Array, Array]:
-        c = self.config
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        if attention_mask is None:
-            n_img = 0 if img_feats is None else img_feats.shape[1]
-            attention_mask = jnp.ones(
-                (input_ids.shape[0], input_ids.shape[1] + n_img), input_ids.dtype)
-        attn_bias = extend_attention_mask(attention_mask, self.dtype)
-
-        emb = BertEmbeddings(c, self.dtype, name="embeddings")(
-            input_ids, token_type_ids, position_ids, deterministic)
-
-        if img_feats is not None:
-            if c.img_feature_type.startswith("dis_code"):
-                code = nn.Embed(c.code_voc, c.code_dim, name="code_embeddings",
-                                dtype=self.dtype)(img_feats)
-                if c.img_feature_type == "dis_code_t":
-                    code = jnp.swapaxes(code, 1, 2)
-                img_emb = nn.Dense(c.hidden_size, name="img_embedding",
-                                   dtype=self.dtype)(code)
-            else:
-                img_emb = nn.Dense(c.hidden_size, name="img_embedding",
-                                   dtype=self.dtype)(img_feats)
-                if c.use_img_layernorm:
-                    img_emb = nn.LayerNorm(epsilon=c.img_layer_norm_eps,
-                                           dtype=self.dtype,
-                                           name="img_LayerNorm")(img_emb)
-                img_emb = nn.Dropout(c.hidden_dropout_prob)(
-                    img_emb, deterministic=deterministic)
-            emb = jnp.concatenate([emb, img_emb], axis=1)
-
-        seq = BertEncoder(c, self.dtype, name="encoder")(
-            emb, attn_bias, history_states, head_mask, deterministic)
-        pooled = BertPooler(c, self.dtype, name="pooler")(seq)
+        emb, attn_bias = self.embed(input_ids, token_type_ids,
+                                    attention_mask, position_ids, img_feats,
+                                    deterministic)
+        seq = self.encoder(emb, attn_bias, history_states, head_mask,
+                           deterministic)
+        pooled = self.pooler(seq)
         return seq, pooled
