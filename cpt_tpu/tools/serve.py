@@ -1,0 +1,289 @@
+"""Persistent CPT grounding server — the production serving surface.
+
+The reference has no serving path (its deployment is two offline shell
+pipelines: ``cmds/refcoco/prepare.sh`` feature dump → zero-shot scoring
+script). TPU-native serving means keeping both stages RESIDENT and
+jit-warm: stage-1 colored-copy extraction (``engine/extract.Extractor`` —
+one compiled program per (canvas bucket, det bucket, chunk), cached across
+requests) and stage-2 ``REC_MLM_CPT`` mask scoring (one jitted fn, batches
+padded to a fixed size so every request hits the compile cache). Per
+request the only non-amortized work is host-side image decode +
+tensorization; the first request per shape bucket pays its compile,
+subsequent requests reuse it — the serving-relevant steady state.
+
+Protocol (JSON over HTTP, stdlib only):
+  GET  /healthz
+      → {"status": "ok", "device": ..., "requests": N}
+  POST /predict   {"image_b64": <b64 image file bytes>, "caption": str,
+                   "dets": [[x1,y1,x2,y2], ...]}   (inclusive xyxy,
+                                                    original image coords)
+      → {"pred_box": [x1,y1,x2,y2], "scores": [...], "latency_ms": ...}
+
+One worker lock serializes device work (one TPU program at a time);
+concurrent HTTP connections queue on it.
+
+Usage:
+  python -m cpt_tpu.tools.serve --port 8437 \
+      --checkpoint vinvl_vg_x152c4.pth --oscar_checkpoint pytorch_model.bin \
+      --vocab vocab.txt --windowed
+  (--tiny serves random tiny models — CI/latency harness.)
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=8437)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--checkpoint", default=None,
+                   help="vinvl_vg_x152c4.pth / Detectron .pkl")
+    p.add_argument("--oscar_checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--windowed", action="store_true",
+                   help="two-level windowed extraction (PERF.md)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--score_batch", type=int, default=32,
+                   help="fixed stage-2 batch slot count (pad target)")
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_hidden_layers", type=int, default=None)
+    p.add_argument("--no_warmup", action="store_true")
+    return p
+
+
+class CPTService:
+    """Both stages resident; ``predict`` is the warm request path."""
+
+    def __init__(self, args):
+        from cpt_tpu.engine.extract import Extractor
+        from cpt_tpu.engine.scoring import make_mlm_at_mask_fn
+        from cpt_tpu.models.bert.heads import REC_MLM_CPT
+        from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
+        from cpt_tpu.models.detector.config import (VINVL_X152C4,
+                                                    tiny_detector_config)
+        from cpt_tpu.tools._common import model_config
+        from cpt_tpu.utils import convert as cv
+        from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+        self.args = args
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+        # stage 1
+        dcfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+        det = AttrRCNN(dcfg, dtype=dtype)
+        m = dcfg.max_force_boxes
+        h0 = w0 = dcfg.input.buckets[0][0]
+        init = jax.jit(det.init)(
+            jax.random.PRNGKey(0), jnp.zeros((h0, w0, 3)),
+            jnp.asarray([h0, w0]), jnp.zeros((m, 4)), jnp.ones((m,), bool))
+        if args.checkpoint:
+            from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
+
+            dparams = {"params": load_vinvl_checkpoint(args.checkpoint,
+                                                       dcfg)}
+        else:
+            dparams = init
+            print("WARNING: random detector weights (no --checkpoint)")
+        self.dcfg = dcfg
+        self.extractor = Extractor(det, dparams, dcfg,
+                                   windowed=args.windowed)
+
+        # stage 2
+        class _A:
+            hidden_size = args.hidden_size
+            num_hidden_layers = args.num_hidden_layers
+            img_feature_dim = None
+
+        cfg = model_config(_A())
+        # stage-5 pooled dim (res2_out × 8) + 6 geometry dims
+        # (attr_rcnn.region_features_2054)
+        feat_dim = dcfg.backbone.res2_out_channels * 8 + 6
+        if feat_dim != cfg.img_feature_dim:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, img_feature_dim=feat_dim)
+        self.cfg = cfg
+        self.tokenizer = BertTokenizer(args.vocab if args.vocab
+                                       else toy_vocab())
+        self.oscar = REC_MLM_CPT(cfg, dtype=dtype)
+        t = 70
+        oinit = jax.jit(self.oscar.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, t), jnp.int32),
+            jnp.zeros((1, t), jnp.int32),
+            jnp.ones((1, t + 50), jnp.int32),
+            jnp.zeros((1, 50, cfg.img_feature_dim)))
+        if args.oscar_checkpoint:
+            sd = cv.load_torch_file(args.oscar_checkpoint)
+            pre = cv.convert_bert_state_dict(sd, cfg)
+            mapped = cv.params_for_task(pre, "rec_mlm_cpt")
+            self.oparams = {"params": cv.merge_pretrained_into_init(
+                oinit["params"], mapped)}
+        else:
+            self.oparams = oinit
+            print("WARNING: random Oscar weights (no --oscar_checkpoint)")
+        self.score_fn = make_mlm_at_mask_fn(self.oscar)
+
+        self.lock = threading.Lock()
+        self.n_requests = 0
+        if not args.no_warmup:
+            self._warmup()
+
+    def _warmup(self):
+        """Pay the first-bucket compiles before serving."""
+        h = w = self.dcfg.input.buckets[0][0]
+        img = np.zeros((h, w, 3), np.uint8)
+        dets = [[1.0, 1.0, min(32.0, w - 2), min(32.0, h - 2)],
+                [2.0, 2.0, min(48.0, w - 2), min(40.0, h - 2)]]
+        t0 = time.perf_counter()
+        self.predict(img, "the red warmup box", dets)
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    def _resize(self, img: np.ndarray):
+        """Reference MIN/MAX_SIZE_TEST rule (extract_features.load_image),
+        in-memory; → (resized img clipped to the largest canvas, scale)."""
+        from PIL import Image
+
+        c = self.dcfg.input
+        h, w = img.shape[:2]
+        scale = 1.0
+        if c.min_size_test:
+            scale = c.min_size_test / min(h, w)
+            if c.max_size_test and scale * max(h, w) > c.max_size_test:
+                scale = c.max_size_test / max(h, w)
+            pil = Image.fromarray(img).resize(
+                (int(round(w * scale)), int(round(h * scale))),
+                Image.BILINEAR)
+            img = np.asarray(pil)
+        return img[: c.pad_h, : c.pad_w], scale
+
+    def predict(self, image_rgb: np.ndarray, caption: str, dets_xyxy):
+        """→ (pred_box original coords, per-candidate scores)."""
+        import tempfile
+
+        from cpt_tpu.data.refcoco import RefcocoCPTData, iter_eval_batches
+        from cpt_tpu.engine.extract import refcoco_task
+        from cpt_tpu.engine.scoring import (refcoco_collect_scores,
+                                            run_mlm_batch)
+        from cpt_tpu.utils.tsv import tsv_writer
+
+        with self.lock:
+            img, scale = self._resize(np.asarray(image_rgb))
+            dets = np.asarray(dets_xyxy, np.float32) * scale
+            task = refcoco_task("q0", img, img.shape[:2], dets, caption)
+            feats, labels, scores_det = self.extractor.extract_task(task)
+            objs = self.extractor.boxlists_for(
+                task, feats[: task.n_copies], labels[: task.n_copies],
+                scores_det[: task.n_copies])
+
+            # stage-2 over the in-memory payload via the standard refcoco
+            # tensorization (same row layout extract_features writes)
+            from cpt_tpu.engine.extract import refcoco_payload
+
+            with tempfile.TemporaryDirectory(prefix="cpt_serve_") as wd:
+                from cpt_tpu.tools.validate_checkpoints import (
+                    det_json_for_stage2)
+
+                tsv = f"{wd}/p.tsv"
+                tsv_writer([["q0",
+                             json.dumps(refcoco_payload(task, objs))]], tsv)
+                json.dump([{"id": "q0", "caption": caption}],
+                          open(f"{wd}/ann.json", "w"))
+                det_json_for_stage2(tsv, f"{wd}/det.json")
+                data = RefcocoCPTData(tsv, f"{wd}/ann.json",
+                                      f"{wd}/det.json", self.tokenizer,
+                                      img_feat_dim=self.cfg.img_feature_dim)
+                all_scores, all_rects = [], []
+                for batch, _ex in iter_eval_batches(data,
+                                                    self.args.score_batch):
+                    at_mask = run_mlm_batch(self.score_fn, self.oparams,
+                                            batch)
+                    grouped = refcoco_collect_scores(at_mask, batch,
+                                                     self.tokenizer)
+                    for _i, (sc, rc) in grouped.items():
+                        all_scores.extend(sc)
+                        all_rects.extend(rc)
+            best = int(np.argmax(all_scores))
+            pred = [float(v) / scale for v in all_rects[best]]
+            self.n_requests += 1
+            return pred, [float(s) for s in all_scores]
+
+
+def make_handler(svc: CPTService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "device": str(jax.devices()[0].platform),
+                    "requests": svc.n_requests})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(
+                    base64.b64decode(req["image_b64"]))).convert("RGB"))
+                t0 = time.perf_counter()
+                pred, scores = svc.predict(img, req["caption"], req["dets"])
+                self._send(200, {
+                    "pred_box": pred, "scores": scores,
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1e3, 1)})
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def serve_forever(args, ready_event: "threading.Event | None" = None):
+    svc = CPTService(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
+    print(f"serving on http://{args.host}:{httpd.server_address[1]}")
+    if ready_event is not None:
+        ready_event.set()
+    httpd.svc = svc
+    return httpd
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    httpd = serve_forever(args)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""CPT grounding server (tools/serve.py): warm two-stage serving over
+HTTP — health, predict round-trips, error handling, jit-cache reuse."""
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from cpt_tpu.tools.serve import build_args, serve_forever
+
+    args = build_args().parse_args(
+        ["--tiny", "--port", "0", "--hidden_size", "64",
+         "--num_hidden_layers", "2", "--score_batch", "8", "--no_warmup"])
+    httpd = serve_forever(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+
+
+def _url(httpd, path):
+    host, port = httpd.server_address
+    return f"http://{host}:{port}{path}"
+
+
+def _post(httpd, path, obj):
+    req = urllib.request.Request(
+        _url(httpd, path), data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _image_b64(h, w, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                    ).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.mark.slow
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz")) as r:
+        obj = json.loads(r.read())
+    assert obj["status"] == "ok"
+
+
+@pytest.mark.slow
+def test_predict_roundtrip_and_warm_reuse(server):
+    h = w = server.svc.dcfg.input.buckets[0][0]
+    dets = [[2, 2, 30, 30], [40, 8, 100, 70], [10, 60, 80, 120]]
+    body = {"image_b64": _image_b64(h, w), "caption": "the red dog",
+            "dets": dets}
+    code, first = _post(server, "/predict", body)
+    assert code == 200, first
+    assert len(first["scores"]) == len(dets)
+    assert first["pred_box"] in [[float(v) for v in d] for d in dets]
+
+    # second request (different image, same shapes) rides the warm
+    # compile cache — must succeed and keep per-candidate score layout
+    body2 = {"image_b64": _image_b64(h, w, seed=1),
+             "caption": "the blue cat", "dets": dets}
+    code2, second = _post(server, "/predict", body2)
+    assert code2 == 200
+    assert len(second["scores"]) == len(dets)
+    assert second["latency_ms"] < first["latency_ms"], (
+        "warm request should beat the compiling request")
+
+    with urllib.request.urlopen(_url(server, "/healthz")) as r:
+        assert json.loads(r.read())["requests"] >= 2
+
+
+@pytest.mark.slow
+def test_predict_matches_direct_service_call(server):
+    from PIL import Image
+
+    h = w = server.svc.dcfg.input.buckets[0][0]
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dets = [[1, 1, 28, 28], [30, 30, 90, 90]]
+    pred_direct, scores_direct = server.svc.predict(
+        img, "the small thing", dets)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    code, resp = _post(server, "/predict", {
+        "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        "caption": "the small thing", "dets": dets})
+    assert code == 200
+    np.testing.assert_allclose(resp["pred_box"], pred_direct)
+    np.testing.assert_allclose(resp["scores"], scores_direct, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_predict_error_handling(server):
+    code, resp = _post(server, "/predict", {"caption": "no image"})
+    assert code == 400 and "error" in resp
+    code, resp = _post(server, "/nope", {})
+    assert code == 404
