@@ -76,6 +76,13 @@ def build_args():
                    help="REINFORCE baseline: greedy decode or leave-one-out "
                         "sample mean (caption_evaluate.py:133-144)")
     p.add_argument("--train_steps", type=int, default=0)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="evaluate CIDEr-D on a val subset every N steps, "
+                        "track the best model and append eval_logs.json "
+                        "(reference --evaluate_during_training + "
+                        "best_CIDEr, run_captioning.py:508-521)")
+    p.add_argument("--eval_subset", type=int, default=32,
+                   help="images per during-training eval (greedy decode)")
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop the loop early while keeping the "
                         "--train_steps LR-schedule horizon (exact-resume "
@@ -190,6 +197,32 @@ def main(argv=None):
             start_it = int(state.step)
             print(f"resumed at step {start_it}")
 
+        # during-training eval: greedy decode on a val subset, best-model
+        # tracking + eval_logs.json (reference --evaluate_during_training)
+        best_cider, best_params, eval_log = -1.0, None, []
+        if args.eval_every:
+            eval_cfg = GenerationConfig(
+                max_seq_a_len=args.max_seq_a_length,
+                bos_token_id=tokenizer.cls_token_id,
+                eos_token_id=tokenizer.sep_token_id,
+                mask_token_id=tokenizer.mask_token_id)
+            eval_keys = keys[: args.eval_subset]
+            eval_scorer = CiderD(
+                {k: [c.split() for c in v] for k, v in captions.items()})
+
+            def quick_cider(p):
+                hyps = {}
+                for k in eval_keys:
+                    fe, od = load_feats(tsv, imgid2idx, k)
+                    _, sg, at, f, _, _, _ = tens_test.tensorize(
+                        "", fe, text_b=od if use_od else None)
+                    toks, _ = greedy_or_sample(
+                        model, p, eval_cfg, jnp.asarray(sg[None]),
+                        jnp.asarray(at[None]), jnp.asarray(f[None]))
+                    hyps[k] = decode_caption(tokenizer, np.asarray(toks[0]),
+                                             eval_cfg).split()
+                return eval_scorer.corpus_score(hyps)
+
         base_rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_gpu_train_batch_size
         stop_at = (min(args.train_steps, args.max_steps) if args.max_steps
@@ -211,7 +244,21 @@ def main(argv=None):
                 ckpt_lib.save_checkpoint(
                     os.path.join(args.output_dir, "state"),
                     f"step{it + 1}", state)
-        params = state.params
+            if args.eval_every and (it + 1) % args.eval_every == 0:
+                c = quick_cider(state.params)
+                if c > best_cider:
+                    best_cider = c
+                    best_params = jax.tree_util.tree_map(np.asarray,
+                                                         state.params)
+                eval_log.append({"step": it + 1, "CIDEr": c,
+                                 "best_CIDEr": best_cider})
+                if args.output_dir:
+                    json.dump(eval_log, open(os.path.join(
+                        args.output_dir, "eval_logs.json"), "w"))
+                print(f"eval step {it + 1}: CIDEr {c:.3f} "
+                      f"(best {best_cider:.3f})")
+        params = (jax.tree_util.tree_map(jnp.asarray, best_params)
+                  if best_params is not None else state.params)
 
     gen_len = (min(args.max_gen_length, args.max_seq_a_length)
                if args.max_gen_length else args.max_seq_a_length)

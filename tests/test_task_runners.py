@@ -459,6 +459,29 @@ def test_run_captioning_reference_behavior_flags(fixture, tmp_path):
 
 
 @pytest.mark.slow
+def test_run_captioning_eval_during_training(fixture, tmp_path):
+    """--eval_every: best-CIDEr model tracking + eval_logs.json
+    (reference --evaluate_during_training, run_captioning.py:508-521)."""
+    import json as _json
+
+    from cpt_tpu.tools.run_captioning import main
+
+    cider, outputs = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "captions.json"),
+        "--max_seq_length", "18", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6",
+        "--train_steps", "12", "--eval_every", "6", "--eval_subset", "4",
+        "--learning_rate", "3e-3", "--per_gpu_train_batch_size", "4",
+        "--num_beams", "1", "--output_dir", str(tmp_path), *TINY,
+    ])
+    log = _json.load(open(tmp_path / "eval_logs.json"))
+    assert [e["step"] for e in log] == [6, 12]
+    assert all(e["best_CIDEr"] >= e["CIDEr"] - 1e-9 for e in log)
+    assert np.isfinite(cider) and len(outputs) == 8
+
+
+@pytest.mark.slow
 def test_run_captioning_scst_sample_baseline(fixture):
     from cpt_tpu.tools.run_captioning import main
 
