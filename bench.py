@@ -239,6 +239,30 @@ def bench_extraction_two_level(c=128, h=640, w=1024,
     return c / min(ts)
 
 
+def bench_serving(n_warm: int = 8) -> float:
+    """Warm request latency through the serving daemon's service object
+    (tools/serve.CPTService — X152 + Oscar-base bf16, windowed two-level):
+    one 480×640 image + 10 candidate dets per request, wall clock incl.
+    all host work. → median warm ms (PERF.md 'Serving latency')."""
+    from cpt_tpu.tools.serve import CPTService, build_args
+
+    args = build_args().parse_args(["--windowed", "--no_warmup"])
+    svc = CPTService(args)
+    rng = np.random.RandomState(0)
+    dets = [[float(x), float(y), float(x + 110), float(y + 130)]
+            for x, y in zip(rng.randint(0, 500, 10),
+                            rng.randint(0, 330, 10))]
+    img = rng.randint(0, 256, (480, 640, 3)).astype(np.uint8)
+    svc.predict(img, "the red dog on the left", dets)   # compile
+    lat = []
+    for _ in range(n_warm):
+        img = rng.randint(0, 256, (480, 640, 3)).astype(np.uint8)
+        t0 = time.perf_counter()
+        svc.predict(img, "the red dog on the left", dets)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(np.asarray(lat[1:])) * 1e3)
+
+
 def main():
     seq_per_sec = bench_scoring()
     if "--stage2-only" in sys.argv:
@@ -304,6 +328,11 @@ def main():
             "blended_extraction_vs_baseline": round(
                 blended / A100_EXTRACTION_COPIES_PER_SEC, 2),
         })
+    try:
+        breakdown["serving_warm_latency_ms"] = round(bench_serving(), 0)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
     e2e = 1.0 / (1.0 / blended + 1.0 / seq_per_sec)
     print(json.dumps({
         "metric": "cpt_e2e_copies_per_sec",
