@@ -41,12 +41,35 @@ def mask_tokens(input_ids: np.ndarray, maskable: np.ndarray,
     return ids, labels
 
 
+def pretrain_contrast_classes(texta_false_prob: float, use_b: bool) -> int:
+    """Reference rule (run_oscarplus_pretrain.py:245 comment /
+    oscar_tsv.py:275): 3-way contrastive when wrong-text_a corruption is
+    in play (and distinguishable), else the plain 2-way."""
+    return 3 if (texta_false_prob < 0.5
+                 and (texta_false_prob > 0 or not use_b)) else 2
+
+
 class OscarPretrainData:
     def __init__(self, feat_file: str, captions: dict,
                  tokenizer: BertTokenizer, max_seq_len: int = 35,
                  img_seq_len: int = 50, img_feat_dim: int = 2054,
-                 text_b_swap_prob: float = 0.5):
-        """captions: {img_key: caption string}."""
+                 text_b_swap_prob: float = 0.5,
+                 texta_false_prob: float = 0.0, use_b: bool = True,
+                 mask_loss_for_unmatched: bool = True):
+        """captions: {img_key: caption string}.
+
+        Corruption scheme (reference ``oscar_tsv.py:263-283``): with prob
+        0.5 the pair is clean (label 0); otherwise, with prob
+        ``1 − texta_false_prob`` (conditioned on corrupting) the od-label
+        side is swapped with another image's tags (label 1, "polluted
+        tags"), else the CAPTION is swapped (wrong-text_a retrieval
+        triplet, label ``num_contrast_classes − 1``). ``use_b=False``
+        drops the od-label segment entirely (caption ⊕ regions only);
+        text_a corruption then carries the contrast signal. The
+        reference's ``textb_sample_mode`` 0/1/2 distinctions collapse
+        here: this corpus layout has one od-label line per image, so all
+        modes sample another image's tag line.
+        """
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
         self.keys = sorted(k for k in captions if k in self.imgid2idx)
@@ -56,6 +79,11 @@ class OscarPretrainData:
         self.img_seq_len = img_seq_len
         self.img_feat_dim = img_feat_dim
         self.swap_prob = text_b_swap_prob
+        self.texta_false_prob = texta_false_prob
+        self.use_b = use_b
+        self.mask_loss_for_unmatched = mask_loss_for_unmatched
+        self.num_contrast_classes = pretrain_contrast_classes(
+            texta_false_prob, use_b)
 
     def __len__(self):
         return len(self.keys)
@@ -83,23 +111,48 @@ class OscarPretrainData:
         for i, idx in enumerate(indices):
             key = self.keys[idx]
             f, od = self._feats(key)
-            swapped = rng.random() < self.swap_prob and len(self.keys) > 1
-            if swapped:
+            caption = self.captions[key]
+            # oscar_tsv.py:263-283 corruption ladder (swap_prob keeps the
+            # historical knob: P(corrupt) = swap_prob instead of 0.5)
+            label = 0
+            dice = rng.random()
+            if dice < self.swap_prob and len(self.keys) > 1:
                 other = rng.choice([k for k in self.keys if k != key])
-                _, od = self._feats(other)
-            seq = tensorize_pair(self.tokenizer, self.captions[key], od,
+                # conditioned on corrupting: wrong text_b unless the
+                # texta_false_prob branch (or no text_b to corrupt)
+                if (rng.random() >= self.texta_false_prob and self.use_b):
+                    _, od = self._feats(other)
+                    label = 1
+                else:
+                    caption = self.captions[other]
+                    label = self.num_contrast_classes - 1
+            seq = tensorize_pair(self.tokenizer, caption,
+                                 od if self.use_b else None,
                                  f.shape[0], t, r)
-            sep = seq.input_ids.tolist().index(self.tokenizer.sep_token_id)
+            toks = seq.input_ids.tolist()
+            sep_id = self.tokenizer.sep_token_id
+            sep = toks.index(sep_id)
             maskable = np.zeros((t,), bool)
-            maskable[1:sep] = True                   # caption tokens only
+            maskable[1:sep] = True                   # caption tokens
+            sep2 = None
+            if self.use_b:                           # od-label tokens too
+                try:                                 # (oscar_tsv random_word
+                    sep2 = toks.index(sep_id, sep + 1)   # masks both sides)
+                    maskable[sep + 1:sep2] = True
+                except ValueError:
+                    pass
             masked, labels = mask_tokens(seq.input_ids, maskable,
                                          self.tokenizer, rng)
+            if (not self.mask_loss_for_unmatched and label == 1
+                    and sep2 is not None):
+                # polluted tags carry no MLM signal (oscar_tsv.py:693-694)
+                labels[sep + 1:sep2] = -1
             ids[i] = masked
             segs[i] = seq.segment_ids
             attn[i] = seq.attention_mask
             feats[i] = pad_img_feats(f, r)
             mlm[i, :t] = labels
-            contrast[i] = 1 if swapped else 0
+            contrast[i] = label
         return ids, segs, attn, feats, mlm, contrast
 
 
@@ -130,7 +183,9 @@ class MultiCorpusPretrainData(OscarPretrainData):
     def __init__(self, yaml_file: str, tokenizer: BertTokenizer,
                  max_seq_len: int = 35, img_seq_len: int = 50,
                  img_feat_dim: int = 2054, text_b_swap_prob: float = 0.5,
-                 chunk_start_id: int = -1, chunk_end_id: int = -1):
+                 chunk_start_id: int = -1, chunk_end_id: int = -1,
+                 texta_false_prob: float = 0.0, use_b: bool = True,
+                 mask_loss_for_unmatched: bool = True):
         import os
 
         import yaml as _yaml
@@ -180,6 +235,11 @@ class MultiCorpusPretrainData(OscarPretrainData):
         self.img_seq_len = img_seq_len
         self.img_feat_dim = img_feat_dim
         self.swap_prob = text_b_swap_prob
+        self.texta_false_prob = texta_false_prob
+        self.use_b = use_b
+        self.mask_loss_for_unmatched = mask_loss_for_unmatched
+        self.num_contrast_classes = pretrain_contrast_classes(
+            texta_false_prob, use_b)
         self.datasets = names
 
     def _feats(self, img_key: str):

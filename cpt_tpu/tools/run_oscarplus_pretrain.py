@@ -40,7 +40,16 @@ def build_args():
     p.add_argument("--text_only", action="store_true",
                    help="text-only MLM (run_mlm.py equivalent)")
     p.add_argument("--mask_loss_for_unmatched", type=int, default=1,
-                   help="keep MLM loss on polluted pairs (reference flag)")
+                   help="keep MLM loss on polluted od-label tokens "
+                        "(reference flag; 0 = drop, oscar_tsv.py:693-694)")
+    p.add_argument("--texta_false_prob", type=float, default=0.0,
+                   help="conditioned on corrupting a pair, probability the "
+                        "CAPTION is swapped instead of the od labels — the "
+                        "wrong-text_a retrieval triplet; enables 3-way "
+                        "contrastive (oscar_tsv.py:263-283)")
+    p.add_argument("--use_b", type=int, default=1,
+                   help="1 = caption [SEP] od-labels [SEP] layout; 0 = "
+                        "caption-only text side (reference --use_b)")
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop the loop after this many steps while keeping "
                         "the --train_steps LR-schedule horizon — so an "
@@ -65,9 +74,16 @@ def main(argv=None):
     initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
-    cfg = model_config(args)
+    from cpt_tpu.data.pretrain import pretrain_contrast_classes
+
+    cfg = model_config(args, num_contrast_classes=pretrain_contrast_classes(
+        args.texta_false_prob, bool(args.use_b)))
     model = BertImgForPreTraining(cfg, dtype=dtype_of(args))
 
+    corrupt_kw = dict(texta_false_prob=args.texta_false_prob,
+                      use_b=bool(args.use_b),
+                      mask_loss_for_unmatched=bool(
+                          args.mask_loss_for_unmatched))
     if args.yaml:
         from cpt_tpu.data.pretrain import MultiCorpusPretrainData
 
@@ -75,7 +91,7 @@ def main(argv=None):
             args.yaml, tokenizer, args.max_seq_length,
             args.max_img_seq_length, cfg.img_feature_dim,
             chunk_start_id=args.chunk_start_id,
-            chunk_end_id=args.chunk_end_id)
+            chunk_end_id=args.chunk_end_id, **corrupt_kw)
         print(f"mixed corpus: {len(data)} samples from "
               f"{'_'.join(data.datasets)}")
     else:
@@ -84,7 +100,7 @@ def main(argv=None):
         data = OscarPretrainData(
             args.feat_file, json.load(open(args.captions)), tokenizer,
             args.max_seq_length, args.max_img_seq_length,
-            cfg.img_feature_dim)
+            cfg.img_feature_dim, **corrupt_kw)
     bsz = args.per_gpu_train_batch_size
     rng_py = random.Random(args.seed)
     batch0 = data.batch(list(range(min(bsz, len(data)))), rng_py, pad_to=bsz)

@@ -291,6 +291,72 @@ def test_run_pretrain_loss_drops(fixture):
     assert losses[-1] < losses[0]
 
 
+def test_pretrain_corruption_scheme(fixture):
+    """oscar_tsv.py:263-283 ladder: texta_false_prob routes corruption to
+    the caption side with a 3-way contrastive label; use_b=0 drops the
+    od segment; mask_loss_for_unmatched=0 blanks polluted-tag MLM labels."""
+    import json as _json
+    import random as _random
+
+    from cpt_tpu.data.pretrain import (OscarPretrainData,
+                                       pretrain_contrast_classes)
+    from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+    tok = BertTokenizer(toy_vocab())
+    caps = _json.load(open(fixture["root"] / "pre_captions.json"))
+    data = OscarPretrainData(fixture["feat_file"], caps, tok, 16, 6,
+                             img_feat_dim=D, texta_false_prob=0.3)
+    assert data.num_contrast_classes == 3
+    rng = _random.Random(0)
+    labels = []
+    for _ in range(20):
+        *_rest, contrast = data.batch(list(range(len(data))), rng)
+        labels.extend(int(v) for v in contrast)
+    assert {0, 1, 2}.issubset(set(labels)), set(labels)
+
+    # use_b=0: no od segment (no segment-1 tokens), corruption is
+    # caption-side only → labels {0, 2}
+    data_nb = OscarPretrainData(fixture["feat_file"], caps, tok, 16, 6,
+                                img_feat_dim=D, use_b=False)
+    assert data_nb.num_contrast_classes == 3
+    ids, segs, attn, feats, mlm, contrast = data_nb.batch(
+        list(range(len(data_nb))), _random.Random(1))
+    assert not (segs == 1).any()
+    assert set(int(v) for v in contrast) <= {0, 2}
+
+    # mask_loss_for_unmatched=0: polluted pairs have no od-token MLM labels
+    data_nm = OscarPretrainData(fixture["feat_file"], caps, tok, 16, 6,
+                                img_feat_dim=D,
+                                mask_loss_for_unmatched=False)
+    rng = _random.Random(2)
+    seen_clean_od_label = False
+    for _ in range(30):
+        ids, segs, attn, feats, mlm, contrast = data_nm.batch(
+            list(range(len(data_nm))), rng)
+        for i in range(len(contrast)):
+            od_slots = segs[i] == 1
+            if contrast[i] == 1:
+                assert (mlm[i, :16][od_slots] == -1).all()
+            elif (mlm[i, :16][od_slots] != -1).any():
+                seen_clean_od_label = True
+    assert seen_clean_od_label, "clean pairs should keep od MLM labels"
+
+
+@pytest.mark.slow
+def test_run_pretrain_texta_false_3way(fixture):
+    from cpt_tpu.tools.run_oscarplus_pretrain import main
+
+    losses = main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(fixture["root"] / "pre_captions.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--texta_false_prob", "0.3", "--mask_loss_for_unmatched", "0",
+        "--train_steps", "40", "--learning_rate", "3e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert losses[-1] < losses[0]
+
+
 @pytest.mark.slow
 def test_pretrain_mid_run_resume_exact(fixture, tmp_path):
     """Kill/restore continuity (VERDICT r2 ask #8): a run checkpointed at
