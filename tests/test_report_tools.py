@@ -122,6 +122,42 @@ def test_img_info_cli(tmp_path):
     assert pickle.load(open(tmp_path / "cnt.pk", "rb")) == 4
 
 
+def test_img_bbox_colors_and_upper_bound(tmp_path):
+    """create_img_bbox / all-color probe images / refcoco detection
+    upper-bound parity helpers (prompt_feat tools+other one-offs)."""
+    from cpt_tpu.tools.img_info import main
+    from cpt_tpu.utils.tsv import encode_feature
+
+    rows = [["im0", json.dumps({"objects": [
+        {"rect": [1, 2, 3, 4], "class": "dog", "conf": 0.9,
+         "feature": encode_feature(np.zeros(4, np.float32))},
+        {"rect": [0, 0, 10, 10], "class": "cat", "conf": 0.5,
+         "feature": encode_feature(np.zeros(4, np.float32))}]})]]
+    tsv_writer(rows, str(tmp_path / "p.tsv"))
+    main(["--bbox_from", str(tmp_path / "p.tsv")])
+    bb = pickle.load(open(tmp_path / "bbox.pk", "rb"))
+    assert bb["im0"].shape == (2, 4) and bb["im0"].dtype == np.float32
+    assert bb["im0"][0].tolist() == [1, 2, 3, 4]
+
+    main(["--all_color_imgs", str(tmp_path / "colors"),
+          "--color_step", "128"])
+    cb = pickle.load(open(tmp_path / "colors" / "bbox.pk", "rb"))
+    assert len(cb) == 8 and (tmp_path / "colors" / "0_0_128.jpg").exists()
+    assert cb["0_0_0.jpg"].tolist() == [[0, 0, 128, 128]]
+
+    anns = [{"file_name": "COCO_train2014_000000000042.jpg",
+             "bbox": [10, 10, 20, 20]},
+            {"file_name": "COCO_train2014_000000000007.jpg",
+             "bbox": [0, 0, 5, 5]}]
+    dets = {"42": [{"box": [11, 11, 20, 20]}, {"box": [100, 100, 5, 5]}],
+            "7": [{"box": [50, 50, 4, 4]}]}
+    json.dump(anns, open(tmp_path / "a.json", "w"))
+    json.dump(dets, open(tmp_path / "d.json", "w"))
+    from cpt_tpu.tools.img_info import refcoco_upper_bound
+    assert refcoco_upper_bound(str(tmp_path / "a.json"),
+                               str(tmp_path / "d.json")) == 0.5
+
+
 @pytest.mark.slow
 def test_detector_eval_cli(tmp_path, capsys):
     """test_detector synthetic mode: RPN-mode eval + VOC & COCO metrics +
