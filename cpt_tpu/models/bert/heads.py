@@ -338,9 +338,13 @@ class ImageBertForSequenceClassification(nn.Module):
 
 
 class ImageBertForMultipleChoice(nn.Module):
-    """NLVR2-style multiple choice (reference ``modeling_bert.py:357-…``):
-    flatten [B, num_choices, ...] → [B*nc, ...], classify pooled output, then
-    reshape scores to [B, num_choices]."""
+    """NLVR2-style multiple choice (reference ``modeling_bert.py:357-434``):
+    flatten [B, num_choices, ...] → [B*nc, ...], encode each choice, then
+    classify the CONCATENATION of the per-choice pooled outputs
+    ([B, nc·hidden] → num_labels) — the classifier sees both choices
+    jointly, exactly as the reference's ``reshaped_pool_output`` path.
+    ``classifier="mlp"`` is Linear→ReLU→(LayerNorm when
+    ``use_img_layernorm``)→Linear, matching the reference's variants."""
 
     config: BertConfig
     num_choices: int = 2
@@ -352,8 +356,13 @@ class ImageBertForMultipleChoice(nn.Module):
         if c.classifier == "mlp":
             self.cls_hidden = nn.Dense(c.hidden_size * c.cls_hidden_scale,
                                        name="cls_hidden", dtype=self.dtype)
+            self.cls_LayerNorm = (nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                               dtype=self.dtype,
+                                               name="cls_LayerNorm")
+                                  if c.use_img_layernorm else None)
         else:
             self.cls_hidden = None
+            self.cls_LayerNorm = None
         self.cls_out = nn.Dense(c.num_labels, name="cls_out", dtype=self.dtype)
 
     def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
@@ -363,10 +372,12 @@ class ImageBertForMultipleChoice(nn.Module):
         _, pooled = self.bert(flat(input_ids), flat(token_type_ids),
                               flat(attention_mask), img_feats=flat(img_feats),
                               deterministic=deterministic)
-        x = pooled
+        x = pooled.reshape(b, -1)               # [B, nc·hidden]
         if self.cls_hidden is not None:
             x = jax.nn.relu(self.cls_hidden(x))
-        logits = self.cls_out(x).reshape(b, -1)
+            if self.cls_LayerNorm is not None:
+                x = self.cls_LayerNorm(x)
+        logits = self.cls_out(x)                # [B, num_labels]
         if labels is None:
             return None, logits
         return cross_entropy_ignore_index(logits, labels), logits

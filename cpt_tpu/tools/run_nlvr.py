@@ -57,9 +57,9 @@ def main(argv=None):
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     if args.pair_mode == "pair":
-        # reference NLVR config: classifier over pooled pair, num_labels=2,
-        # num_choices=2, classifier output reshaped [B, nc * num_labels]
-        cfg = model_config(args, num_labels=1, classifier="mlp")
+        # reference NLVR recipe (run_nlvr.py use_pair path): num_choices=2,
+        # mlp classifier over the CONCATENATED pooled pair → 2 labels
+        cfg = model_config(args, num_labels=2, classifier="mlp")
         model = ImageBertForMultipleChoice(cfg, num_choices=2,
                                            dtype=dtype_of(args))
     else:

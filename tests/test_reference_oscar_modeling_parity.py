@@ -27,8 +27,9 @@ import pytorch_transformers_shim as shim
 
 from cpt_tpu.config.bert import tiny_bert_config
 from cpt_tpu.models.bert.heads import (BertImgForPreTraining,
+                                       ImageBertForMultipleChoice,
                                        ImageBertForSequenceClassification,
-                                       REC_MLM_CPT)
+                                       NSPCPT, NSPFT, REC_FT, REC_MLM_CPT)
 from cpt_tpu.models.bert.model import BertImgModel
 from cpt_tpu.utils import convert as cv
 
@@ -40,6 +41,8 @@ if OSCAR_ROOT not in sys.path:
 
 ref_mb = pytest.importorskip("oscar.modeling.modeling_bert")
 ref_rec = pytest.importorskip("oscar.modeling.modeling_rec")
+ref_vcr = pytest.importorskip("oscar.modeling.modeling_vcr")
+ref_gqa = pytest.importorskip("oscar.modeling.modeling_gqa")
 
 
 def _np(x):
@@ -189,6 +192,200 @@ def test_sequence_classification_parity(classifier):
         params["cls_out"] = {"kernel": cv._t(sd["classifier.weight"]),
                              "bias": sd["classifier.bias"]}
     ours = ImageBertForSequenceClassification(cfg)
+    loss_j, logits_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(tt),
+        jnp.asarray(mask), img_feats=jnp.asarray(feats),
+        labels=jnp.asarray(labels.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(logits_j), _np(logits_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_vcr_nspcpt_and_nspft_parity():
+    """Reference VCR NSPCPT (pretrained NSP head via its own
+    copy_from_pretraining_model) and NSPFT (fresh 2-way classifier) vs
+    our NSPCPT/NSPFT: scores and CE losses."""
+    cfg = tiny_bert_config(num_contrast_classes=2)
+    torch.manual_seed(4)
+    pre = ref_mb.BertImgForPreTraining(_ref_config(cfg))
+    nspcpt = ref_vcr.NSPCPT(_ref_config(cfg))
+    nspcpt.copy_from_pretraining_model(pre)
+    nspcpt.eval()
+    nspft = ref_vcr.NSPFT(_ref_config(cfg))
+    nspft.eval()
+
+    ids, tt, feats, mask = _inputs(cfg, seed=5)
+    labels = np.array([0, 1], np.int64)
+    kw = dict(token_type_ids=torch.tensor(tt, dtype=torch.long),
+              attention_mask=torch.tensor(mask, dtype=torch.long),
+              img_feats=torch.tensor(feats),
+              next_sentence_label=torch.tensor(labels))
+    with torch.no_grad():
+        loss_cpt_t, score_cpt_t = nspcpt(
+            torch.tensor(ids, dtype=torch.long), **kw)[:2]
+        loss_ft_t, score_ft_t = nspft(
+            torch.tensor(ids, dtype=torch.long), **kw)[:2]
+
+    params = cv.convert_bert_state_dict(
+        {k: _np(v) for k, v in pre.state_dict().items()}, cfg)
+    ours_cpt = NSPCPT(cfg)
+    loss_cpt_j, score_cpt_j = ours_cpt.apply(
+        {"params": {"bert": params["bert"], "nsp_head": params["nsp_head"]}},
+        jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(mask),
+        img_feats=jnp.asarray(feats),
+        next_sentence_label=jnp.asarray(labels.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(score_cpt_j), _np(score_cpt_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_cpt_j), float(loss_cpt_t),
+                               rtol=1e-5)
+
+    ft_sd = {k: _np(v) for k, v in nspft.state_dict().items()}
+    ft_params = cv.convert_bert_state_dict(ft_sd, cfg)
+    ft_params["classifier"] = {"dense": {
+        "kernel": cv._t(ft_sd["classifier.0.weight"]),
+        "bias": ft_sd["classifier.0.bias"]}}
+    ours_ft = NSPFT(cfg)
+    loss_ft_j, score_ft_j = ours_ft.apply(
+        {"params": {"bert": ft_params["bert"],
+                    "classifier": ft_params["classifier"]}},
+        jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(mask),
+        img_feats=jnp.asarray(feats),
+        next_sentence_label=jnp.asarray(labels.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(score_ft_j), _np(score_ft_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_ft_j), float(loss_ft_t), rtol=1e-5)
+
+
+def test_gqa_ft_parity():
+    """Reference modeling_gqa.FT (pooled linear over n_class answers) vs
+    our gqa --model_variant ft head (ImageBertForSequenceClassification
+    linear/xe)."""
+    n_class = 7
+    cfg = tiny_bert_config(num_labels=n_class, classifier="linear",
+                           loss_type="xe")
+    torch.manual_seed(5)
+    ref = ref_gqa.FT(_ref_config(cfg), n_class)
+    ref.eval()
+
+    ids, tt, feats, mask = _inputs(cfg, seed=6)
+    labels = np.array([2, 5], np.int64)
+    with torch.no_grad():
+        loss_t, logits_t = ref(
+            torch.tensor(ids, dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            img_feats=torch.tensor(feats),
+            next_sentence_label=torch.tensor(labels))[:2]
+
+    sd = {k: _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    params["cls_out"] = {"kernel": cv._t(sd["classifier.0.weight"]),
+                         "bias": sd["classifier.0.bias"]}
+    ours = ImageBertForSequenceClassification(cfg)
+    loss_j, logits_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(tt),
+        jnp.asarray(mask), img_feats=jnp.asarray(feats),
+        labels=jnp.asarray(labels.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(logits_j), _np(logits_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_rec_ft_parity():
+    """Reference REC_FT (per-box MLP scorer over image hiddens at text
+    offset 70, CE over candidates) vs our REC_FT."""
+    cfg = tiny_bert_config(max_position_embeddings=96, loss_type="cls")
+    torch.manual_seed(6)
+    ref = ref_rec.REC_FT(_ref_config(cfg))
+    ref.train()  # reference computes loss only in training mode (dropout=0)
+
+    B, T, R = 2, 70, 4
+    rng = np.random.RandomState(7)
+    ids = rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    tt = np.zeros((B, T), np.int32)
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    mask = np.ones((B, T + R), np.int32)
+    target = np.array([1, 3], np.int64)
+    labels_t = [torch.eye(R)[t] for t in target]
+
+    with torch.no_grad():
+        loss_t, logits_t, pred_t = ref(
+            torch.tensor(ids, dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            img_feats=torch.tensor(feats), labels=labels_t)
+
+    sd = {k: _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    params.update({
+        "cls_dense": {"kernel": cv._t(sd["classifier.0.weight"]),
+                      "bias": sd["classifier.0.bias"]},
+        "cls_LayerNorm": {"scale": sd["classifier.2.weight"],
+                          "bias": sd["classifier.2.bias"]},
+        "cls_out": {"kernel": cv._t(sd["classifier.3.weight"]),
+                    "bias": sd["classifier.3.bias"]},
+    })
+    ours = REC_FT(cfg, txt_seq_len=T)
+    loss_j, scores_j, pred_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(tt),
+        jnp.asarray(mask), img_feats=jnp.asarray(feats),
+        box_mask=jnp.ones((B, R), bool),
+        target_idx=jnp.asarray(target.astype(np.int32)))
+    ref_scores = np.stack([_np(s) for s in logits_t])
+    np.testing.assert_allclose(np.asarray(scores_j), ref_scores,
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    assert [int(p) for p in pred_j] == [int(p) for p in pred_t]
+
+
+@pytest.mark.parametrize("classifier,img_ln", [("linear", False),
+                                               ("mlp", False),
+                                               ("mlp", True)])
+def test_multiple_choice_parity(classifier, img_ln):
+    """Reference ImageBertForMultipleChoice (classifier over the
+    CONCATENATED per-choice pooled outputs) vs ours, all classifier
+    variants incl. the use_img_layernorm mlp."""
+    NC = 2
+    cfg = tiny_bert_config(num_labels=2, classifier=classifier,
+                           loss_type="xe", use_img_layernorm=img_ln)
+    torch.manual_seed(7)
+    ref = ref_mb.ImageBertForMultipleChoice(
+        _ref_config(cfg, num_choice=NC))
+    ref.eval()
+
+    B, T, R = 2, 7, 3
+    rng = np.random.RandomState(8)
+    ids = rng.randint(0, cfg.vocab_size, (B, NC, T)).astype(np.int32)
+    tt = np.zeros((B, NC, T), np.int32)
+    feats = rng.randn(B, NC, R, cfg.img_feature_dim).astype(np.float32)
+    mask = np.ones((B, NC, T + R), np.int32)
+    mask[0, 1, T + 1:] = 0
+    labels = np.array([0, 1], np.int64)
+
+    with torch.no_grad():
+        loss_t, logits_t = ref(
+            torch.tensor(ids.reshape(B, NC, T), dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            img_feats=torch.tensor(feats),
+            labels=torch.tensor(labels))[:2]
+
+    sd = {k: _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    if classifier == "mlp":
+        params["cls_hidden"] = {"kernel": cv._t(sd["classifier.0.weight"]),
+                                "bias": sd["classifier.0.bias"]}
+        if img_ln:
+            params["cls_LayerNorm"] = {"scale": sd["classifier.2.weight"],
+                                       "bias": sd["classifier.2.bias"]}
+            out_key = "classifier.3"
+        else:
+            out_key = "classifier.2"
+    else:
+        out_key = "classifier"
+    params["cls_out"] = {"kernel": cv._t(sd[out_key + ".weight"]),
+                         "bias": sd[out_key + ".bias"]}
+    ours = ImageBertForMultipleChoice(cfg, num_choices=NC)
     loss_j, logits_j = ours.apply(
         {"params": params}, jnp.asarray(ids), jnp.asarray(tt),
         jnp.asarray(mask), img_feats=jnp.asarray(feats),
