@@ -1,0 +1,213 @@
+"""Parity vs the REFERENCE's own BertForImageCaptioning, executed directly
+(`/root/reference/Oscar/oscar/modeling/modeling_bert.py:604-913` via
+``pytorch_transformers_shim``): the label-smoothed masked training loss,
+the inference logits, and a FULL GREEDY DECODE through the reference's
+``generate``/``_generate_no_beam_search``/``prepare_inputs_for_generation``
+machinery vs our fixed-canvas decoding loop (``engine/generation``).
+"""
+import os.path as op
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+
+sys.path.insert(0, op.dirname(op.abspath(__file__)))
+import pytorch_transformers_shim as shim
+
+from cpt_tpu.config.bert import tiny_bert_config
+from cpt_tpu.engine.generation import GenerationConfig, greedy_or_sample
+from cpt_tpu.models.bert.captioning import (BertForImageCaptioning,
+                                            caption_attention_mask)
+from cpt_tpu.utils import convert as cv
+
+OSCAR_ROOT = "/root/reference/Oscar"
+
+shim.install()
+if OSCAR_ROOT not in sys.path:
+    sys.path.insert(0, OSCAR_ROOT)
+
+ref_mb = pytest.importorskip("oscar.modeling.modeling_bert")
+
+BOS, EOS, MASK, PAD = 101, 102, 103, 0
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def _cfg(**kw):
+    return tiny_bert_config(max_position_embeddings=96, **kw)
+
+
+def _ref_config(cfg, **extra):
+    return shim.BertConfig(
+        vocab_size_or_config_json_file=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=cfg.layer_norm_eps,
+        img_feature_dim=cfg.img_feature_dim,
+        img_feature_type=cfg.img_feature_type,
+        use_img_layernorm=False, img_layer_norm_eps=cfg.img_layer_norm_eps,
+        tie_weights=True, freeze_embedding=False,
+        **extra)
+
+
+def _build(cfg, seed=0, **ref_extra):
+    torch.manual_seed(seed)
+    ref = ref_mb.BertForImageCaptioning(_ref_config(cfg, **ref_extra))
+    ref.eval()
+    # BertOnlyMLMHead keys are cls.predictions.* — the pretraining layout
+    sd = {k: _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    ours_params = {"bert": params["bert"], "mlm_head": params["mlm_head"]}
+    return ref, ours_params
+
+
+def _canvas(cfg, B=2, La=8, R=3, seed=1):
+    """Caption-only canvas (no od labels): [La text][R img]."""
+    rng = np.random.RandomState(seed)
+    S = La + R
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    mask = np.stack([caption_attention_mask(La, 0, R, La, 0, R)
+                     for _ in range(B)])
+    tt = np.zeros((B, La), np.int32)
+    return feats, mask, tt, S
+
+
+@pytest.mark.parametrize("drop_worst", [0.0, 0.25])
+def test_caption_training_loss_parity(drop_worst):
+    """Reference encode_forward(is_training=True) + BertCaptioningLoss vs
+    our masked forward + smoothed_caption_loss."""
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=0, label_smoothing=0.1,
+                         drop_worst_ratio=drop_worst, drop_worst_after=0)
+    B, La, R, M = 2, 8, 3, 2
+    feats, mask, tt, S = _canvas(cfg)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(4, cfg.vocab_size, (B, La)).astype(np.int32)
+    ids[:, 0] = BOS
+    masked_pos_idx = np.array([[2, 5], [3, 6]], np.int32)
+    masked_ids = rng.randint(4, cfg.vocab_size, (B, M)).astype(np.int64)
+    indicator = np.zeros((B, La), np.int64)
+    for b in range(B):
+        indicator[b, masked_pos_idx[b]] = 1
+
+    # the reference loss keeps drop-worst INACTIVE until iter >
+    # drop_worst_after; its counter starts at 0 and increments before the
+    # check, so the first call is always undropped — advance it once
+    if drop_worst > 0:
+        ref.loss.iter = 1
+
+    with torch.no_grad():
+        loss_t, logits_t = ref.encode_forward(
+            torch.tensor(ids, dtype=torch.long), torch.tensor(feats),
+            torch.tensor(mask, dtype=torch.long),
+            torch.tensor(indicator),
+            masked_ids=torch.tensor(masked_ids),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            is_training=True)[:2]
+
+    ours = BertForImageCaptioning(cfg)
+    loss_j, logits_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(tt), img_feats=jnp.asarray(feats),
+        masked_pos=jnp.asarray(masked_pos_idx),
+        masked_ids=jnp.asarray(masked_ids.astype(np.int32)),
+        label_smoothing=0.1, drop_worst_ratio=drop_worst)
+    np.testing.assert_allclose(np.asarray(logits_j).reshape(-1,
+                                                            cfg.vocab_size),
+                               _np(logits_t), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_caption_inference_logits_parity():
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=1)
+    B, La, R = 2, 8, 3
+    feats, mask, tt, S = _canvas(cfg, seed=4)
+    rng = np.random.RandomState(5)
+    ids = rng.randint(4, cfg.vocab_size, (B, La)).astype(np.int32)
+
+    with torch.no_grad():
+        (logits_t,) = ref.encode_forward(
+            torch.tensor(ids, dtype=torch.long), torch.tensor(feats),
+            torch.tensor(mask, dtype=torch.long),
+            torch.tensor(np.ones((B, La), np.int64)),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            is_training=False)[:1]
+
+    ours = BertForImageCaptioning(cfg)
+    _, logits_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(tt), img_feats=jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(logits_j)[:, :La], _np(logits_t),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_caption_greedy_decode_parity():
+    """Full greedy decode: the reference's generate() (no-past recompute
+    mode, its real prepare_inputs_for_generation slicing) must produce the
+    same token sequences as our fixed-canvas scan decoder."""
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=2)
+    B, La, R = 3, 10, 3
+    rng = np.random.RandomState(6)
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    full_mask = np.stack([caption_attention_mask(La, 0, R, La, 0, R)
+                          for _ in range(B)])
+    tt = np.zeros((B, La), np.int64)
+
+    with torch.no_grad():
+        out_ids, out_logprobs = ref.generate(
+            torch.tensor(feats),
+            torch.tensor(full_mask, dtype=torch.long),
+            torch.tensor(np.ones((B, La), np.int64)),   # masked_pos
+            token_type_ids=torch.tensor(tt),
+            input_ids=torch.zeros((B, La), dtype=torch.long),
+            max_length=La, do_sample=False, num_beams=1,
+            temperature=1.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+            bos_token_id=BOS, pad_token_id=PAD, eos_token_ids=[EOS],
+            mask_token_id=MASK, length_penalty=1.0,
+            num_return_sequences=1, num_keep_best=1, is_decode=True,
+            od_labels_start_posid=La)
+
+    gen_cfg = GenerationConfig(max_seq_a_len=La, bos_token_id=BOS,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               mask_token_id=MASK)
+    ours = BertForImageCaptioning(cfg)
+    tokens, scores = greedy_or_sample(
+        ours, {"params": params}, gen_cfg, jnp.asarray(tt.astype(np.int32)),
+        jnp.asarray(full_mask), jnp.asarray(feats))
+
+    ref_rows = _np(out_ids[:, 0])            # [B, La] incl. BOS
+    our_rows = np.asarray(tokens)
+    for b in range(B):
+        ref_seq = ref_rows[b].tolist()
+        our_seq = our_rows[b].tolist()       # [BOS, t1, t2, ...]
+        n_steps = None
+        for i, t in enumerate(ref_seq):
+            if t == EOS and i == len(ref_seq) - 1 and our_seq[i] != EOS:
+                # reference force-writes EOS into the last slot when the
+                # length budget runs out (modeling_utils.py: cur_len ==
+                # max_length branch); the greedy token itself still matches
+                n_steps = i
+                break
+            assert our_seq[i] == t, (b, i, ref_seq, our_seq)
+            if t == EOS:
+                n_steps = i
+                break
+        if n_steps is None:
+            n_steps = len(ref_seq) - 1
+        # reference returns MEAN logprob over the generated tokens; ours
+        # is the SUM over the same steps (the forced-EOS slot keeps the
+        # pre-replacement token's logprob on both sides)
+        np.testing.assert_allclose(float(np.asarray(scores)[b]),
+                                   float(_np(out_logprobs[:, 0])[b])
+                                   * n_steps, rtol=1e-4, atol=1e-5)
