@@ -136,8 +136,21 @@ def greedy_or_sample(model, params, cfg: GenerationConfig, segment_ids,
 def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
                 img_feats) -> Tuple[Array, Array]:
     """→ (tokens [B, num_keep_best, La], scores [B, num_keep_best]) with
-    length-penalty-normalized log-prob scores."""
+    length-penalty-normalized log-prob scores.
+
+    Reference-exact semantics (``Oscar/oscar/modeling/modeling_utils.py``
+    ``_generate_beam_search`` + ``BeamHypotheses``), restructured for
+    static shapes: each step takes the top ``2K`` candidates in sorted
+    order; EOS candidates encountered before the K-th live continuation
+    are banked as hypotheses (score ``sum_logprobs / cur_len**penalty``
+    over the prefix WITHOUT the EOS, whose logprob IS in the sum); the
+    first K non-EOS candidates become the live beams. On the final step
+    every candidate is banked. A batch row is done once the bank holds
+    ``num_keep_best`` hypotheses none of the live paths can beat
+    (``worst >= best / (La-1)**penalty``). Output hypotheses get EOS
+    appended, exactly as the reference's decode step writes it."""
     k = cfg.num_beams
+    nb = min(cfg.num_keep_best, 2 * k)
     step_fn = make_step_logits_fn(model, cfg)
     b = segment_ids.shape[0]
     la = cfg.max_seq_a_len
@@ -146,50 +159,89 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
         return jnp.repeat(x, k, axis=0)
 
     seg_e, attn_e, img_e = expand(segment_ids), expand(attn), expand(img_feats)
-    tokens0 = jnp.full((b * k, la), cfg.pad_token_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(cfg.bos_token_id)
+    tokens0 = jnp.full((b, k, la), cfg.pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(cfg.bos_token_id)
     # first beam active, others start at -inf so step 1 fans out
-    beam_scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (k - 1)), (b,))
+    scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (k - 1)), (b, 1))
+    max_norm_len = float(la - 1) ** cfg.length_penalty
 
     @jax.jit
     def run(params, seg_e, attn_e, img_e):
         def body(carry, step):
-            tokens, beam_scores, finished = carry
-            logits = step_fn(params, tokens, step, seg_e, attn_e, img_e)
-            logits = _apply_repetition_penalty(logits, tokens,
-                                               cfg.repetition_penalty)
+            live_tok, live_sc, bank_tok, bank_sc, bank_len, done = carry
+            logits = step_fn(params, live_tok.reshape(b * k, la), step,
+                             seg_e, attn_e, img_e)
+            logits = _apply_repetition_penalty(
+                logits, live_tok.reshape(b * k, la), cfg.repetition_penalty)
             logp = jax.nn.log_softmax(logits, axis=-1)        # [B*K, V]
             vocab = logp.shape[-1]
-            # finished beams only extend with PAD at zero cost
-            pad_only = jnp.full((vocab,), NEG).at[cfg.pad_token_id].set(0.0)
-            logp = jnp.where(finished[:, None], pad_only[None], logp)
-            cand = beam_scores[:, None] + logp                # [B*K, V]
-            cand = cand.reshape(b, k * vocab)
-            top_scores, top_idx = jax.lax.top_k(cand, k)      # [B, K]
-            src_beam = top_idx // vocab                        # [B, K]
-            tok = (top_idx % vocab).astype(jnp.int32)
-            flat_src = (src_beam + jnp.arange(b)[:, None] * k).reshape(-1)
-            tokens = tokens[flat_src]
-            finished = finished[flat_src]
-            tok_flat = tok.reshape(-1)
-            tok_flat = jnp.where(finished, cfg.pad_token_id, tok_flat)
-            tokens = tokens.at[:, step].set(tok_flat)
-            finished = finished | (tok_flat == cfg.eos_token_id)
-            return (tokens, top_scores.reshape(-1), finished), ()
+            cand = (live_sc.reshape(-1)[:, None] + logp).reshape(b, k * vocab)
+            top_sc, top_idx = jax.lax.top_k(cand, 2 * k)      # sorted desc
+            src = top_idx // vocab                             # [B, 2K]
+            word = (top_idx % vocab).astype(jnp.int32)
+            is_last = step == la - 1
 
-        init = (tokens0, beam_scores0, jnp.zeros((b * k,), bool))
-        (tokens, scores, finished), _ = jax.lax.scan(
+            # done BEFORE processing, using this step's best candidate
+            # (BeamHypotheses.is_done, early_stopping=False)
+            bank_full = bank_sc[:, nb - 1] > NEG / 2
+            new_done = done | (bank_full
+                               & (bank_sc[:, nb - 1]
+                                  >= top_sc[:, 0] / max_norm_len))
+
+            eos_cand = (word == cfg.eos_token_id) | is_last
+            noneos = ~eos_cand
+            nrank = jnp.cumsum(noneos, axis=1)                # 1-indexed
+            # index of the K-th non-EOS candidate (the loop breaks there)
+            kth = jnp.argmax((nrank == k) & noneos, axis=1)
+            pos = jnp.arange(2 * k)[None, :]
+            banked = eos_cand & jnp.where(is_last, True, pos < kth[:, None])
+            banked = banked & ~new_done[:, None]
+
+            # bank merge: normalized score over the prefix (length = step
+            # tokens incl. BOS, excl. the EOS being added)
+            norm = top_sc / (step.astype(jnp.float32) ** cfg.length_penalty)
+            cand_sc = jnp.where(banked, norm, NEG)
+            prefix = jnp.take_along_axis(live_tok, src[..., None], axis=1)
+            merged_sc = jnp.concatenate([bank_sc, cand_sc], axis=1)
+            merged_tok = jnp.concatenate([bank_tok, prefix], axis=1)
+            merged_len = jnp.concatenate(
+                [bank_len, jnp.full((b, 2 * k), step, jnp.int32)], axis=1)
+            bank_sc, keep = jax.lax.top_k(merged_sc, nb)      # old-first ties
+            bank_tok = jnp.take_along_axis(merged_tok, keep[..., None],
+                                           axis=1)
+            bank_len = jnp.take_along_axis(merged_len, keep, axis=1)
+
+            # live update: first K non-EOS candidates in sorted order
+            order = jnp.argsort(jnp.where(noneos, pos, 2 * k + pos), axis=1)
+            chosen = order[:, :k]                              # [B, K]
+            new_sc = jnp.take_along_axis(top_sc, chosen, axis=1)
+            new_src = jnp.take_along_axis(src, chosen, axis=1)
+            new_word = jnp.take_along_axis(word, chosen, axis=1)
+            new_tok = jnp.take_along_axis(live_tok, new_src[..., None],
+                                          axis=1)
+            new_tok = new_tok.at[:, :, step].set(new_word)
+            keep_old = new_done[:, None] | is_last
+            live_tok = jnp.where(keep_old[..., None], live_tok, new_tok)
+            live_sc = jnp.where(keep_old, live_sc, new_sc)
+            return (live_tok, live_sc, bank_tok, bank_sc, bank_len,
+                    new_done), ()
+
+        bank_tok0 = jnp.full((b, nb, la), cfg.pad_token_id, jnp.int32)
+        bank_sc0 = jnp.full((b, nb), NEG)
+        bank_len0 = jnp.ones((b, nb), jnp.int32)
+        init = (tokens0, scores0, bank_tok0, bank_sc0, bank_len0,
+                jnp.zeros((b,), bool))
+        (_, _, bank_tok, bank_sc, bank_len, _), _ = jax.lax.scan(
             body, init, jnp.arange(1, la))
-        # length-penalty normalization over generated length
-        lengths = jnp.sum(tokens != cfg.pad_token_id, axis=1)
-        norm = scores / (lengths.astype(jnp.float32) ** cfg.length_penalty)
-        return tokens.reshape(b, k, la), norm.reshape(b, k)
+        # append EOS at the end of each hypothesis (reference decode step)
+        eos_onehot = jax.nn.one_hot(bank_len, la, dtype=jnp.int32)
+        in_prefix = jnp.arange(la)[None, None, :] < bank_len[..., None]
+        bank_tok = (jnp.where(in_prefix, bank_tok, cfg.pad_token_id)
+                    + eos_onehot * cfg.eos_token_id)
+        return bank_tok, bank_sc
 
-    tokens, norm = run(params, seg_e, attn_e, img_e)
-    nb = min(cfg.num_keep_best, k)
-    best_scores, best_idx = jax.lax.top_k(norm, nb)
-    best_tokens = jnp.take_along_axis(tokens, best_idx[..., None], axis=1)
-    return best_tokens, best_scores
+    tokens, scores = run(params, seg_e, attn_e, img_e)
+    return tokens[:, :cfg.num_keep_best], scores[:, :cfg.num_keep_best]
 
 
 def decode_caption(tokenizer, token_row: np.ndarray, cfg: GenerationConfig

@@ -211,3 +211,59 @@ def test_caption_greedy_decode_parity():
         np.testing.assert_allclose(float(np.asarray(scores)[b]),
                                    float(_np(out_logprobs[:, 0])[b])
                                    * n_steps, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_beams,num_keep_best,length_penalty",
+                         [(2, 1, 1.0), (3, 2, 0.6)])
+def test_caption_beam_decode_parity(num_beams, num_keep_best,
+                                    length_penalty):
+    """Full beam decode: the reference's _generate_beam_search +
+    BeamHypotheses (hypothesis bank, 2K-candidate fan-out, length-penalty
+    normalization, EOS appended at decode) vs our static-shape scan beam
+    search — identical hypothesis token rows and normalized scores."""
+    from cpt_tpu.engine.generation import beam_search
+
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=3)
+    B, La, R = 2, 9, 3
+    rng = np.random.RandomState(9)
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    full_mask = np.stack([caption_attention_mask(La, 0, R, La, 0, R)
+                          for _ in range(B)])
+    tt = np.zeros((B, La), np.int64)
+
+    with torch.no_grad():
+        out_ids, out_logprobs = ref.generate(
+            torch.tensor(feats),
+            torch.tensor(full_mask, dtype=torch.long),
+            torch.tensor(np.ones((B, La), np.int64)),
+            token_type_ids=torch.tensor(tt),
+            input_ids=torch.zeros((B, La), dtype=torch.long),
+            max_length=La, do_sample=False, num_beams=num_beams,
+            temperature=1.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+            bos_token_id=BOS, pad_token_id=PAD, eos_token_ids=[EOS],
+            mask_token_id=MASK, length_penalty=length_penalty,
+            num_return_sequences=1, num_keep_best=num_keep_best,
+            is_decode=True, od_labels_start_posid=La)
+
+    gen_cfg = GenerationConfig(max_seq_a_len=La, bos_token_id=BOS,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               mask_token_id=MASK, num_beams=num_beams,
+                               num_keep_best=num_keep_best,
+                               length_penalty=length_penalty)
+    ours = BertForImageCaptioning(cfg)
+    tokens, scores = beam_search(
+        ours, {"params": params}, gen_cfg, jnp.asarray(tt.astype(np.int32)),
+        jnp.asarray(full_mask), jnp.asarray(feats))
+
+    ref_ids = _np(out_ids)                  # [B, nb, La]
+    ref_lp = _np(out_logprobs)              # [B, nb]
+    our_ids = np.asarray(tokens)
+    our_sc = np.asarray(scores)
+    assert our_ids.shape == ref_ids.shape
+    for b in range(B):
+        for h in range(num_keep_best):
+            assert our_ids[b, h].tolist() == ref_ids[b, h].tolist(), (
+                b, h, ref_ids[b], our_ids[b])
+            np.testing.assert_allclose(our_sc[b, h], ref_lp[b, h],
+                                       rtol=1e-4, atol=1e-5)
