@@ -334,7 +334,8 @@ def main(argv=None):
                 bos_id=gen_cfg.bos_token_id, eos_id=gen_cfg.eos_token_id,
                 pad_id=gen_cfg.pad_token_id,
                 min_constraints=min(args.min_constraints_to_satisfy,
-                                    len(constraints)))
+                                    len(constraints)),
+                num_group_states=1 << len(constraints))
             text = decode_caption(tokenizer, np.asarray(toks), gen_cfg)
         elif args.num_beams > 1 and not args.do_sample:
             toks, scores = beam_search(model, params, gen_cfg, *ctx)

@@ -92,12 +92,17 @@ def constrained_beam_search(step_logits_fn, params, context, *,
                             beams_per_state: int, max_len: int,
                             bos_id: int, eos_id: int, pad_id: int,
                             min_constraints: int,
-                            length_penalty: float = 1.0):
+                            length_penalty: float = 1.0,
+                            num_group_states: int = 0):
     """Single-image CBS.
 
     step_logits_fn(params, tokens [N, L], step, *context) → [N, V].
     Returns (tokens [La], score) of the best beam among states with
     ``num_satisfied ≥ min_constraints`` (falls back to the global best).
+    ``num_group_states`` > 0 restricts selection to the group
+    (satisfaction-subset) states, excluding mid-phrase chain states —
+    the reference's ``select_best_beam_with_constraints`` considers only
+    ``range(2**num_constraints)`` (``cbs.py:414-419``).
     """
     s = transitions.shape[0]
     k = beams_per_state
@@ -146,9 +151,16 @@ def constrained_beam_search(step_logits_fn, params, context, *,
     (tokens, scores, state_of, _fin), _ = jax.lax.scan(
         body, init, jnp.arange(1, max_len))
 
-    lengths = jnp.sum(tokens != pad_id, axis=1).astype(jnp.float32)
-    norm = scores / (lengths ** length_penalty)
+    # reference normalization (cbs.py::select_best_beam_with_constraints):
+    # score / (count of non-EOS generated tokens + 1) — BOS and the EOS
+    # itself excluded from the count
+    has_eos = jnp.any(tokens == eos_id, axis=1)
+    n_real = (jnp.sum(tokens != pad_id, axis=1) - 1
+              - has_eos.astype(jnp.int32)).astype(jnp.float32)
+    norm = scores / ((n_real + 1.0) ** length_penalty)
     ok = nsat[state_of] >= min_constraints
+    if num_group_states > 0:
+        ok = ok & (state_of < num_group_states)
     sat_norm = jnp.where(ok, norm, NEG)
     best_sat = jnp.argmax(sat_norm)
     best_any = jnp.argmax(norm)

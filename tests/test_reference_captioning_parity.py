@@ -267,3 +267,78 @@ def test_caption_beam_decode_parity(num_beams, num_keep_best,
                 b, h, ref_ids[b], our_ids[b])
             np.testing.assert_allclose(our_sc[b, h], ref_lp[b, h],
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_caption_cbs_decode_parity():
+    """Constrained beam search: the reference's generate(use_cbs=True) —
+    its vendored updown ConstrainedBeamSearch over an FSM adjacency +
+    select_best_beam_with_constraints — vs our dense-FSM scan CBS.
+    Same winning token row and normalized score."""
+    from cpt_tpu.engine.generation import make_step_logits_fn
+    from cpt_tpu.utils.cbs import build_fsm, constrained_beam_search
+
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=5)
+    La, R, K = 9, 3, 3
+    constraints = [[7], [11, 13]]          # single token + 2-token phrase
+    trans, nsat = build_fsm(constraints, cfg.vocab_size)
+    S, V = trans.shape
+    adj = np.zeros((1, S, S, V), np.int64)
+    adj[0, np.arange(S)[:, None], trans, np.arange(V)[None, :]] = 1
+
+    ours = BertForImageCaptioning(cfg)
+    gen_cfg = GenerationConfig(max_seq_a_len=La, bos_token_id=BOS,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               mask_token_id=MASK, num_beams=K)
+    base_step = make_step_logits_fn(ours, gen_cfg)
+
+    for img_seed in (10, 11):
+        rng = np.random.RandomState(img_seed)
+        feats = rng.randn(1, R, cfg.img_feature_dim).astype(np.float32)
+        full_mask = caption_attention_mask(La, 0, R, La, 0, R)[None]
+        tt = np.zeros((1, La), np.int64)
+
+        with torch.no_grad():
+            out_ids, out_lp = ref.generate(
+                torch.tensor(feats),
+                torch.tensor(full_mask, dtype=torch.long),
+                torch.tensor(np.ones((1, La), np.int64)),
+                token_type_ids=torch.tensor(tt),
+                input_ids=torch.zeros((1, La), dtype=torch.long),
+                max_length=La, do_sample=False, num_beams=K,
+                temperature=1.0, top_k=0, top_p=1.0,
+                repetition_penalty=1.0, bos_token_id=BOS, pad_token_id=PAD,
+                eos_token_ids=[EOS], mask_token_id=MASK, length_penalty=1.0,
+                num_return_sequences=1, num_keep_best=1, is_decode=True,
+                od_labels_start_posid=La, use_cbs=True,
+                fsm=torch.tensor(adj),
+                num_constraints=torch.tensor([len(constraints)]),
+                min_constraints_to_satisfy=2)
+
+        def step_fn(params, tokens, step, segs, attn, f,
+                    _bs=base_step):
+            n = tokens.shape[0]
+            return _bs(params, tokens, step, jnp.repeat(segs, n, 0),
+                       jnp.repeat(attn, n, 0), jnp.repeat(f, n, 0))
+
+        ctx = (jnp.asarray(tt.astype(np.int32)), jnp.asarray(full_mask),
+               jnp.asarray(feats))
+        toks, score = constrained_beam_search(
+            step_fn, {"params": params}, ctx, transitions=trans,
+            num_satisfied=nsat, beams_per_state=K, max_len=La,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD, min_constraints=2,
+            num_group_states=1 << len(constraints))
+
+        ref_row = _np(out_ids[0, 0]).tolist()   # generated tokens, EOS-pad
+        our_row = np.asarray(toks).tolist()     # BOS + generated + EOS/PAD
+        assert our_row[0] == BOS
+        for i, t in enumerate(ref_row):
+            if 1 + i >= len(our_row):
+                # reference pads the canvas tail with artificial EOS
+                assert t == EOS, (img_seed, i, ref_row, our_row)
+                break
+            assert our_row[1 + i] == t, (img_seed, i, ref_row, our_row)
+            if t == EOS:
+                break
+        np.testing.assert_allclose(float(score), float(_np(out_lp[0, 0])),
+                                   rtol=1e-4, atol=1e-5)
