@@ -14,8 +14,12 @@ protocol in pure Python:
   Rouge defaults), max over references.
 * **CIDEr** — ``utils.cider.CiderD`` corpus score (same algorithm family
   the reference vendors under ``oscar/utils/cider/``).
-* **SPICE** — NOT implemented (descoped; requires a dependency-parsed
-  scene-graph pipeline + Java toolchain; documented in PARITY.md).
+* **SPICE** — the exact Java pipeline is NOT implemented (descoped;
+  requires the Stanford scene-graph parser + JVM; documented in
+  PARITY.md). An explicitly-approximate pure-Python stand-in,
+  ``utils/spice_lite.py``, is available opt-in: pass
+  ``spice_lite=True`` to get a ``SPICE_lite`` key (tuple-F1 over a
+  rule-parsed scene graph; numbers NOT comparable to Java SPICE).
 
 Tokenization: ``utils.ptb_tokenizer.ptb_tokenize`` — pure-Python PTB
 parity with the Stanford jar pipeline the reference shells out to
@@ -123,10 +127,12 @@ def load_res_tsv(res_file: str) -> Dict[str, List[str]]:
 
 
 def evaluate_on_coco_caption(res_file: str, label_file: str,
-                             outfile: str = None) -> Dict[str, float]:
+                             outfile: str = None,
+                             spice_lite: bool = False) -> Dict[str, float]:
     """Reference-compatible entry (``caption_evaluate.py:59``): TSV
     predictions + COCO gt json → metric dict (written to ``outfile`` when
-    given)."""
+    given). ``spice_lite=True`` adds the approximate ``SPICE_lite``
+    tuple-F1 (see ``utils/spice_lite.py`` — not Java-SPICE-comparable)."""
     hyps = load_res_tsv(res_file)
     refs = load_coco_labels(label_file)
     common = [k for k in hyps if k in refs]
@@ -141,6 +147,12 @@ def evaluate_on_coco_caption(res_file: str, label_file: str,
     cider = CiderD(sub_refs).corpus_score(hyps)
     result = {f"Bleu_{i + 1}": bleu[i] for i in range(4)}
     result.update({"METEOR": met, "ROUGE_L": rouge, "CIDEr": cider})
+    if spice_lite:
+        from cpt_tpu.utils.spice_lite import spice_lite_corpus
+
+        result["SPICE_lite"] = spice_lite_corpus(
+            {k: " ".join(h) for k, h in hyps.items()},
+            {k: [" ".join(r) for r in sub_refs[k]] for k in hyps})
     if outfile:
         with open(outfile, "w") as fp:
             json.dump(result, fp, indent=4)

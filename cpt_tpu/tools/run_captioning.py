@@ -95,6 +95,10 @@ def build_args():
                         "mid-run; per-step seeded streams make the "
                         "continued run exact")
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--spice_lite", action="store_true",
+                   help="add the approximate SPICE_lite tuple-F1 to eval "
+                        "metrics (utils/spice_lite.py; NOT comparable to "
+                        "Java SPICE)")
     p.add_argument("--use_cbs", action="store_true",
                    help="constrained beam search: constraints = each "
                         "image's top od-label words (reference cbs.py)")
@@ -369,6 +373,12 @@ def main(argv=None):
     }
     bleu = corpus_bleu(hyps, {k: refs[k] for k in hyps})
     metrics.update({f"Bleu_{i + 1}": bleu[i] for i in range(4)})
+    if args.spice_lite:
+        from cpt_tpu.utils.spice_lite import spice_lite_corpus
+
+        metrics["SPICE_lite"] = spice_lite_corpus(
+            {k: " ".join(h) for k, h in hyps.items()},
+            {k: [" ".join(r) for r in refs[k]] for k in hyps})
     print(" ".join(f"{k}={v:.3f}" for k, v in sorted(metrics.items())))
     if args.output:
         pickle.dump({"cider": cider, "metrics": metrics,

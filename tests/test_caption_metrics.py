@@ -173,3 +173,60 @@ def test_ptb_tokenizer_numbers_and_idempotence():
     # idempotence: re-tokenizing the joined output is stable
     toks = ptb_tokenize("Two dogs, running fast!")
     assert ptb_tokenize(" ".join(toks)) == toks
+
+
+class TestSpiceLite:
+    """utils/spice_lite.py — the approximate SPICE stand-in (the exact
+    metric is Java/Stanford-parser-bound; see module docstring)."""
+
+    def test_parse_objects_attributes_relations(self):
+        from cpt_tpu.utils.spice_lite import parse_tuples
+
+        t = parse_tuples("a young girl is sitting on a wooden bench")
+        assert ("girl",) in t and ("bench",) in t
+        assert ("girl", "young") in t and ("bench", "wooden") in t
+        assert ("girl", "sit_on", "bench") in t
+
+    def test_cross_form_normalization(self):
+        from cpt_tpu.utils.spice_lite import parse_tuples
+
+        a = parse_tuples("two girls sit on a bench")
+        b = parse_tuples("a girl sitting on the bench")
+        assert ("girl", "sit_on", "bench") in a
+        assert ("girl", "sit_on", "bench") in b
+        assert ("girl",) in a  # plural lemmatized
+
+    def test_scores(self):
+        from cpt_tpu.utils.spice_lite import (spice_lite_corpus,
+                                              spice_lite_score)
+
+        assert spice_lite_score("a blue car", ["a blue car"])["f"] == 1.0
+        assert spice_lite_score("qqq", ["a blue car"])["f"] == 0.0
+        mid = spice_lite_score("a red car", ["a blue car parked here"])
+        assert 0.0 < mid["f"] < 1.0
+        corpus = spice_lite_corpus(
+            {"im0": "a blue car", "im1": "a dog"},
+            {"im0": ["a blue car"], "im1": ["a red cat"]})
+        assert corpus == 0.5  # (1.0 + 0.0) / 2
+
+    def test_eval_surface_opt_in(self, tmp_path):
+        import json
+
+        from cpt_tpu.engine.caption_eval import evaluate_on_coco_caption
+
+        rows = [["1", json.dumps([{"caption": "a blue car",
+                                   "conf": 1.0}])]]
+        with open(tmp_path / "res.tsv", "w") as f:
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+        gt = {"images": [{"id": 1}],
+              "annotations": [{"image_id": 1, "id": 10,
+                               "caption": "a blue car"}]}
+        json.dump(gt, open(tmp_path / "gt.json", "w"))
+        out = evaluate_on_coco_caption(str(tmp_path / "res.tsv"),
+                                       str(tmp_path / "gt.json"),
+                                       spice_lite=True)
+        assert out["SPICE_lite"] == 1.0
+        base = evaluate_on_coco_caption(str(tmp_path / "res.tsv"),
+                                        str(tmp_path / "gt.json"))
+        assert "SPICE_lite" not in base and "SPICE" not in base
