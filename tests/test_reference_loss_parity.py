@@ -1,0 +1,126 @@
+"""Detector TRAINING-LOSS parity vs the reference's own loss computations,
+executed directly (``maskrcnn_benchmark/modeling/rpn/loss.py``,
+``roi_heads/box_head/loss.py`` under ``reference_stubs``).
+
+Sampling is made deterministic by keeping every eligible anchor/proposal
+(counts below the sampler's caps): ``torch.randperm`` then only permutes a
+set whose loss contribution is permutation-invariant, so the comparison is
+exact rather than stochastic.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+import reference_stubs
+
+reference_stubs.install()
+
+from maskrcnn_benchmark.modeling.balanced_positive_negative_sampler import (  # noqa: E402
+    BalancedPositiveNegativeSampler)
+from maskrcnn_benchmark.modeling.box_coder import BoxCoder  # noqa: E402
+from maskrcnn_benchmark.modeling.matcher import Matcher  # noqa: E402
+from maskrcnn_benchmark.modeling.roi_heads.box_head.loss import (  # noqa: E402
+    FastRCNNLossComputation)
+from maskrcnn_benchmark.modeling.rpn.loss import (  # noqa: E402
+    RPNLossComputation, generate_rpn_labels)
+from maskrcnn_benchmark.structures.bounding_box import BoxList  # noqa: E402
+
+from cpt_tpu.models.detector.losses import (fast_rcnn_loss, rpn_loss,  # noqa: E402
+                                            subsample_proposals)
+
+
+def _rand_boxes(rng, n, size=100.0):
+    x1 = rng.uniform(0, size - 20, (n,))
+    y1 = rng.uniform(0, size - 20, (n,))
+    w = rng.uniform(5, 20, (n,))
+    h = rng.uniform(5, 20, (n,))
+    return np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32)
+
+
+def test_rpn_loss_matches_reference():
+    """RPN objectness BCE + smooth-L1(β=1/9): matcher with low-quality
+    forcing, visibility discard, all-kept sampling."""
+    rng = np.random.RandomState(0)
+    A, G = 14, 3
+    anchors = _rand_boxes(rng, A)
+    gt = _rand_boxes(rng, G)
+    # overlap some anchors with gt so positives exist
+    anchors[:G] = gt + rng.uniform(-2, 2, (G, 4)).astype(np.float32)
+    objectness = rng.randn(A).astype(np.float32)
+    deltas = rng.randn(A, 4).astype(np.float32)
+    visibility = np.ones(A, bool)
+    visibility[A - 2] = False
+
+    anchor_bl = BoxList(torch.tensor(anchors), (100, 100), mode="xyxy")
+    anchor_bl.add_field("visibility", torch.tensor(visibility))
+    target_bl = BoxList(torch.tensor(gt), (100, 100), mode="xyxy")
+
+    evaluator = RPNLossComputation(
+        Matcher(0.7, 0.3, allow_low_quality_matches=True),
+        BalancedPositiveNegativeSampler(256, 0.5),
+        BoxCoder(weights=(1.0, 1.0, 1.0, 1.0)),
+        generate_rpn_labels)
+    obj_t, box_t = evaluator(
+        [[anchor_bl]],
+        [torch.tensor(objectness).reshape(1, A, 1, 1)],
+        [torch.tensor(deltas.reshape(-1)).reshape(1, A * 4, 1, 1)],
+        [target_bl])
+
+    obj_j, box_j = rpn_loss(
+        jnp.asarray(objectness), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(gt), jnp.ones((G,), bool), jax.random.PRNGKey(0),
+        fg_iou=0.7, bg_iou=0.3, batch_size_per_image=256,
+        positive_fraction=0.5, anchor_visible=jnp.asarray(visibility))
+    np.testing.assert_allclose(float(obj_j), float(obj_t), rtol=1e-5)
+    np.testing.assert_allclose(float(box_j), float(box_t), rtol=1e-5)
+
+
+def test_fast_rcnn_loss_matches_reference():
+    """Box-head CE + per-class smooth-L1(β=1) normalized by sampled count,
+    through the reference's subsample + __call__."""
+    rng = np.random.RandomState(1)
+    P, G, C = 16, 3, 5
+    proposals = _rand_boxes(rng, P)
+    gt = _rand_boxes(rng, G)
+    proposals[:G] = gt + rng.uniform(-1, 1, (G, 4)).astype(np.float32)
+    gt_labels = rng.randint(1, C, (G,))
+    class_logits = rng.randn(P, C).astype(np.float32)
+    box_reg = rng.randn(P, C * 4).astype(np.float32)
+
+    prop_bl = BoxList(torch.tensor(proposals), (100, 100), mode="xyxy")
+    target_bl = BoxList(torch.tensor(gt), (100, 100), mode="xyxy")
+    target_bl.add_field("labels", torch.tensor(gt_labels))
+
+    evaluator = FastRCNNLossComputation(
+        Matcher(0.5, 0.5, allow_low_quality_matches=False),
+        BalancedPositiveNegativeSampler(512, 0.25),
+        BoxCoder(weights=(10.0, 10.0, 5.0, 5.0)),
+        cls_agnostic_bbox_reg=False)
+    sampled = evaluator.subsample([prop_bl], [target_bl])
+    # all-kept sampling ⇒ the filtered proposals are the originals, but in
+    # nonzero() order — recover it to align logits
+    keep = np.asarray(
+        torch.nonzero(torch.tensor(np.ones(P, bool))).squeeze(1))
+    assert len(sampled[0]) == P, "sampler dropped proposals; shrink P"
+    cls_t, box_t = evaluator(
+        [torch.tensor(class_logits[keep])],
+        [torch.tensor(box_reg[keep])])
+
+    labels, reg_targets, pos, sampled_mask = subsample_proposals(
+        jnp.asarray(proposals), jnp.ones((P,), bool), jnp.asarray(gt),
+        jnp.asarray(gt_labels.astype(np.int32)), jnp.ones((G,), bool),
+        jax.random.PRNGKey(1), batch_size_per_image=512,
+        positive_fraction=0.25, fg_iou=0.5, bg_iou=0.5)
+    assert bool(jnp.all(sampled_mask)), "expected all proposals sampled"
+    cls_j, box_j = fast_rcnn_loss(
+        jnp.asarray(class_logits), jnp.asarray(box_reg), labels,
+        reg_targets, pos, sampled_mask, num_classes=C)
+
+    # cross-check the per-proposal labels agree with the reference's
+    ref_labels = np.asarray(sampled[0].get_field("labels"))
+    np.testing.assert_array_equal(np.asarray(labels), ref_labels)
+    np.testing.assert_allclose(float(cls_j), float(cls_t), rtol=1e-5)
+    np.testing.assert_allclose(float(box_j), float(box_t), rtol=1e-5)
