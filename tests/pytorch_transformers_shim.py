@@ -343,6 +343,10 @@ def install():
     pkg = types.ModuleType("transformers.pytorch_transformers")
     pkg.BertTokenizer = BertTokenizer
     pkg.BertConfig = BertConfig
+    pkg.AdamW = torch.optim.AdamW          # era AdamW ≈ torch.optim.AdamW
+    for _name in ("WarmupLinearSchedule", "WarmupConstantSchedule"):
+        setattr(pkg, _name,
+                type(_name, (), {"__init__": lambda self, *a, **k: None}))
 
     mb = types.ModuleType("transformers.pytorch_transformers.modeling_bert")
     for name in ("BertEmbeddings", "BertSelfAttention", "BertAttention",
