@@ -436,3 +436,65 @@ def test_history_state_parity():
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pooled_j), _np(pooled_t),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_vcr_qar_twin_heads_parity():
+    """Reference VCRQAR_NSPCPT (both twin heads seeded from the pretrained
+    NSP head via its own copy_from_pretraining_model deepcopy) and
+    VCR_QAR_NSPFT (fresh per-head classifiers) vs our twin-head models,
+    per head."""
+    from cpt_tpu.models.bert.heads import VCR_QAR_NSPFT, VCRQAR_NSPCPT
+
+    cfg = tiny_bert_config(num_contrast_classes=2)
+    torch.manual_seed(8)
+    pre = ref_mb.BertImgForPreTraining(_ref_config(cfg))
+    qar = ref_vcr.VCRQAR_NSPCPT(_ref_config(cfg))
+    qar.copy_from_pretraining_model(pre)
+    qar.eval()
+    ft = ref_vcr.VCR_QAR_NSPFT(_ref_config(cfg))
+    ft.eval()
+
+    ids, tt, feats, mask = _inputs(cfg, seed=9)
+    labels = np.array([1, 0], np.int64)
+    params = cv.convert_bert_state_dict(
+        {k: _np(v) for k, v in pre.state_dict().items()}, cfg)
+    ours_cpt = VCRQAR_NSPCPT(cfg)
+    cpt_params = {"bert": params["bert"],
+                  "cls_ans": params["nsp_head"],
+                  "cls_rat": params["nsp_head"]}
+
+    ft_sd = {k: _np(v) for k, v in ft.state_dict().items()}
+    ft_params = cv.convert_bert_state_dict(ft_sd, cfg)
+    for side in ("ans", "rat"):
+        ft_params[f"classifier_{side}"] = {"dense": {
+            "kernel": cv._t(ft_sd[f"classifier_{side}.0.weight"]),
+            "bias": ft_sd[f"classifier_{side}.0.bias"]}}
+    ours_ft = VCR_QAR_NSPFT(cfg)
+
+    kw = dict(token_type_ids=torch.tensor(tt, dtype=torch.long),
+              attention_mask=torch.tensor(mask, dtype=torch.long),
+              img_feats=torch.tensor(feats),
+              next_sentence_label=torch.tensor(labels))
+    for head in ("ans", "rat"):
+        with torch.no_grad():
+            loss_t, score_t = qar(torch.tensor(ids, dtype=torch.long),
+                                  head=head, **kw)[:2]
+            loss_ft_t, score_ft_t = ft(torch.tensor(ids, dtype=torch.long),
+                                       head=head, **kw)[:2]
+        loss_j, score_j = ours_cpt.apply(
+            {"params": cpt_params}, jnp.asarray(ids), jnp.asarray(tt),
+            jnp.asarray(mask), img_feats=jnp.asarray(feats),
+            next_sentence_label=jnp.asarray(labels.astype(np.int32)),
+            head=head)
+        np.testing.assert_allclose(np.asarray(score_j), _np(score_t),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+        loss_fj, score_fj = ours_ft.apply(
+            {"params": ft_params}, jnp.asarray(ids), jnp.asarray(tt),
+            jnp.asarray(mask), img_feats=jnp.asarray(feats),
+            next_sentence_label=jnp.asarray(labels.astype(np.int32)),
+            head=head)
+        np.testing.assert_allclose(np.asarray(score_fj), _np(score_ft_t),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(loss_fj), float(loss_ft_t),
+                                   rtol=1e-5)
