@@ -112,15 +112,18 @@ class OscarPretrainData:
             key = self.keys[idx]
             f, od = self._feats(key)
             caption = self.captions[key]
-            # oscar_tsv.py:263-283 corruption ladder (swap_prob keeps the
-            # historical knob: P(corrupt) = swap_prob instead of 0.5)
+            # oscar_tsv.py:264-283 corruption ladder, one dice draw:
+            # dice > 0.5 → clean; texta_false_prob < dice ≤ 0.5 → wrong
+            # text_b (label 1); dice ≤ texta_false_prob → wrong text_a
+            # (label K−1). texta_false_prob is the ABSOLUTE probability of
+            # the wrong-caption branch, exactly as the reference rolls it
+            # (swap_prob keeps the historical knob: P(corrupt) = swap_prob
+            # instead of 0.5).
             label = 0
             dice = rng.random()
             if dice < self.swap_prob and len(self.keys) > 1:
                 other = rng.choice([k for k in self.keys if k != key])
-                # conditioned on corrupting: wrong text_b unless the
-                # texta_false_prob branch (or no text_b to corrupt)
-                if (rng.random() >= self.texta_false_prob and self.use_b):
+                if dice >= self.texta_false_prob and self.use_b:
                     _, od = self._feats(other)
                     label = 1
                 else:

@@ -336,17 +336,41 @@ class BertTokenizer(object):  # pragma: no cover - drivers only
 def install():
     """Register the fake ``transformers.pytorch_transformers`` modules (and a
     minimal ``anytree`` used by oscar.utils.cbs at import time)."""
-    if "transformers.pytorch_transformers" in sys.modules:
+    existing = sys.modules.get("transformers.pytorch_transformers")
+    if existing is not None and getattr(existing, "_IS_PT_SHIM", False):
         return
+    if existing is not None:
+        # overwrite a pre-existing permissive auto-stub (e.g. the one
+        # test_reference_prompt_parity installs) — parity tests need the
+        # real era classes — and evict reference modules already imported
+        # against the stub so they re-import against the shim
+        for name in [n for n in sys.modules
+                     if n == "oscar" or n.startswith("oscar.")]:
+            del sys.modules[name]
     this = sys.modules[__name__]
 
     pkg = types.ModuleType("transformers.pytorch_transformers")
+    pkg._IS_PT_SHIM = True
     pkg.BertTokenizer = BertTokenizer
     pkg.BertConfig = BertConfig
     pkg.AdamW = torch.optim.AdamW          # era AdamW ≈ torch.optim.AdamW
+    pkg.WEIGHTS_NAME = WEIGHTS_NAME
+    pkg.TF_WEIGHTS_NAME = TF_WEIGHTS_NAME
     for _name in ("WarmupLinearSchedule", "WarmupConstantSchedule"):
         setattr(pkg, _name,
                 type(_name, (), {"__init__": lambda self, *a, **k: None}))
+
+    def _pkg_getattr(attr):
+        # permissive fallback for reference DRIVER modules importing names
+        # the parity tests never execute (same behavior as the pre-shim
+        # auto-stub in test_reference_prompt_parity)
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        return type(attr, (torch.nn.Module,),
+                    {"__init__":
+                     lambda self, *a, **k: torch.nn.Module.__init__(self)})
+
+    pkg.__getattr__ = _pkg_getattr
 
     mb = types.ModuleType("transformers.pytorch_transformers.modeling_bert")
     for name in ("BertEmbeddings", "BertSelfAttention", "BertAttention",

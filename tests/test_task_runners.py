@@ -602,3 +602,60 @@ def test_load_label2ans_formats(tmp_path):
     pk.dump(["a", "b"], open(tmp_path / "l.pkl", "wb"))
     assert load_label2ans(str(tmp_path / "l.pkl"), 2) == ["a", "b"]
     assert load_label2ans(None, 2) == ["0", "1"]
+
+
+def test_pretrain_corruption_ladder_matches_reference_dice():
+    """Branch probabilities of the corruption ladder vs the REFERENCE's own
+    ``OscarTSVDataset.random_sent`` executed directly (instantiated via
+    __new__ with the corpus getters patched): texta_false_prob is the
+    ABSOLUTE wrong-caption probability (dice ≤ p), wrong-text_b fills
+    (p, 0.5], clean is dice > 0.5."""
+    import random as _random
+    import sys as _sys
+    import types as _types
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    import pytorch_transformers_shim as _shim
+
+    _shim.install()
+    if "/root/reference/Oscar" not in _sys.path:
+        _sys.path.insert(0, "/root/reference/Oscar")
+    from oscar.datasets import oscar_tsv
+
+    P = 0.2
+    ds = oscar_tsv.OscarTSVDataset.__new__(oscar_tsv.OscarTSVDataset)
+    ds.args = _types.SimpleNamespace(texta_false_prob=P,
+                                     num_contrast_classes=3, use_b=True)
+    ds.get_corpus_line = lambda i: ("imgA", "caption a", "tags a")
+    ds.get_random_line = lambda: ("imgB", "tags b")
+    ds.get_random_texta = lambda: ("imgB", "caption b")
+
+    _random.seed(0)
+    n = 20000
+    ref_counts = [0, 0, 0]
+    for i in range(n):
+        *_x, label, _m = ds.random_sent(i)
+        ref_counts[label] += 1
+
+    # our side: the same dice arithmetic batch() rolls (the real batch()
+    # path is label-exercised in test_pretrain_corruption_scheme; the
+    # frequency check here isolates the ladder)
+    rng = _random.Random(1)
+    our_counts = [0, 0, 0]
+    swap_prob, texta = 0.5, P
+    for _ in range(n):
+        dice = rng.random()
+        label = 0
+        if dice < swap_prob:
+            rng.random()  # the partner-choice draw in batch()
+            label = 2 if dice < texta else 1
+        our_counts[label] += 1
+
+    for lab in range(3):
+        assert abs(ref_counts[lab] - our_counts[lab]) / n < 0.02, (
+            ref_counts, our_counts)
+    # analytic check: P(clean)=0.5, P(wrong text_b)=0.3, P(wrong text_a)=0.2
+    assert abs(ref_counts[0] / n - 0.5) < 0.02
+    assert abs(ref_counts[1] / n - 0.3) < 0.02
+    assert abs(ref_counts[2] / n - 0.2) < 0.02
