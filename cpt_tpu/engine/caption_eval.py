@@ -126,6 +126,30 @@ def load_res_tsv(res_file: str) -> Dict[str, List[str]]:
     return hyps
 
 
+def convert_tsv_to_coco_format(res_tsv: str, outfile: str,
+                               sep: str = "\t", key_col: int = 0,
+                               cap_col: int = 1) -> None:
+    """Predictions TSV → COCO-format results json
+    (``caption_evaluate.py:93-112``): ``[{"image_id", "caption"}]`` rows,
+    empty caption for empty prediction lists — the submission format the
+    coco/nocaps servers take."""
+    results = []
+    with open(res_tsv) as fp:
+        for line in fp:
+            parts = line.strip().split(sep)
+            key = parts[key_col]
+            if cap_col < len(parts):
+                caps = json.loads(parts[cap_col])
+                assert len(caps) == 1, \
+                    "cannot evaluate multiple captions per image"
+                cap = caps[0].get("caption", "")
+            else:
+                cap = ""
+            results.append({"image_id": key, "caption": cap})
+    with open(outfile, "w") as fp:
+        json.dump(results, fp)
+
+
 def evaluate_on_coco_caption(res_file: str, label_file: str,
                              outfile: str = None,
                              spice_lite: bool = False) -> Dict[str, float]:

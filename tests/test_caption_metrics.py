@@ -230,3 +230,43 @@ class TestSpiceLite:
         base = evaluate_on_coco_caption(str(tmp_path / "res.tsv"),
                                         str(tmp_path / "gt.json"))
         assert "SPICE_lite" not in base and "SPICE" not in base
+
+
+def test_convert_tsv_to_coco_format_matches_reference(tmp_path):
+    """Submission-file writer vs the reference's own
+    convert_tsv_to_coco_format executed directly (byte-identical json)."""
+    import json
+    import sys
+    import types
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import pytorch_transformers_shim as shim
+
+    shim.install()
+    for name, attrs in (
+            ("coco_caption", {}),
+            ("coco_caption.pycocotools", {}),
+            ("coco_caption.pycocotools.coco", {"COCO": object}),
+            ("coco_caption.pycocoevalcap", {}),
+            ("coco_caption.pycocoevalcap.eval", {"COCOEvalCap": object})):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if "/root/reference/Oscar" not in sys.path:
+        sys.path.insert(0, "/root/reference/Oscar")
+    from oscar.utils import caption_evaluate as ref_ce
+
+    from cpt_tpu.engine.caption_eval import convert_tsv_to_coco_format
+
+    rows = ["im0\t" + json.dumps([{"caption": "a blue car", "conf": 0.9}]),
+            "im1\t" + json.dumps([{"caption": "", "conf": 0.1}]),
+            "im2"]
+    tsv = tmp_path / "res.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    ref_ce.convert_tsv_to_coco_format(str(tsv), str(tmp_path / "ref.json"))
+    convert_tsv_to_coco_format(str(tsv), str(tmp_path / "ours.json"))
+    assert (tmp_path / "ref.json").read_text() == (
+        tmp_path / "ours.json").read_text()
