@@ -73,13 +73,18 @@ def make_step_logits_fn(model, cfg: GenerationConfig):
     """fn(params, caption_tokens [B, La], step, context) → logits [B, V].
 
     ``context`` = (segment_ids [B, S], attn [B, S, S], img_feats) with the
-    caption canvas occupying the first La slots of S.
+    caption canvas occupying the first La slots of S. ``base_ids``
+    ([B, S], optional) carries the CONTEXT token ids beyond the caption
+    canvas — the od-label segment; without it those slots decode as PAD
+    and the model loses the tag conditioning.
     """
 
-    def fn(params, tokens, step, segment_ids, attn, img_feats):
+    def fn(params, tokens, step, segment_ids, attn, img_feats,
+           base_ids=None):
         b, la = tokens.shape
         s = segment_ids.shape[1]
-        canvas = jnp.zeros((b, s), jnp.int32)
+        canvas = (jnp.zeros((b, s), jnp.int32) if base_ids is None
+                  else base_ids.astype(jnp.int32))
         canvas = canvas.at[:, :la].set(tokens)
         canvas = canvas.at[:, step].set(cfg.mask_token_id)
         pos = jnp.full((b, 1), step, jnp.int32)
@@ -91,9 +96,12 @@ def make_step_logits_fn(model, cfg: GenerationConfig):
 
 
 def greedy_or_sample(model, params, cfg: GenerationConfig, segment_ids,
-                     attn, img_feats, rng: Optional[Array] = None
+                     attn, img_feats, rng: Optional[Array] = None,
+                     base_ids: Optional[Array] = None
                      ) -> Tuple[Array, Array]:
-    """→ (tokens [B, La], logprob_sums [B]). Greedy unless cfg.do_sample."""
+    """→ (tokens [B, La], logprob_sums [B]). Greedy unless cfg.do_sample.
+    ``base_ids`` [B, S]: context (od-label) token ids beyond the caption
+    canvas (see make_step_logits_fn)."""
     step_fn = make_step_logits_fn(model, cfg)
     b = segment_ids.shape[0]
     la = cfg.max_seq_a_len
@@ -103,11 +111,11 @@ def greedy_or_sample(model, params, cfg: GenerationConfig, segment_ids,
         rng = jax.random.PRNGKey(0)
 
     @jax.jit
-    def run(params, segment_ids, attn, img_feats, rng):
+    def run(params, segment_ids, attn, img_feats, rng, base_ids):
         def body(carry, step):
             tokens, finished, score, rng = carry
             logits = step_fn(params, tokens, step, segment_ids, attn,
-                             img_feats)
+                             img_feats, base_ids)
             logits = _apply_repetition_penalty(logits, tokens,
                                                cfg.repetition_penalty)
             if cfg.do_sample:
@@ -130,11 +138,12 @@ def greedy_or_sample(model, params, cfg: GenerationConfig, segment_ids,
             body, init, jnp.arange(1, la))
         return tokens, score
 
-    return run(params, segment_ids, attn, img_feats, rng)
+    return run(params, segment_ids, attn, img_feats, rng, base_ids)
 
 
 def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
-                img_feats) -> Tuple[Array, Array]:
+                img_feats, base_ids: Optional[Array] = None
+                ) -> Tuple[Array, Array]:
     """→ (tokens [B, num_keep_best, La], scores [B, num_keep_best]) with
     length-penalty-normalized log-prob scores.
 
@@ -159,6 +168,7 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
         return jnp.repeat(x, k, axis=0)
 
     seg_e, attn_e, img_e = expand(segment_ids), expand(attn), expand(img_feats)
+    base_e = None if base_ids is None else expand(base_ids)
     tokens0 = jnp.full((b, k, la), cfg.pad_token_id, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(cfg.bos_token_id)
     # first beam active, others start at -inf so step 1 fans out
@@ -166,11 +176,11 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
     max_norm_len = float(la - 1) ** cfg.length_penalty
 
     @jax.jit
-    def run(params, seg_e, attn_e, img_e):
+    def run(params, seg_e, attn_e, img_e, base_e):
         def body(carry, step):
             live_tok, live_sc, bank_tok, bank_sc, bank_len, done = carry
             logits = step_fn(params, live_tok.reshape(b * k, la), step,
-                             seg_e, attn_e, img_e)
+                             seg_e, attn_e, img_e, base_e)
             logits = _apply_repetition_penalty(
                 logits, live_tok.reshape(b * k, la), cfg.repetition_penalty)
             logp = jax.nn.log_softmax(logits, axis=-1)        # [B*K, V]
@@ -240,7 +250,7 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
                     + eos_onehot * cfg.eos_token_id)
         return bank_tok, bank_sc
 
-    tokens, scores = run(params, seg_e, attn_e, img_e)
+    tokens, scores = run(params, seg_e, attn_e, img_e, base_e)
     return tokens[:, :cfg.num_keep_best], scores[:, :cfg.num_keep_best]
 
 

@@ -28,13 +28,15 @@ def sequence_logprob_fn(model, cfg: GenerationConfig):
     segment_ids, attn, img_feats) → [B] sum log P(token_t | <t)."""
 
     @jax.jit
-    def fn(params, tokens, segment_ids, attn, img_feats):
+    def fn(params, tokens, segment_ids, attn, img_feats, base_ids=None):
         b, la = tokens.shape
         s = segment_ids.shape[1]
 
         def body(carry, step):
             total = carry
-            canvas = jnp.zeros((b, s), jnp.int32).at[:, :la].set(tokens)
+            canvas = (jnp.zeros((b, s), jnp.int32) if base_ids is None
+                      else base_ids.astype(jnp.int32))
+            canvas = canvas.at[:, :la].set(tokens)
             canvas = canvas.at[:, step].set(cfg.mask_token_id)
             pos = jnp.full((b, 1), step, jnp.int32)
             _, logits = model.apply(params, canvas, attn, segment_ids,
@@ -81,17 +83,24 @@ def scst_step(model, params, opt_update, cfg: GenerationConfig,
     ``sample_n`` rollouts per image (tiled contiguously, matching the
     reference's ``gt_idx = i // seq_per_img``); baseline per
     ``scst_advantages``. Returns (grads, mean sampled reward, mean
-    baseline reward)."""
-    segment_ids, attn, img_feats = batch
+    baseline reward). ``batch`` may carry a 4th element ``base_ids``
+    (od-label context ids for the decode canvas)."""
+    segment_ids, attn, img_feats = batch[:3]
+    base_ids = batch[3] if len(batch) > 3 else None
     import dataclasses
 
     b = segment_ids.shape[0]
     ctx = (segment_ids, attn, img_feats)
     if sample_n > 1:
         ctx = tuple(jnp.repeat(x, sample_n, axis=0) for x in ctx)
+        base_rep = (None if base_ids is None
+                    else jnp.repeat(base_ids, sample_n, axis=0))
+    else:
+        base_rep = base_ids
 
     sample_cfg = dataclasses.replace(cfg, do_sample=True)
-    sampled, _ = greedy_or_sample(model, params, sample_cfg, *ctx, rng)
+    sampled, _ = greedy_or_sample(model, params, sample_cfg, *ctx, rng,
+                                  base_ids=base_rep)
 
     def tokens_to_words(row):
         return decode_caption(tokenizer, row, cfg).split()
@@ -102,7 +111,7 @@ def scst_step(model, params, opt_update, cfg: GenerationConfig,
                           ).reshape(b, sample_n)
     if baseline_type == "greedy":
         greedy, _ = greedy_or_sample(model, params, cfg, segment_ids, attn,
-                                     img_feats)
+                                     img_feats, base_ids=base_ids)
         r_base = np.asarray([scorer.score(i, tokens_to_words(t))
                              for i, t in zip(image_ids, np.asarray(greedy))])
     else:
@@ -113,7 +122,7 @@ def scst_step(model, params, opt_update, cfg: GenerationConfig,
     logprob_fn = sequence_logprob_fn(model, cfg)
 
     def loss_fn(p):
-        logp = logprob_fn(p, sampled, *ctx)
+        logp = logprob_fn(p, sampled, *ctx, base_rep)
         return -jnp.mean(advantage * logp)
 
     grads = jax.grad(loss_fn)(params)

@@ -218,11 +218,12 @@ def main(argv=None):
                 hyps = {}
                 for k in eval_keys:
                     fe, od = load_feats(tsv, imgid2idx, k)
-                    _, sg, at, f, _, _, _ = tens_test.tensorize(
+                    bi, sg, at, f, _, _, _ = tens_test.tensorize(
                         "", fe, text_b=od if use_od else None)
                     toks, _ = greedy_or_sample(
                         model, p, eval_cfg, jnp.asarray(sg[None]),
-                        jnp.asarray(at[None]), jnp.asarray(f[None]))
+                        jnp.asarray(at[None]), jnp.asarray(f[None]),
+                        base_ids=jnp.asarray(bi[None]))
                     hyps[k] = decode_caption(tokenizer, np.asarray(toks[0]),
                                              eval_cfg).split()
                 return eval_scorer.corpus_score(hyps)
@@ -257,6 +258,7 @@ def main(argv=None):
                 eval_log.append({"step": it + 1, "CIDEr": c,
                                  "best_CIDEr": best_cider})
                 if args.output_dir:
+                    os.makedirs(args.output_dir, exist_ok=True)
                     json.dump(eval_log, open(os.path.join(
                         args.output_dir, "eval_logs.json"), "w"))
                 print(f"eval step {it + 1}: CIDEr {c:.3f} "
@@ -294,7 +296,7 @@ def main(argv=None):
             ids, segs, attn, f, _, _, _ = tens_test.tensorize("", feats,
                                                               text_b=od)
             batch = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
-                     jnp.asarray(f[None]))
+                     jnp.asarray(f[None]), jnp.asarray(ids[None]))
             rng, sub = jax.random.split(rng)
             grads, r_s, r_g = scst_step(
                 model, params, None, gen_cfg, scorer, tokenizer, batch, [k],
@@ -314,6 +316,7 @@ def main(argv=None):
             "", feats, text_b=od if use_od else None)
         ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
                jnp.asarray(f[None]))
+        base = jnp.asarray(ids[None])
         if args.use_cbs:
             from cpt_tpu.engine.generation import make_step_logits_fn
             from cpt_tpu.utils.cbs import build_fsm, constrained_beam_search
@@ -329,7 +332,8 @@ def main(argv=None):
                 return base_step(params, tokens, step,
                                  jnp.repeat(segs, n, 0),
                                  jnp.repeat(attn, n, 0),
-                                 jnp.repeat(f, n, 0))
+                                 jnp.repeat(f, n, 0),
+                                 jnp.repeat(base, n, 0))
 
             toks, _score = constrained_beam_search(
                 step_fn, params, ctx, transitions=trans,
@@ -342,7 +346,8 @@ def main(argv=None):
                 num_group_states=1 << len(constraints))
             text = decode_caption(tokenizer, np.asarray(toks), gen_cfg)
         elif args.num_beams > 1 and not args.do_sample:
-            toks, scores = beam_search(model, params, gen_cfg, *ctx)
+            toks, scores = beam_search(model, params, gen_cfg, *ctx,
+                                       base_ids=base)
             text = decode_caption(tokenizer, np.asarray(toks[0, 0]), gen_cfg)
             if args.num_keep_best > 1:
                 outputs[k] = [
@@ -354,7 +359,7 @@ def main(argv=None):
         else:
             dec_rng, sub = jax.random.split(dec_rng)
             toks, scores = greedy_or_sample(model, params, gen_cfg, *ctx,
-                                            sub)
+                                            sub, base_ids=base)
             text = decode_caption(tokenizer, np.asarray(toks[0]), gen_cfg)
         hyps[k] = text.split()
         outputs.setdefault(k, text)

@@ -342,3 +342,83 @@ def test_caption_cbs_decode_parity():
                 break
         np.testing.assert_allclose(float(score), float(_np(out_lp[0, 0])),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_caption_decode_with_od_labels_parity():
+    """Greedy AND beam decode with od-label context: the reference feeds
+    the od token ids through generate(add_od_labels=True); our decoders
+    must carry them via base_ids (the canvas previously zeroed them — a
+    real conditioning bug this test pins)."""
+    from cpt_tpu.engine.generation import beam_search
+    from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+    class _Tok(BertTokenizer):
+        mask_token, cls_token, sep_token, pad_token = (
+            "[MASK]", "[CLS]", "[SEP]", "[PAD]")
+
+    tok = _Tok(toy_vocab(["red", "dog", "park", "cat", "bench"]))
+    cfg = _cfg(vocab_size=len(tok.vocab))
+    ref, params = _build(cfg, seed=6)
+    B, La, L, R = 2, 8, 14, 3
+    od_len = L - La
+
+    from cpt_tpu.models.bert.captioning import CaptionTensorizer
+
+    tens = CaptionTensorizer(tok, max_img_seq_len=R, max_seq_len=L,
+                             max_seq_a_len=La, is_train=False)
+    rng = np.random.RandomState(12)
+    rows = []
+    for b in range(B):
+        feats = rng.randn(R, cfg.img_feature_dim).astype(np.float32)
+        rows.append(tens.tensorize("", feats, text_b="red dog park"))
+    ids = np.stack([r[0] for r in rows])
+    segs = np.stack([r[1] for r in rows])
+    attn = np.stack([r[2] for r in rows])
+    feats = np.stack([r[3] for r in rows])
+
+    common = dict(
+        token_type_ids=torch.tensor(segs, dtype=torch.long),
+        input_ids=torch.tensor(ids, dtype=torch.long),
+        max_length=La, do_sample=False, temperature=1.0, top_k=0,
+        top_p=1.0, repetition_penalty=1.0, bos_token_id=BOS,
+        pad_token_id=PAD, eos_token_ids=[EOS], mask_token_id=MASK,
+        length_penalty=1.0, num_return_sequences=1, is_decode=True,
+        add_od_labels=True, od_labels_start_posid=La)
+    with torch.no_grad():
+        g_ids, g_lp = ref.generate(
+            torch.tensor(feats), torch.tensor(attn, dtype=torch.long),
+            torch.tensor(np.ones((B, L), np.int64)),
+            num_beams=1, num_keep_best=1, **common)
+        b_ids, b_lp = ref.generate(
+            torch.tensor(feats), torch.tensor(attn, dtype=torch.long),
+            torch.tensor(np.ones((B, L), np.int64)),
+            num_beams=3, num_keep_best=1, **common)
+
+    gen_cfg = GenerationConfig(max_seq_a_len=La, bos_token_id=BOS,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               mask_token_id=MASK)
+    ours = BertForImageCaptioning(cfg)
+    toks_g, _ = greedy_or_sample(
+        ours, {"params": params}, gen_cfg, jnp.asarray(segs),
+        jnp.asarray(attn), jnp.asarray(feats),
+        base_ids=jnp.asarray(ids))
+    ref_g = _np(g_ids[:, 0])
+    our_g = np.asarray(toks_g)
+    for b in range(B):
+        for i, t in enumerate(ref_g[b].tolist()):
+            if t == EOS and i == La - 1 and our_g[b, i] != EOS:
+                break               # forced final EOS
+            assert our_g[b, i] == t, (b, i, ref_g[b], our_g[b])
+            if t == EOS:
+                break
+
+    import dataclasses
+    beam_cfg = dataclasses.replace(gen_cfg, num_beams=3)
+    toks_b, sc_b = beam_search(
+        ours, {"params": params}, beam_cfg, jnp.asarray(segs),
+        jnp.asarray(attn), jnp.asarray(feats),
+        base_ids=jnp.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(toks_b)[:, 0],
+                                  _np(b_ids[:, 0]))
+    np.testing.assert_allclose(np.asarray(sc_b)[:, 0], _np(b_lp[:, 0]),
+                               rtol=1e-4, atol=1e-5)
