@@ -262,6 +262,15 @@ def postprocess_fast(cfg: DetectorConfig, class_logits: Array,
     4. single NMS (0.5), sort by score desc
     5. n_dets = clamp(#\\{score ≥ score_thresh\\}, min_det, max_det); emit
        ``detections_per_img`` slots with a validity mask of length n_dets.
+
+    With live box regression the reference's own fast filter returns
+    misaligned boxes (``boxlist[keep_boxes]`` indexes the [N·C, 4]
+    per-class rows with N-space indices — dead code: every reference cmd
+    runs filter 2 with FORCE_BOXES or IGNORE_BOX_REGRESSION); this
+    implementation returns the mean-decoded boxes the code intends, and
+    is parity-tested in the reachable ignore-regression configuration
+    (``test_reference_postprocess_parity.py``). Ignore mode = pass zero
+    ``box_deltas``.
     """
     rh = cfg.roi_heads
     prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
