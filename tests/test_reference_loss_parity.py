@@ -124,3 +124,46 @@ def test_fast_rcnn_loss_matches_reference():
     np.testing.assert_array_equal(np.asarray(labels), ref_labels)
     np.testing.assert_allclose(float(cls_j), float(cls_t), rtol=1e-5)
     np.testing.assert_allclose(float(box_j), float(box_t), rtol=1e-5)
+
+
+def test_attribute_loss_matches_reference():
+    """Attribute soft-target CE (scene_graph_benchmark
+    attribute_head/loss.py) executed directly: IoU-matched gt attributes,
+    bg/between rows zeroed, mean over ALL proposals."""
+    from scene_graph_benchmark.attribute_head.loss import (
+        AttributeRCNNLossComputation)
+
+    from cpt_tpu.models.detector.losses import (BELOW_LOW, BETWEEN,
+                                                attribute_loss,
+                                                match_proposals)
+    from cpt_tpu.structures.boxes import box_iou
+
+    rng = np.random.RandomState(3)
+    P, G, K, A = 10, 3, 4, 9
+    proposals = _rand_boxes(rng, P)
+    gt = _rand_boxes(rng, G)
+    proposals[:G] = gt + rng.uniform(-1, 1, (G, 4)).astype(np.float32)
+    gt_attrs = np.zeros((G, K), np.int64)
+    gt_attrs[0, :2] = [3, 5]
+    gt_attrs[1, 0] = 7
+    attr_logits = rng.randn(P, A).astype(np.float32)
+
+    cfg = reference_stubs.full_attr_rcnn_cfg()
+    evaluator = AttributeRCNNLossComputation(cfg)
+    prop_bl = BoxList(torch.tensor(proposals), (100, 100), mode="xyxy")
+    tgt_bl = BoxList(torch.tensor(gt), (100, 100), mode="xyxy")
+    tgt_bl.add_field("labels", torch.tensor(np.ones(G, np.int64)))
+    tgt_bl.add_field("attributes", torch.tensor(gt_attrs))
+    loss_t = evaluator([prop_bl], torch.tensor(attr_logits), [tgt_bl])
+
+    iou = np.asarray(box_iou(jnp.asarray(gt), jnp.asarray(proposals)))
+    matches = np.asarray(match_proposals(
+        jnp.asarray(iou), cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+        cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD))
+    per_prop = gt_attrs[np.maximum(matches, 0)]
+    per_prop[(matches == BELOW_LOW) | (matches == BETWEEN)] = 0
+    loss_j = attribute_loss(
+        jnp.asarray(attr_logits), jnp.asarray(per_prop.astype(np.int32)),
+        jnp.ones((P,), bool),
+        loss_weight=cfg.MODEL.ROI_ATTRIBUTE_HEAD.LOSS_WEIGHT)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
