@@ -167,3 +167,81 @@ def test_attribute_loss_matches_reference():
         jnp.ones((P,), bool),
         loss_weight=cfg.MODEL.ROI_ATTRIBUTE_HEAD.LOSS_WEIGHT)
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_reldn_contrastive_losses_match_reference():
+    """RelDN graphical contrastive losses (node / SO-aware / P-aware)
+    vs the reference's own split_pos_neg_* + margin_ranking_loss executed
+    directly (relation_head/loss.py:398-668, compensation off — the
+    sg_defaults.py:134 default)."""
+    import torch.nn.functional as F
+
+    from maskrcnn_benchmark.modeling.roi_heads.box_head import loss as _  # noqa
+    from scene_graph_benchmark.relation_head.loss import (
+        FastRCNNLossComputation as RelLoss)
+
+    from cpt_tpu.models.detector.relation_head import (
+        reldn_contrastive_losses)
+
+    # CPU stand-in for the hardcoded .cuda(device_id) calls
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        rng = np.random.RandomState(5)
+        num_objs, R, C = 4, 6, 5           # dets, predicate classes, obj classes
+        det_labels = rng.randint(1, C, num_objs)
+        # pairs (sbj, obj) with labels: 0=no-rel, >=1 gt predicate
+        pairs = np.array([[0, 1], [0, 2], [0, 3], [1, 0], [1, 2],
+                          [2, 0], [2, 3], [3, 1], [0, 1], [1, 3]])
+        pair_labels = np.array([2, 0, 1, 0, 3, 0, 2, 0, 0, 1])
+        P = len(pairs)
+        logits = rng.randn(P, R).astype(np.float32)
+        probs = torch.softmax(torch.tensor(logits), dim=1)
+
+        evaluator = RelLoss.__new__(RelLoss)
+
+        class _CL:
+            NODE_CONTRASTIVE_MARGIN = 0.2
+            NODE_CONTRASTIVE_SO_AWARE_MARGIN = 0.2
+            NODE_CONTRASTIVE_P_AWARE_MARGIN = 0.2
+            USE_SPO_AGNOSTIC_COMPENSATION = False
+
+        class _Cfg:
+            class MODEL:
+                class ROI_RELATION_HEAD:
+                    CONTRASTIVE_LOSS = _CL
+
+        ref = {}
+        for name, anchor_col, other_col in (("sbj", 0, 1), ("obj", 1, 0)):
+            anchors = pairs[:, anchor_col]
+            others = pairs[:, other_col]
+            uniq, inds_unique, inds_reverse = np.unique(
+                anchors, return_index=True, return_inverse=True)
+            binary = (pair_labels > 0).astype(np.int64)
+            pos_b, neg_b, tgt = evaluator.split_pos_neg_spo_agnostic(
+                probs, binary, inds_unique, inds_reverse)
+            ref[f"loss_contrastive_{name}"] = float(F.margin_ranking_loss(
+                pos_b, neg_b, tgt, margin=0.2))
+            sbj_lab = det_labels[pairs[:, 0]]
+            obj_lab = det_labels[pairs[:, 1]]
+            pos_b, neg_b, tgt = evaluator.split_pos_neg_so_aware(
+                _Cfg, probs, binary, inds_unique, inds_reverse,
+                sbj_lab, obj_lab, "s" if name == "sbj" else "o")
+            ref[f"loss_so_contrastive_{name}"] = float(
+                F.margin_ranking_loss(pos_b, neg_b, tgt, margin=0.2))
+            pos_b, neg_b, tgt = evaluator.split_pos_neg_p_aware(
+                _Cfg, probs, None, binary, inds_unique, inds_reverse,
+                pair_labels)
+            ref[f"loss_p_contrastive_{name}"] = float(
+                F.margin_ranking_loss(pos_b, neg_b, tgt, margin=0.2))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    ours = reldn_contrastive_losses(
+        jnp.asarray(logits), jnp.asarray(pairs.astype(np.int32)),
+        jnp.asarray(pair_labels.astype(np.int32)),
+        jnp.ones((P,), bool), jnp.asarray(det_labels.astype(np.int32)),
+        num_objs, num_obj_classes=C, num_rel_classes=R)
+    for k, v in ref.items():
+        np.testing.assert_allclose(float(ours[k]), v, rtol=1e-5,
+                                   err_msg=k)
