@@ -159,7 +159,7 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
     (``worst >= best / (La-1)**penalty``). Output hypotheses get EOS
     appended, exactly as the reference's decode step writes it."""
     k = cfg.num_beams
-    nb = min(cfg.num_keep_best, 2 * k)
+    nb = cfg.num_keep_best
     step_fn = make_step_logits_fn(model, cfg)
     b = segment_ids.shape[0]
     la = cfg.max_seq_a_len
