@@ -141,7 +141,6 @@ def parse_tuples(caption: str) -> Set[Tuple3]:
     links: List[Tuple[int, str]] = []  # (np index before link, relation)
 
     cur: List[str] = []
-    pending_rel: List[str] = []
 
     def flush_np():
         nonlocal cur
@@ -152,24 +151,20 @@ def parse_tuples(caption: str) -> Set[Tuple3]:
     for w in toks:
         if not w.isalpha():
             flush_np()
-            pending_rel = []
             continue
         if w in DETERMINERS or w in ADVERBS or w in AUXILIARIES:
             flush_np()
             continue
         if w in PRONOUNS:
             flush_np()
-            pending_rel = []
             continue
         if w in CONJUNCTIONS:
             flush_np()
-            pending_rel = []
             continue
         if w in PREPOSITIONS or _is_verbish(w):
             flush_np()
             if nps:                     # a relation must have a left NP
                 rel = w if w in PREPOSITIONS else verb_lemma(w)
-                pending_rel.append(rel)
                 links.append((len(nps) - 1, rel))
             continue
         cur.append(lemma(w))
