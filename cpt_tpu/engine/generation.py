@@ -44,12 +44,18 @@ class GenerationConfig:
 
 
 def _apply_repetition_penalty(logits: Array, tokens: Array,
-                              penalty: float) -> Array:
+                              penalty: float,
+                              pad_id: Optional[int] = None) -> Array:
+    """CTRL-style repetition penalty over the tokens generated so far.
+    ``pad_id`` slots are excluded — the fixed canvas is PAD-filled beyond
+    the current step, but the reference penalizes only emitted tokens."""
     if penalty == 1.0:
         return logits
     vocab = logits.shape[-1]
     counts = jax.vmap(lambda t: jnp.zeros(vocab).at[t].add(1.0))(tokens)
     seen = counts > 0
+    if pad_id is not None:
+        seen = seen.at[:, pad_id].set(False)
     return jnp.where(seen, jnp.where(logits > 0, logits / penalty,
                                      logits * penalty), logits)
 
@@ -116,8 +122,8 @@ def greedy_or_sample(model, params, cfg: GenerationConfig, segment_ids,
             tokens, finished, score, rng = carry
             logits = step_fn(params, tokens, step, segment_ids, attn,
                              img_feats, base_ids)
-            logits = _apply_repetition_penalty(logits, tokens,
-                                               cfg.repetition_penalty)
+            logits = _apply_repetition_penalty(
+                logits, tokens, cfg.repetition_penalty, cfg.pad_token_id)
             if cfg.do_sample:
                 logits_t = _filter_top_k_top_p(logits / cfg.temperature,
                                                cfg.top_k, cfg.top_p)
@@ -182,7 +188,8 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
             logits = step_fn(params, live_tok.reshape(b * k, la), step,
                              seg_e, attn_e, img_e, base_e)
             logits = _apply_repetition_penalty(
-                logits, live_tok.reshape(b * k, la), cfg.repetition_penalty)
+                logits, live_tok.reshape(b * k, la), cfg.repetition_penalty,
+                cfg.pad_token_id)
             logp = jax.nn.log_softmax(logits, axis=-1)        # [B*K, V]
             vocab = logp.shape[-1]
             cand = (live_sc.reshape(-1)[:, None] + logp).reshape(b, k * vocab)

@@ -422,3 +422,50 @@ def test_caption_decode_with_od_labels_parity():
                                   _np(b_ids[:, 0]))
     np.testing.assert_allclose(np.asarray(sc_b)[:, 0], _np(b_lp[:, 0]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_caption_greedy_repetition_penalty_parity():
+    """Greedy decode with repetition penalty 1.3: the reference's
+    per-token set() loop vs our vectorized penalty (which also touches
+    the PAD logit from canvas padding — must not change the decode)."""
+    cfg = _cfg()
+    ref, params = _build(cfg, seed=7)
+    B, La, R = 3, 10, 3
+    rng = np.random.RandomState(20)
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    full_mask = np.stack([caption_attention_mask(La, 0, R, La, 0, R)
+                          for _ in range(B)])
+    tt = np.zeros((B, La), np.int64)
+
+    with torch.no_grad():
+        out_ids, _ = ref.generate(
+            torch.tensor(feats),
+            torch.tensor(full_mask, dtype=torch.long),
+            torch.tensor(np.ones((B, La), np.int64)),
+            token_type_ids=torch.tensor(tt),
+            input_ids=torch.zeros((B, La), dtype=torch.long),
+            max_length=La, do_sample=False, num_beams=1,
+            temperature=1.0, top_k=0, top_p=1.0, repetition_penalty=1.3,
+            bos_token_id=BOS, pad_token_id=PAD, eos_token_ids=[EOS],
+            mask_token_id=MASK, length_penalty=1.0,
+            num_return_sequences=1, num_keep_best=1, is_decode=True,
+            od_labels_start_posid=La)
+
+    import dataclasses
+    gen_cfg = dataclasses.replace(
+        GenerationConfig(max_seq_a_len=La, bos_token_id=BOS,
+                         eos_token_id=EOS, pad_token_id=PAD,
+                         mask_token_id=MASK), repetition_penalty=1.3)
+    ours = BertForImageCaptioning(cfg)
+    tokens, _ = greedy_or_sample(
+        ours, {"params": params}, gen_cfg, jnp.asarray(tt.astype(np.int32)),
+        jnp.asarray(full_mask), jnp.asarray(feats))
+    ref_rows = _np(out_ids[:, 0])
+    our_rows = np.asarray(tokens)
+    for b in range(B):
+        for i, t in enumerate(ref_rows[b].tolist()):
+            if t == EOS and i == La - 1 and our_rows[b, i] != EOS:
+                break
+            assert our_rows[b, i] == t, (b, i, ref_rows[b], our_rows[b])
+            if t == EOS:
+                break
