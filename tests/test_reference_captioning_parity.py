@@ -469,3 +469,25 @@ def test_caption_greedy_repetition_penalty_parity():
             assert our_rows[b, i] == t, (b, i, ref_rows[b], our_rows[b])
             if t == EOS:
                 break
+
+
+@pytest.mark.parametrize("top_k,top_p", [(5, 1.0), (0, 0.8), (4, 0.7)])
+def test_top_k_top_p_filter_parity(top_k, top_p):
+    """Sampling filter vs the reference's own top_k_top_p_filtering
+    (modeling_utils.py): identical kept/masked token sets."""
+    from oscar.modeling.modeling_utils import top_k_top_p_filtering
+
+    from cpt_tpu.engine.generation import _filter_top_k_top_p
+
+    rng = np.random.RandomState(21)
+    logits = rng.randn(4, 32).astype(np.float32) * 2.0
+    ref = top_k_top_p_filtering(torch.tensor(logits).clone(),
+                                top_k=top_k, top_p=top_p)
+    ours = np.asarray(_filter_top_k_top_p(jnp.asarray(logits),
+                                          top_k, top_p))
+    ref_masked = np.isinf(_np(ref)) & (_np(ref) < 0)
+    our_masked = ours <= -1e8
+    np.testing.assert_array_equal(our_masked, ref_masked)
+    np.testing.assert_allclose(np.where(our_masked, 0.0, ours),
+                               np.where(ref_masked, 0.0, _np(ref)),
+                               rtol=1e-6)
