@@ -67,6 +67,16 @@ def eval_detection_voc(pred_per_image: Sequence[dict],
             n_pos += int((~difficult.astype(bool)).sum())
             p_sel = np.asarray(preds["labels"]) == c
             p_boxes = np.asarray(preds["boxes"], np.float64)[p_sel]
+            # the reference's voc_eval adds +1 to x2/y2 ("integer typed
+            # boxes", voc_eval.py:107-110) ON TOP of boxlist_iou's
+            # TO_REMOVE=1 — an effective +2 convention; reproduced for
+            # numeric parity (test_reference_loss_parity.py)
+            if len(p_boxes):
+                p_boxes = p_boxes.copy()
+                p_boxes[:, 2:] += 1
+            if len(gt_boxes):
+                gt_boxes = gt_boxes.copy()
+                gt_boxes[:, 2:] += 1
             p_scores = np.asarray(preds["scores"], np.float64)[p_sel]
             order = np.argsort(-p_scores, kind="stable")
             taken = np.zeros(len(gt_boxes), bool)

@@ -245,3 +245,83 @@ def test_reldn_contrastive_losses_match_reference():
     for k, v in ref.items():
         np.testing.assert_allclose(float(ours[k]), v, rtol=1e-5,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("use_07", [False, True])
+def test_voc_eval_matches_reference(use_07):
+    """VOC mAP protocol vs the reference's own eval_detection_voc
+    executed directly (evaluation/voc/voc_eval.py): per-class APs and
+    mAP on identical synthetic detections, both AP metrics, with
+    difficult-gt handling."""
+    import sys
+    import types
+
+    if "pycocotools" not in sys.modules:   # voc_eval -> segmentation_mask
+        pc = types.ModuleType("pycocotools")
+        pm = types.ModuleType("pycocotools.mask")
+        pm.decode = pm.encode = pm.frPyObjects = lambda *a, **k: None
+        pc.mask = pm
+        sys.modules["pycocotools"] = pc
+        sys.modules["pycocotools.mask"] = pm
+        pcc = types.ModuleType("pycocotools.coco")
+        pcc.COCO = object
+        sys.modules["pycocotools.coco"] = pcc
+    if "cityscapesscripts" not in sys.modules:  # datasets/__init__ chain
+        cs = types.ModuleType("cityscapesscripts")
+        ch = types.ModuleType("cityscapesscripts.helpers")
+        chh = types.ModuleType("cityscapesscripts.helpers.csHelpers")
+        chh.writeDict2JSON = lambda *a, **k: None
+        chh.__getattr__ = lambda attr: (lambda *a, **k: None)
+        ch.csHelpers = chh
+        cs.helpers = ch
+        sys.modules["cityscapesscripts"] = cs
+        sys.modules["cityscapesscripts.helpers"] = ch
+        sys.modules["cityscapesscripts.helpers.csHelpers"] = chh
+    from maskrcnn_benchmark.data.datasets.evaluation.voc.voc_eval import (
+        eval_detection_voc as ref_voc)
+
+    from cpt_tpu.engine.detection_eval import eval_detection_voc
+
+    rng = np.random.RandomState(7)
+    C, n_img = 4, 5
+    preds, gts, pred_bls, gt_bls = [], [], [], []
+    for _ in range(n_img):
+        ng = rng.randint(2, 5)
+        g_boxes = _rand_boxes(rng, ng)
+        g_labels = rng.randint(1, C, ng)
+        difficult = (rng.rand(ng) < 0.25)
+        npd = rng.randint(3, 7)
+        # half the predictions jitter a gt box, half are random
+        p_boxes = _rand_boxes(rng, npd)
+        for i in range(min(ng, npd)):
+            p_boxes[i] = g_boxes[i] + rng.uniform(-3, 3, 4).astype(
+                np.float32)
+        p_labels = rng.randint(1, C, npd)
+        p_labels[: min(ng, npd)] = g_labels[: min(ng, npd)]
+        p_scores = rng.rand(npd).astype(np.float32)
+
+        preds.append({"boxes": p_boxes, "labels": p_labels,
+                      "scores": p_scores})
+        gts.append({"boxes": g_boxes, "labels": g_labels,
+                    "difficult": difficult})
+        pb = BoxList(torch.tensor(p_boxes), (100, 100), mode="xyxy")
+        pb.add_field("labels", torch.tensor(p_labels))
+        pb.add_field("scores", torch.tensor(p_scores))
+        pred_bls.append(pb)
+        gb = BoxList(torch.tensor(g_boxes), (100, 100), mode="xyxy")
+        gb.add_field("labels", torch.tensor(g_labels))
+        gb.add_field("difficult", torch.tensor(difficult))
+        gt_bls.append(gb)
+
+    ref = ref_voc(pred_bls, gt_bls, iou_thresh=0.5, use_07_metric=use_07)
+    ours = eval_detection_voc(preds, gts, num_classes=C,
+                              use_07_metric=use_07)
+    ref_ap = ref["ap"]
+    for c in range(1, C):
+        key = f"AP/{c}"
+        if key in ours:
+            np.testing.assert_allclose(ours[key], ref_ap[c], rtol=1e-6,
+                                       err_msg=key)
+    # reference mAP = nanmean over classes incl. background nan slot
+    np.testing.assert_allclose(ours["mAP"],
+                               float(np.nanmean(ref_ap[1:])), rtol=1e-6)
