@@ -49,11 +49,20 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray,
 def eval_detection_voc(pred_per_image: Sequence[dict],
                        gt_per_image: Sequence[dict],
                        num_classes: int, iou_thresh: float = 0.5,
-                       use_07_metric: bool = False) -> Dict[str, float]:
+                       use_07_metric: bool = False,
+                       double_inclusive: bool = False) -> Dict[str, float]:
     """pred_per_image: [{"boxes" [N,4], "labels" [N], "scores" [N]}];
     gt_per_image: [{"boxes" [M,4], "labels" [M], "difficult" [M]?}].
     Classes are 1-indexed (0 = background, skipped).
-    Returns {"mAP": ..., "AP/<c>": ...} (classes with no gt excluded)."""
+    Returns {"mAP": ..., "AP/<c>": ...} (classes with no gt excluded).
+
+    The reference ships TWO box conventions: ``vg_eval.py`` (the
+    test_sg_net / VG-TSV protocol behind the VinVL numbers) matches with
+    the single inclusive +1 — the default here — while ``voc_eval.py``
+    (plain-VOC datasets) adds +1 to x2/y2 ON TOP of boxlist_iou's
+    TO_REMOVE=1; ``double_inclusive=True`` reproduces that effective +2.
+    Both are parity-tested against the reference evaluators executed
+    directly (``test_reference_loss_parity.py``)."""
     aps = {}
     for c in range(1, num_classes):
         scores: List[float] = []
@@ -67,16 +76,13 @@ def eval_detection_voc(pred_per_image: Sequence[dict],
             n_pos += int((~difficult.astype(bool)).sum())
             p_sel = np.asarray(preds["labels"]) == c
             p_boxes = np.asarray(preds["boxes"], np.float64)[p_sel]
-            # the reference's voc_eval adds +1 to x2/y2 ("integer typed
-            # boxes", voc_eval.py:107-110) ON TOP of boxlist_iou's
-            # TO_REMOVE=1 — an effective +2 convention; reproduced for
-            # numeric parity (test_reference_loss_parity.py)
-            if len(p_boxes):
-                p_boxes = p_boxes.copy()
-                p_boxes[:, 2:] += 1
-            if len(gt_boxes):
-                gt_boxes = gt_boxes.copy()
-                gt_boxes[:, 2:] += 1
+            if double_inclusive:
+                if len(p_boxes):
+                    p_boxes = p_boxes.copy()
+                    p_boxes[:, 2:] += 1
+                if len(gt_boxes):
+                    gt_boxes = gt_boxes.copy()
+                    gt_boxes[:, 2:] += 1
             p_scores = np.asarray(preds["scores"], np.float64)[p_sel]
             order = np.argsort(-p_scores, kind="stable")
             taken = np.zeros(len(gt_boxes), bool)

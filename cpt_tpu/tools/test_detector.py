@@ -42,6 +42,11 @@ def build_args():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--expected_results", default=None,
                    help='json [["mAP", 0.35, 0.01], ...]')
+    p.add_argument("--voc_box_convention", action="store_true",
+                   help="use the plain-VOC evaluator's double-inclusive "
+                        "box convention (reference voc_eval.py) instead "
+                        "of the VG-TSV protocol's single +1 "
+                        "(vg_eval.py, the default)")
     p.add_argument("--coco_eval", action="store_true",
                    help="also report COCO-protocol AP/AP50/AP75")
     p.add_argument("--bbox_aug", action="store_true",
@@ -148,7 +153,8 @@ def main(argv=None):
     dt = time.time() - t0
     print(f"detected {n} images in {dt:.1f}s ({n / max(dt, 1e-9):.2f} img/s)")
 
-    results = eval_detection_voc(preds, gts, cfg.roi_heads.num_classes)
+    results = eval_detection_voc(preds, gts, cfg.roi_heads.num_classes,
+                                 double_inclusive=args.voc_box_convention)
     print(f"mAP: {results['mAP']:.4f}")
     if args.coco_eval:
         from cpt_tpu.engine.detection_eval import eval_detection_coco

@@ -247,16 +247,12 @@ def test_reldn_contrastive_losses_match_reference():
                                    err_msg=k)
 
 
-@pytest.mark.parametrize("use_07", [False, True])
-def test_voc_eval_matches_reference(use_07):
-    """VOC mAP protocol vs the reference's own eval_detection_voc
-    executed directly (evaluation/voc/voc_eval.py): per-class APs and
-    mAP on identical synthetic detections, both AP metrics, with
-    difficult-gt handling."""
+def _stub_eval_import_chain():
+    """datasets/__init__ pulls pycocotools + cityscapesscripts; stub."""
     import sys
     import types
 
-    if "pycocotools" not in sys.modules:   # voc_eval -> segmentation_mask
+    if "pycocotools" not in sys.modules:
         pc = types.ModuleType("pycocotools")
         pm = types.ModuleType("pycocotools.mask")
         pm.decode = pm.encode = pm.frPyObjects = lambda *a, **k: None
@@ -266,7 +262,7 @@ def test_voc_eval_matches_reference(use_07):
         pcc = types.ModuleType("pycocotools.coco")
         pcc.COCO = object
         sys.modules["pycocotools.coco"] = pcc
-    if "cityscapesscripts" not in sys.modules:  # datasets/__init__ chain
+    if "cityscapesscripts" not in sys.modules:
         cs = types.ModuleType("cityscapesscripts")
         ch = types.ModuleType("cityscapesscripts.helpers")
         chh = types.ModuleType("cityscapesscripts.helpers.csHelpers")
@@ -277,6 +273,15 @@ def test_voc_eval_matches_reference(use_07):
         sys.modules["cityscapesscripts"] = cs
         sys.modules["cityscapesscripts.helpers"] = ch
         sys.modules["cityscapesscripts.helpers.csHelpers"] = chh
+
+
+@pytest.mark.parametrize("use_07", [False, True])
+def test_voc_eval_matches_reference(use_07):
+    """VOC mAP protocol vs the reference's own eval_detection_voc
+    executed directly (evaluation/voc/voc_eval.py): per-class APs and
+    mAP on identical synthetic detections, both AP metrics, with
+    difficult-gt handling."""
+    _stub_eval_import_chain()
     from maskrcnn_benchmark.data.datasets.evaluation.voc.voc_eval import (
         eval_detection_voc as ref_voc)
 
@@ -315,7 +320,7 @@ def test_voc_eval_matches_reference(use_07):
 
     ref = ref_voc(pred_bls, gt_bls, iou_thresh=0.5, use_07_metric=use_07)
     ours = eval_detection_voc(preds, gts, num_classes=C,
-                              use_07_metric=use_07)
+                              use_07_metric=use_07, double_inclusive=True)
     ref_ap = ref["ap"]
     for c in range(1, C):
         key = f"AP/{c}"
@@ -325,3 +330,53 @@ def test_voc_eval_matches_reference(use_07):
     # reference mAP = nanmean over classes incl. background nan slot
     np.testing.assert_allclose(ours["mAP"],
                                float(np.nanmean(ref_ap[1:])), rtol=1e-6)
+
+
+@pytest.mark.parametrize("use_07", [False, True])
+def test_vg_eval_matches_reference(use_07):
+    """VG detection-mAP protocol (the test_sg_net evaluator behind the
+    VinVL numbers, evaluation/vg/vg_eval.py — global cross-image score
+    sort, single +1 convention, greedy taken-flags) vs our DEFAULT
+    eval_detection_voc convention."""
+    _stub_eval_import_chain()
+    from maskrcnn_benchmark.data.datasets.evaluation.vg.vg_eval import (
+        calc_detection_voc_prec_rec as ref_pr)
+
+    from cpt_tpu.engine.detection_eval import eval_detection_voc
+
+    rng = np.random.RandomState(11)
+    C, n_img = 4, 5
+    preds, gts, pred_bls, gt_bls = [], [], [], []
+    for _ in range(n_img):
+        ng = rng.randint(2, 5)
+        g_boxes = _rand_boxes(rng, ng)
+        g_labels = rng.randint(1, C, ng)
+        npd = rng.randint(3, 7)
+        p_boxes = _rand_boxes(rng, npd)
+        for i in range(min(ng, npd)):
+            p_boxes[i] = g_boxes[i] + rng.uniform(-3, 3, 4).astype(
+                np.float32)
+        p_labels = rng.randint(1, C, npd)
+        p_labels[: min(ng, npd)] = g_labels[: min(ng, npd)]
+        p_scores = rng.rand(npd).astype(np.float32)
+        preds.append({"boxes": p_boxes, "labels": p_labels,
+                      "scores": p_scores})
+        gts.append({"boxes": g_boxes, "labels": g_labels})
+        pb = BoxList(torch.tensor(p_boxes), (100, 100), mode="xyxy")
+        pb.add_field("labels", torch.tensor(p_labels))
+        pb.add_field("scores", torch.tensor(p_scores))
+        pred_bls.append(pb)
+        gb = BoxList(torch.tensor(g_boxes), (100, 100), mode="xyxy")
+        gb.add_field("labels", torch.tensor(g_labels))
+        gt_bls.append(gb)
+
+    ours = eval_detection_voc(preds, gts, num_classes=C,
+                              use_07_metric=use_07)
+    for c in range(1, C):
+        rec, prec, ref_ap, _scores, npos = ref_pr(
+            pred_bls, gt_bls, c, iou_thresh=0.5, eval_attributes=False,
+            use_07_metric=use_07)
+        if npos == 0:
+            continue
+        np.testing.assert_allclose(ours[f"AP/{c}"], ref_ap, rtol=1e-6,
+                                   err_msg=f"AP/{c}")
