@@ -116,6 +116,73 @@ def eval_detection_voc(pred_per_image: Sequence[dict],
     return out
 
 
+def eval_detection_attributes(pred_per_image: Sequence[dict],
+                              gt_per_image: Sequence[dict],
+                              num_attr_classes: int,
+                              iou_thresh: float = 0.5,
+                              use_07_metric: bool = False
+                              ) -> Dict[str, float]:
+    """Attribute-detection mAP — the ``test_sg_net.py:115``
+    force-box attribute evaluation (reference ``vg_eval.py``
+    ``eval_attributes=True`` branch, executed-parity-tested):
+
+    pred_per_image: [{"boxes" [N,4], "attr_labels" [N,K],
+    "attr_scores" [N,K]}] — each box contributes its K attribute slots
+    (zero-score slots skipped); gt_per_image: [{"boxes" [M,4],
+    "attributes" [M,Kg]}] — a gt counts for every attribute id its row
+    contains. Greedy +1-IoU matching with per-(image, class) taken
+    flags; classes with no gt score AP 0 and ARE averaged (the
+    reference's behavior). Returns mAP, npos-weighted mAP and per-class
+    APs (attribute id 0 = __no_attribute__, skipped)."""
+    aps, nposs = [], []
+    per_class = {}
+    for c in range(1, num_attr_classes):
+        scores: List[float] = []
+        matched: List[bool] = []
+        n_pos = 0
+        for preds, gts in zip(pred_per_image, gt_per_image):
+            gt_attr = np.asarray(gts["attributes"])
+            gt_sel = (gt_attr == c).any(axis=1) if gt_attr.size else                 np.zeros(0, bool)
+            gt_boxes = np.asarray(gts["boxes"], np.float64)[gt_sel]
+            n_pos += int(gt_sel.sum())
+            al = np.asarray(preds["attr_labels"])
+            asc = np.asarray(preds["attr_scores"], np.float64)
+            rows, slots = np.nonzero((al == c) & (asc != 0.0))
+            p_boxes = np.asarray(preds["boxes"], np.float64)[rows]
+            p_scores = asc[rows, slots]
+            order = np.argsort(-p_scores, kind="stable")
+            taken = np.zeros(len(gt_boxes), bool)
+            for pi in order:
+                scores.append(p_scores[pi])
+                ok = False
+                if len(gt_boxes):
+                    ious = _iou_plus_one(p_boxes[pi], gt_boxes)
+                    best = int(np.argmax(ious))
+                    if ious[best] >= iou_thresh and not taken[best]:
+                        taken[best] = True
+                        ok = True
+                matched.append(ok)
+        if n_pos == 0 or not scores:
+            aps.append(0.0)
+            nposs.append(float(n_pos))
+            continue
+        order = np.argsort(-np.asarray(scores), kind="stable")
+        tp = np.cumsum(np.asarray(matched)[order])
+        fp = np.cumsum(~np.asarray(matched)[order])
+        rec = tp / n_pos
+        prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+        ap = voc_ap(rec, prec, use_07_metric)
+        aps.append(float(ap))
+        nposs.append(float(n_pos))
+        per_class[f"attrAP/{c}"] = float(ap)
+    w = np.asarray(nposs)
+    out = {"attr_mAP": float(np.mean(aps)) if aps else 0.0,
+           "attr_weighted_mAP": (float(np.average(aps, weights=w))
+                                 if w.sum() > 0 else 0.0)}
+    out.update(per_class)
+    return out
+
+
 def check_expected_results(results: Dict[str, float],
                            expected: Sequence[Tuple[str, float, float]],
                            logger=print) -> bool:

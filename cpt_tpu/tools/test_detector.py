@@ -42,6 +42,10 @@ def build_args():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--expected_results", default=None,
                    help='json [["mAP", 0.35, 0.01], ...]')
+    p.add_argument("--attr_eval", action="store_true",
+                   help="force-box ATTRIBUTE mAP over the TSV gt boxes "
+                        "(the reference test_sg_net.py:115 attribute "
+                        "evaluation: vg_eval eval_attributes=True)")
     p.add_argument("--voc_box_convention", action="store_true",
                    help="use the plain-VOC evaluator's double-inclusive "
                         "box convention (reference voc_eval.py) instead "
@@ -68,6 +72,68 @@ def build_args():
     return p
 
 
+def attr_eval(args, model, cfg, params, h, w):
+    """Force-box attribute evaluation (reference ``test_sg_net.py:115`` →
+    ``vg_eval.py`` ``eval_attributes=True``): run the attribute head on
+    the gt boxes, post-process per the reference's AttributePostProcessor
+    (softmax with background zeroed, ``postprocess_threshold``, top
+    ``max_num_attr_per_obj`` slots), then attribute mAP."""
+    from cpt_tpu.data.vg_tsv import DetectionTSVDataset
+    from cpt_tpu.engine.detection_eval import eval_detection_attributes
+    from cpt_tpu.engine.extract import to_detector_input
+
+    ds = DetectionTSVDataset(args.tsv, attribute_on=True)
+    m = cfg.max_force_boxes
+    ac = cfg.attributes
+    k = min(ac.max_num_attr_per_obj, ac.num_attributes - 1)
+
+    @jax.jit
+    def fb(prm, image_u8, hw, boxes, valid):
+        x = to_detector_input(image_u8, cfg.input.pixel_mean,
+                              dtype=model.dtype)
+        out = model.apply(prm, x, hw, boxes, valid, with_attributes=True)
+        return out["attr_logits"]
+
+    preds, gts = [], []
+    t0 = time.time()
+    for i in range(len(ds)):
+        img, target, _ = ds[i]
+        ih, iw = img.shape[:2]
+        canvas = np.zeros((h, w, 3), np.uint8)
+        canvas[: min(ih, h), : min(iw, w)] = img[:h, :w]
+        gt_boxes = np.asarray(target["boxes"], np.float32)
+        n = min(len(gt_boxes), m)
+        boxes = np.zeros((m, 4), np.float32)
+        boxes[:n] = gt_boxes[:n]
+        valid = np.zeros((m,), bool)
+        valid[:n] = True
+        logits = np.asarray(fb(params, jnp.asarray(canvas),
+                               jnp.asarray([min(ih, h), min(iw, w)],
+                                           jnp.int32),
+                               jnp.asarray(boxes), jnp.asarray(valid)))[:n]
+        prob = np.exp(logits - logits.max(-1, keepdims=True))
+        prob /= prob.sum(-1, keepdims=True)
+        prob[:, 0] = 0.0                       # __no_attribute__
+        prob[prob <= ac.postprocess_threshold] = 0.0
+        order = np.argsort(-prob, axis=-1)[:, :k]
+        attr_labels = order.astype(np.int64)
+        attr_scores = np.take_along_axis(prob, order, axis=-1)
+        preds.append({"boxes": gt_boxes[:n], "attr_labels": attr_labels,
+                      "attr_scores": attr_scores})
+        gts.append({"boxes": gt_boxes[:n],
+                    "attributes": np.asarray(target.get(
+                        "attributes", np.zeros((n, 1), np.int64)))[:n]})
+    dt = time.time() - t0
+    print(f"attr-eval: {len(preds)} images in {dt:.1f}s")
+    results = eval_detection_attributes(preds, gts, ac.num_attributes)
+    print(f"attr mAP: {results['attr_mAP']:.4f} "
+          f"(weighted {results['attr_weighted_mAP']:.4f})")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({k2: float(v) for k2, v in results.items()}, f)
+    return results
+
+
 def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
@@ -92,6 +158,9 @@ def main(argv=None):
         print("WARNING: random detector weights")
 
     fn = make_detect_fn(model, cfg, with_attributes=False)
+
+    if args.attr_eval:
+        return attr_eval(args, model, cfg, params, h, w)
 
     def samples():
         if args.tsv:

@@ -380,3 +380,60 @@ def test_vg_eval_matches_reference(use_07):
             continue
         np.testing.assert_allclose(ours[f"AP/{c}"], ref_ap, rtol=1e-6,
                                    err_msg=f"AP/{c}")
+
+
+def test_attribute_eval_matches_reference():
+    """Attribute-detection mAP (vg_eval eval_attributes=True — the
+    test_sg_net force-box attribute evaluation) vs our
+    eval_detection_attributes: per-class APs on identical synthetic
+    predictions with [N,K] attribute slots."""
+    _stub_eval_import_chain()
+    from maskrcnn_benchmark.data.datasets.evaluation.vg.vg_eval import (
+        calc_detection_voc_prec_rec as ref_pr)
+
+    from cpt_tpu.engine.detection_eval import eval_detection_attributes
+
+    rng = np.random.RandomState(13)
+    A, K, n_img = 6, 3, 4
+    preds, gts, pred_bls, gt_bls = [], [], [], []
+    for _ in range(n_img):
+        ng = rng.randint(2, 4)
+        g_boxes = _rand_boxes(rng, ng)
+        g_attrs = np.zeros((ng, K), np.int64)
+        for i in range(ng):
+            n_a = rng.randint(1, K + 1)
+            g_attrs[i, :n_a] = rng.choice(np.arange(1, A), n_a,
+                                          replace=False)
+        npd = rng.randint(2, 5)
+        p_boxes = _rand_boxes(rng, npd)
+        for i in range(min(ng, npd)):
+            p_boxes[i] = g_boxes[i] + rng.uniform(-2, 2, 4).astype(
+                np.float32)
+        p_attrs = rng.randint(1, A, (npd, K))
+        p_scores = rng.rand(npd, K).astype(np.float32)
+        p_scores[rng.rand(npd, K) < 0.2] = 0.0   # zero-score slots skipped
+
+        preds.append({"boxes": p_boxes, "attr_labels": p_attrs,
+                      "attr_scores": p_scores})
+        gts.append({"boxes": g_boxes, "attributes": g_attrs})
+        pb = BoxList(torch.tensor(p_boxes), (100, 100), mode="xyxy")
+        pb.add_field("attr_labels", torch.tensor(p_attrs))
+        pb.add_field("attr_scores", torch.tensor(p_scores))
+        pred_bls.append(pb)
+        gb = BoxList(torch.tensor(g_boxes), (100, 100), mode="xyxy")
+        gb.add_field("attributes", torch.tensor(g_attrs))
+        gt_bls.append(gb)
+
+    ours = eval_detection_attributes(preds, gts, num_attr_classes=A)
+    ref_aps = []
+    for c in range(1, A):
+        _rec, _prec, ap, _scores, npos = ref_pr(
+            pred_bls, gt_bls, c, iou_thresh=0.5, eval_attributes=True,
+            use_07_metric=False)
+        ref_aps.append(float(ap))
+        key = f"attrAP/{c}"
+        if key in ours:
+            np.testing.assert_allclose(ours[key], ap, rtol=1e-6,
+                                       err_msg=key)
+    np.testing.assert_allclose(ours["attr_mAP"], np.mean(ref_aps),
+                               rtol=1e-6)

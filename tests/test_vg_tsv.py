@@ -217,3 +217,22 @@ def test_train_detector_sg_relation_training(tsv_root, tmp_path):
                                "--output_dir", str(tmp_path / "sg")])
     assert np.isfinite(loss)
     assert "relation" in params["params"]
+
+
+@pytest.mark.slow
+def test_detector_attr_eval_cli(tsv_root, tmp_path):
+    """test_detector --attr_eval: force-box attribute mAP end-to-end on
+    the TSV fixture (random tiny weights — checks the protocol runs and
+    emits sane keys, reference test_sg_net.py:115 recipe)."""
+    import json
+
+    from cpt_tpu.tools.test_detector import main
+
+    root, yaml_path, _ = tsv_root
+    out = tmp_path / "attr_results.json"
+    results = main(["--tsv", yaml_path, "--tiny", "--attr_eval",
+                    "--output", str(out)])
+    assert 0.0 <= results["attr_mAP"] <= 1.0
+    assert "attr_weighted_mAP" in results
+    blob = json.load(open(out))
+    assert blob["attr_mAP"] == pytest.approx(results["attr_mAP"])
