@@ -58,12 +58,14 @@ class OscarPretrainData:
                  mask_loss_for_unmatched: bool = True):
         """captions: {img_key: caption string}.
 
-        Corruption scheme (reference ``oscar_tsv.py:263-283``): with prob
-        0.5 the pair is clean (label 0); otherwise, with prob
-        ``1 − texta_false_prob`` (conditioned on corrupting) the od-label
-        side is swapped with another image's tags (label 1, "polluted
-        tags"), else the CAPTION is swapped (wrong-text_a retrieval
-        triplet, label ``num_contrast_classes − 1``). ``use_b=False``
+        Corruption scheme (reference ``oscar_tsv.py:263-283``, one dice
+        draw): ``dice > 0.5`` → clean (label 0);
+        ``texta_false_prob < dice ≤ 0.5`` → od labels swapped with
+        another image's tags (label 1, "polluted tags");
+        ``dice ≤ texta_false_prob`` → the CAPTION is swapped
+        (wrong-text_a retrieval triplet, label ``num_contrast_classes −
+        1``) — so ``texta_false_prob`` is the ABSOLUTE wrong-caption
+        probability, not conditional on corrupting. ``use_b=False``
         drops the od-label segment entirely (caption ⊕ regions only);
         text_a corruption then carries the contrast signal. The
         reference's ``textb_sample_mode`` 0/1/2 distinctions collapse
@@ -120,12 +122,14 @@ class OscarPretrainData:
             # (swap_prob keeps the historical knob: P(corrupt) = swap_prob
             # instead of 0.5).
             label = 0
+            polluted_tags = False
             dice = rng.random()
             if dice < self.swap_prob and len(self.keys) > 1:
                 other = rng.choice([k for k in self.keys if k != key])
                 if dice >= self.texta_false_prob and self.use_b:
                     _, od = self._feats(other)
                     label = 1
+                    polluted_tags = True
                 else:
                     caption = self.captions[other]
                     label = self.num_contrast_classes - 1
@@ -137,19 +141,23 @@ class OscarPretrainData:
             sep = toks.index(sep_id)
             maskable = np.zeros((t,), bool)
             maskable[1:sep] = True                   # caption tokens
-            sep2 = None
             if self.use_b:                           # od-label tokens too
                 try:                                 # (oscar_tsv random_word
                     sep2 = toks.index(sep_id, sep + 1)   # masks both sides)
-                    maskable[sep + 1:sep2] = True
+                    # mask_loss_for_unmatched=0 + polluted tags: the
+                    # reference SKIPS random_word on tokens_b entirely
+                    # (oscar_tsv.py:693-696) — tags stay intact in the
+                    # input AND carry no labels. Note the 2-way
+                    # texta_false_prob=0.5 config relabels its caption
+                    # swaps is_next_type=2 (oscar_tsv.py:686-687), so
+                    # only true tag pollution skips — tracked here via
+                    # polluted_tags, not the label value.
+                    if self.mask_loss_for_unmatched or not polluted_tags:
+                        maskable[sep + 1:sep2] = True
                 except ValueError:
                     pass
             masked, labels = mask_tokens(seq.input_ids, maskable,
                                          self.tokenizer, rng)
-            if (not self.mask_loss_for_unmatched and label == 1
-                    and sep2 is not None):
-                # polluted tags carry no MLM signal (oscar_tsv.py:693-694)
-                labels[sep + 1:sep2] = -1
             ids[i] = masked
             segs[i] = seq.segment_ids
             attn[i] = seq.attention_mask

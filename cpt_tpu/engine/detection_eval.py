@@ -141,9 +141,12 @@ def eval_detection_attributes(pred_per_image: Sequence[dict],
         matched: List[bool] = []
         n_pos = 0
         for preds, gts in zip(pred_per_image, gt_per_image):
-            gt_attr = np.asarray(gts["attributes"])
-            gt_sel = (gt_attr == c).any(axis=1) if gt_attr.size else                 np.zeros(0, bool)
-            gt_boxes = np.asarray(gts["boxes"], np.float64)[gt_sel]
+            gt_boxes_all = np.asarray(gts["boxes"], np.float64).reshape(
+                -1, 4)
+            gt_attr = np.asarray(gts["attributes"]).reshape(
+                len(gt_boxes_all), -1)
+            gt_sel = (gt_attr == c).any(axis=1)
+            gt_boxes = gt_boxes_all[gt_sel]
             n_pos += int(gt_sel.sum())
             al = np.asarray(preds["attr_labels"])
             asc = np.asarray(preds["attr_scores"], np.float64)

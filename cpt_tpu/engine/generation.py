@@ -251,10 +251,12 @@ def beam_search(model, params, cfg: GenerationConfig, segment_ids, attn,
         (_, _, bank_tok, bank_sc, bank_len, _), _ = jax.lax.scan(
             body, init, jnp.arange(1, la))
         # append EOS at the end of each hypothesis (reference decode step)
-        eos_onehot = jax.nn.one_hot(bank_len, la, dtype=jnp.int32)
+        is_eos_slot = (jnp.arange(la)[None, None, :]
+                       == bank_len[..., None])
         in_prefix = jnp.arange(la)[None, None, :] < bank_len[..., None]
-        bank_tok = (jnp.where(in_prefix, bank_tok, cfg.pad_token_id)
-                    + eos_onehot * cfg.eos_token_id)
+        bank_tok = jnp.where(
+            in_prefix, bank_tok,
+            jnp.where(is_eos_slot, cfg.eos_token_id, cfg.pad_token_id))
         return bank_tok, bank_sc
 
     tokens, scores = run(params, seg_e, attn_e, img_e, base_e)

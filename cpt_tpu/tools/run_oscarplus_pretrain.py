@@ -43,10 +43,11 @@ def build_args():
                    help="keep MLM loss on polluted od-label tokens "
                         "(reference flag; 0 = drop, oscar_tsv.py:693-694)")
     p.add_argument("--texta_false_prob", type=float, default=0.0,
-                   help="conditioned on corrupting a pair, probability the "
-                        "CAPTION is swapped instead of the od labels — the "
-                        "wrong-text_a retrieval triplet; enables 3-way "
-                        "contrastive (oscar_tsv.py:263-283)")
+                   help="ABSOLUTE probability the CAPTION is swapped (the "
+                        "wrong-text_a retrieval triplet; od-label swaps "
+                        "then fill 0.5 - p): the reference's single-dice "
+                        "ladder, oscar_tsv.py:263-283. p < 0.5 enables "
+                        "3-way contrastive")
     p.add_argument("--use_b", type=int, default=1,
                    help="1 = caption [SEP] od-labels [SEP] layout; 0 = "
                         "caption-only text side (reference --use_b)")

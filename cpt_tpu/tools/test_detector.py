@@ -157,10 +157,15 @@ def main(argv=None):
         params = init
         print("WARNING: random detector weights")
 
-    fn = make_detect_fn(model, cfg, with_attributes=False)
-
     if args.attr_eval:
+        if args.coco_eval or args.expected_results or args.bbox_aug:
+            raise SystemExit(
+                "--attr_eval is a standalone force-box attribute "
+                "evaluation and cannot combine with --coco_eval/"
+                "--expected_results/--bbox_aug")
         return attr_eval(args, model, cfg, params, h, w)
+
+    fn = make_detect_fn(model, cfg, with_attributes=False)
 
     def samples():
         if args.tsv:

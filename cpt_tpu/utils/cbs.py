@@ -161,9 +161,15 @@ def constrained_beam_search(step_logits_fn, params, context, *,
     ok = nsat[state_of] >= min_constraints
     if num_group_states > 0:
         ok = ok & (state_of < num_group_states)
+    # the reference considers only beam 0 of each state
+    # (cbs.py::select_best_beam_with_constraints indexes
+    # beams[i, valid_states, 0, :]); per-state beams here are sorted by
+    # raw cumulative score, so beam 0 is slot s*k
+    is_beam0 = (jnp.arange(n) % k) == 0
+    ok = ok & is_beam0
     sat_norm = jnp.where(ok, norm, NEG)
     best_sat = jnp.argmax(sat_norm)
-    best_any = jnp.argmax(norm)
+    best_any = jnp.argmax(jnp.where(is_beam0, norm, NEG))
     use_sat = sat_norm[best_sat] > NEG / 2
     best = jnp.where(use_sat, best_sat, best_any)
     return tokens[best], norm[best]

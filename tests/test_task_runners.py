@@ -324,11 +324,14 @@ def test_pretrain_corruption_scheme(fixture):
     assert not (segs == 1).any()
     assert set(int(v) for v in contrast) <= {0, 2}
 
-    # mask_loss_for_unmatched=0: polluted pairs have no od-token MLM labels
+    # mask_loss_for_unmatched=0: polluted pairs have no od-token MLM
+    # labels AND the polluted tags stay unmasked in the input (the
+    # reference skips random_word on tokens_b, oscar_tsv.py:693-696)
     data_nm = OscarPretrainData(fixture["feat_file"], caps, tok, 16, 6,
                                 img_feat_dim=D,
                                 mask_loss_for_unmatched=False)
     rng = _random.Random(2)
+    mask_id = tok.mask_token_id
     seen_clean_od_label = False
     for _ in range(30):
         ids, segs, attn, feats, mlm, contrast = data_nm.batch(
@@ -337,6 +340,7 @@ def test_pretrain_corruption_scheme(fixture):
             od_slots = segs[i] == 1
             if contrast[i] == 1:
                 assert (mlm[i, :16][od_slots] == -1).all()
+                assert not (ids[i][od_slots] == mask_id).any()
             elif (mlm[i, :16][od_slots] != -1).any():
                 seen_clean_od_label = True
     assert seen_clean_od_label, "clean pairs should keep od MLM labels"
