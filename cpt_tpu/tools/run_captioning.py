@@ -31,9 +31,13 @@ from cpt_tpu.utils.tsv import TSVFile, decode_feature
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feat_file", required=True)
-    p.add_argument("--captions", required=True,
+    p.add_argument("--feat_file", default=None)
+    p.add_argument("--captions", default=None,
                    help="json {img_key: [captions]}")
+    p.add_argument("--dataset_yaml", default=None,
+                   help="reference CaptionTSVDataset yaml (feature/label "
+                        "TSVs + COCO-style caption json) — loads the "
+                        "reference's own caption data files directly")
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_seq_a_length", type=int, default=40)
     p.add_argument("--max_img_seq_length", type=int, default=50)
@@ -116,6 +120,54 @@ def load_feats(tsv, imgid2idx, key):
     return feats, od
 
 
+class CaptionYamlData:
+    """Reference caption-dataset yaml (``run_captioning.py:29-127``
+    CaptionTSVDataset layout): ``feature`` TSV rows
+    ``(key, {"num_boxes", "features": b64 f32 [n, D]})``, optional
+    ``label`` TSV rows ``(key, [{"class": ...}])``, ``caption`` json
+    ``[{"image_id", "caption"}]``. Loads the reference's own data files
+    without conversion."""
+
+    def __init__(self, yaml_file: str):
+        import base64
+
+        import yaml as _yaml
+
+        self._b64 = base64
+        cfg = _yaml.safe_load(open(yaml_file))
+        root = os.path.dirname(os.path.abspath(yaml_file))
+
+        def path(v):
+            if v is None:
+                return None
+            return v if os.path.isfile(v) else os.path.join(root, v)
+
+        self.feat_tsv = TSVFile(path(cfg["feature"]))
+        lbl = path(cfg.get("label"))
+        self.label_tsv = TSVFile(lbl) if lbl and os.path.isfile(lbl) \
+            else None
+        self.key2idx = {self.feat_tsv.seek(i)[0]: i
+                        for i in range(len(self.feat_tsv))}
+        cap_path = path(cfg.get("caption"))
+        self.captions = {}
+        if cap_path and os.path.isfile(cap_path):
+            for row in json.load(open(cap_path)):
+                self.captions.setdefault(
+                    str(row["image_id"]), []).append(row["caption"])
+
+    def load(self, key):
+        i = self.key2idx[key]
+        info = json.loads(self.feat_tsv.seek(i)[1])
+        feats = np.frombuffer(
+            self._b64.b64decode(info["features"]), np.float32).reshape(
+            int(info["num_boxes"]), -1)
+        od = ""
+        if self.label_tsv is not None:
+            objs = json.loads(self.label_tsv.seek(i)[1])
+            od = " ".join(o["class"] for o in objs)
+        return feats, od
+
+
 def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
@@ -125,10 +177,22 @@ def main(argv=None):
     cfg = model_config(args)
     model = BertForImageCaptioning(cfg, dtype=dtype_of(args))
 
-    tsv = TSVFile(args.feat_file)
-    imgid2idx = {tsv.seek(i)[0]: i for i in range(len(tsv))}
-    captions = {k: v for k, v in json.load(open(args.captions)).items()
-                if k in imgid2idx}
+    if args.dataset_yaml:
+        ydata = CaptionYamlData(args.dataset_yaml)
+        captions = {k: v for k, v in ydata.captions.items()
+                    if k in ydata.key2idx}
+        get_feats = ydata.load
+    else:
+        if not (args.feat_file and args.captions):
+            raise SystemExit("need --feat_file + --captions, or "
+                             "--dataset_yaml")
+        tsv = TSVFile(args.feat_file)
+        imgid2idx = {tsv.seek(i)[0]: i for i in range(len(tsv))}
+        captions = {k: v for k, v in json.load(open(args.captions)).items()
+                    if k in imgid2idx}
+
+        def get_feats(k):
+            return load_feats(tsv, imgid2idx, k)
     keys = sorted(captions)
 
     tens_train = CaptionTensorizer(
@@ -143,7 +207,7 @@ def main(argv=None):
     def train_batch(batch_keys, rng_py):
         rows = []
         for k in batch_keys:
-            feats, od = load_feats(tsv, imgid2idx, k)
+            feats, od = get_feats(k)
             cap = rng_py.choice(captions[k])
             rows.append(tens_train.tensorize(
                 cap, feats, text_b=od if use_od else None, rng=rng_py))
@@ -217,7 +281,7 @@ def main(argv=None):
             def quick_cider(p):
                 hyps = {}
                 for k in eval_keys:
-                    fe, od = load_feats(tsv, imgid2idx, k)
+                    fe, od = get_feats(k)
                     bi, sg, at, f, _, _, _ = tens_test.tensorize(
                         "", fe, text_b=od if use_od else None)
                     toks, _ = greedy_or_sample(
@@ -292,7 +356,7 @@ def main(argv=None):
         rng = jax.random.PRNGKey(args.seed + 1)
         for it in range(args.scst_steps):
             k = keys[it % len(keys)]
-            feats, od = load_feats(tsv, imgid2idx, k)
+            feats, od = get_feats(k)
             ids, segs, attn, f, _, _, _ = tens_test.tensorize("", feats,
                                                               text_b=od)
             batch = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),
@@ -311,7 +375,7 @@ def main(argv=None):
     hyps, outputs = {}, {}
     dec_rng = jax.random.PRNGKey(args.seed + 2)
     for k in keys:
-        feats, od = load_feats(tsv, imgid2idx, k)
+        feats, od = get_feats(k)
         ids, segs, attn, f, _, _, _ = tens_test.tensorize(
             "", feats, text_b=od if use_od else None)
         ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),

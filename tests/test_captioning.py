@@ -278,3 +278,47 @@ def test_meteor_exact():
     # multiple references: best one wins
     two = meteor_exact(["a", "dog"], [["a", "dog"], ["the", "cat"]])
     assert two == pytest.approx(1.0 - 0.5 * (1 / 2) ** 3, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_run_captioning_dataset_yaml(tmp_path):
+    """--dataset_yaml: the reference CaptionTSVDataset layout (feature TSV
+    with b64-concatenated features, label TSV, COCO-style caption json)
+    drives run_captioning end-to-end without conversion."""
+    import base64
+    import json
+
+    import yaml
+
+    from cpt_tpu.tools.run_captioning import main
+    from cpt_tpu.utils.tsv import tsv_writer
+
+    rng = np.random.RandomState(0)
+    D = 24
+    feat_rows, label_rows, caps = [], [], []
+    for q in range(6):
+        feats = (rng.randn(4, D) * 0.1).astype(np.float32)
+        feat_rows.append([f"im{q}", json.dumps(
+            {"num_boxes": 4,
+             "features": base64.b64encode(feats.tobytes()).decode()})])
+        label_rows.append([f"im{q}", json.dumps(
+            [{"class": "dog" if q % 2 else "cat"},
+             {"class": "park"}])])
+        caps.append({"image_id": f"im{q}",
+                     "caption": f"the {'red dog' if q % 2 else 'blue cat'}"})
+    tsv_writer(feat_rows, str(tmp_path / "features.tsv"))
+    tsv_writer(label_rows, str(tmp_path / "labels.tsv"))
+    json.dump(caps, open(tmp_path / "captions.json", "w"))
+    yaml.safe_dump({"feature": "features.tsv", "label": "labels.tsv",
+                    "caption": "captions.json"},
+                   open(tmp_path / "cap.yaml", "w"))
+
+    cider, outputs = main([
+        "--dataset_yaml", str(tmp_path / "cap.yaml"),
+        "--max_seq_length", "24", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6", "--train_steps", "12",
+        "--learning_rate", "3e-3", "--per_gpu_train_batch_size", "6",
+        "--num_beams", "1",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--img_feature_dim", str(D)])
+    assert len(outputs) == 6 and np.isfinite(cider)
