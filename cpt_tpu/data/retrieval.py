@@ -77,8 +77,20 @@ class RetrievalData:
         """
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
-        self.captions = {k: v for k, v in captions.items()
-                         if k in self.imgid2idx}
+        self._init_common(
+            {k: v for k, v in captions.items() if k in self.imgid2idx},
+            tokenizer, max_seq_len=max_seq_len, img_seq_len=img_seq_len,
+            img_feat_dim=img_feat_dim, eval_img_keys=eval_img_keys,
+            caption_indexs=caption_indexs, att_mask_type=att_mask_type,
+            num_captions_per_img=num_captions_per_img,
+            use_od_labels=use_od_labels)
+
+    def _init_common(self, captions, tokenizer,
+                     max_seq_len=70, img_seq_len=50, img_feat_dim=2054,
+                     eval_img_keys=None, caption_indexs=None,
+                     att_mask_type="CLR", num_captions_per_img=None,
+                     use_od_labels=True):
+        self.captions = captions
         if num_captions_per_img is not None:
             self.captions = {k: v[:num_captions_per_img]
                              for k, v in self.captions.items()}
@@ -198,6 +210,59 @@ class RetrievalData:
                 for ik in self.img_keys:
                     pairs.append((cap, ck, ik))
         return pairs
+
+
+class CocoIRRetrievalData(RetrievalData):
+    """The reference's coco_ir data layout loaded WITHOUT conversion
+    (``run_retrieval.py:23-75,236-243``): ``{split}_captions.pt`` (torch
+    dict {img_id: list[str] or json str}), ``imageid2idx.json`` beside
+    the feature TSV, 3-column feature rows ``(key, num_boxes,
+    b64 f32 [n, D])``, od labels from the sibling ``predictions.tsv``."""
+
+    def __init__(self, data_dir: str, img_feat_file: str,
+                 tokenizer: BertTokenizer, split: str = "train", **kw):
+        import base64
+        import os
+
+        import torch
+
+        self._b64 = base64
+        blob = torch.load(os.path.join(data_dir,
+                                       f"{split}_captions.pt"),
+                          weights_only=False)
+        captions = {}
+        for k, v in blob.items():
+            captions[str(k)] = v if isinstance(v, list) else json.loads(v)
+
+        feat_dir = os.path.dirname(os.path.abspath(img_feat_file))
+        id2idx = json.load(open(os.path.join(feat_dir,
+                                             "imageid2idx.json")))
+        self._coco_tsv = TSVFile(img_feat_file)
+        self._coco_id2idx = {str(k): int(v) for k, v in id2idx.items()}
+
+        self._od = {}
+        pred_path = os.path.join(feat_dir, "predictions.tsv")
+        if os.path.exists(pred_path):
+            ltsv = TSVFile(pred_path)
+            for i in range(len(ltsv)):
+                row = ltsv.seek(i)
+                info = json.loads(row[1])
+                objs = info["objects"] if isinstance(info, dict) else info
+                self._od[str(row[0])] = " ".join(o["class"] for o in objs)
+
+        # bypass RetrievalData's predictions-TSV ctor: replicate its
+        # caption bookkeeping with our own feature access
+        self.tsv = None
+        self.imgid2idx = self._coco_id2idx
+        captions = {k: v for k, v in captions.items()
+                    if k in self._coco_id2idx}
+        self._init_common(captions, tokenizer, **kw)
+
+    def _feats(self, img_key: str):
+        row = self._coco_tsv.seek(self._coco_id2idx[str(img_key)])
+        feats = np.frombuffer(self._b64.b64decode(row[-1]),
+                              np.float32).reshape(int(row[1]), -1)
+        return feats, self._od.get(str(img_key), "")
 
 
 def rank_rerank(scores: np.ndarray, labels: np.ndarray,

@@ -26,8 +26,18 @@ from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feat_file", required=True)
-    p.add_argument("--captions", required=True,
+    p.add_argument("--feat_file", default=None)
+    p.add_argument("--data_dir", default=None,
+                   help="reference coco_ir layout: {split}_captions.pt "
+                        "here + imageid2idx.json/predictions.tsv beside "
+                        "--img_feat_file (loads the reference's own data "
+                        "files, run_retrieval.py:23-75)")
+    p.add_argument("--img_feat_file", default=None,
+                   help="3-column (key, num_boxes, b64) feature TSV for "
+                        "--data_dir mode")
+    p.add_argument("--split", default="train",
+                   help="{split}_captions.pt to load in --data_dir mode")
+    p.add_argument("--captions", default=None,
                    help="json {img_key: [captions]}")
     p.add_argument("--train_steps", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=0,
@@ -102,13 +112,26 @@ def main(argv=None):
     cap_idx = None
     if args.eval_caption_index_file:
         cap_idx = _load_caption_indexs(args.eval_caption_index_file)
-    data = RetrievalData(args.feat_file, json.load(open(args.captions)),
-                         tokenizer, args.max_seq_length,
-                         args.max_img_seq_length, cfg.img_feature_dim,
-                         eval_img_keys=eval_keys, caption_indexs=cap_idx,
-                         att_mask_type=args.att_mask_type,
-                         num_captions_per_img=args.num_captions_per_img,
-                         use_od_labels=not args.no_od_labels)
+    common = dict(max_seq_len=args.max_seq_length,
+                  img_seq_len=args.max_img_seq_length,
+                  img_feat_dim=cfg.img_feature_dim,
+                  eval_img_keys=eval_keys, caption_indexs=cap_idx,
+                  att_mask_type=args.att_mask_type,
+                  num_captions_per_img=args.num_captions_per_img,
+                  use_od_labels=not args.no_od_labels)
+    if args.data_dir:
+        from cpt_tpu.data.retrieval import CocoIRRetrievalData
+
+        if not args.img_feat_file:
+            raise SystemExit("--data_dir mode needs --img_feat_file")
+        data = CocoIRRetrievalData(args.data_dir, args.img_feat_file,
+                                   tokenizer, split=args.split, **common)
+    else:
+        if not (args.feat_file and args.captions):
+            raise SystemExit("need --feat_file + --captions, or "
+                             "--data_dir + --img_feat_file")
+        data = RetrievalData(args.feat_file, json.load(open(args.captions)),
+                             tokenizer, **common)
 
     rng_py = random.Random(args.seed)
     bsz = args.per_gpu_train_batch_size

@@ -663,3 +663,48 @@ def test_pretrain_corruption_ladder_matches_reference_dice():
     assert abs(ref_counts[0] / n - 0.5) < 0.02
     assert abs(ref_counts[1] / n - 0.3) < 0.02
     assert abs(ref_counts[2] / n - 0.2) < 0.02
+
+
+@pytest.mark.slow
+def test_run_retrieval_coco_ir_layout(fixture, tmp_path):
+    """--data_dir mode: the reference's coco_ir files ({split}_captions.pt
+    torch dict, imageid2idx.json, 3-column b64 feature TSV, sibling
+    predictions.tsv od labels) drive run_retrieval without conversion."""
+    import base64
+
+    import torch
+
+    from cpt_tpu.tools.run_retrieval import main
+    from cpt_tpu.utils.tsv import tsv_writer
+
+    rng = np.random.RandomState(0)
+    feat_rows, pred_rows = [], []
+    caps = {}
+    for q in range(8):
+        sig = q % 2
+        feats = (rng.randn(4, D) * 0.1).astype(np.float32)
+        feats[:, 0] = 2.0 * sig
+        feat_rows.append([str(q), "4",
+                          base64.b64encode(feats.tobytes()).decode()])
+        pred_rows.append([str(q), json.dumps({"objects": [
+            {"rect": [0, 0, 5, 5],
+             "class": "dog" if sig else "cat"}]})])
+        caps[q] = [f"a photo of the {'red dog' if sig else 'blue cat'}"]
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    tsv_writer(feat_rows, str(feat_dir / "features.tsv"))
+    tsv_writer(pred_rows, str(feat_dir / "predictions.tsv"))
+    json.dump({str(q): q for q in range(8)},
+              open(feat_dir / "imageid2idx.json", "w"))
+    torch.save(caps, tmp_path / "train_captions.pt")
+
+    metrics = main([
+        "--data_dir", str(tmp_path), "--img_feat_file",
+        str(feat_dir / "features.tsv"), "--split", "train",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--train_steps", "60", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    # same bar as test_run_retrieval_ranks: the captions only separate
+    # the two signal groups, so R@5 over 8 images must beat random (62.5)
+    assert metrics["t2i_R@5"] >= 62.5
