@@ -27,6 +27,9 @@ class VQAExample:
     question: str
     # {answer label index: score}; empty at test time
     label_scores: Dict[int, float] = dataclasses.field(default_factory=dict)
+    # per-example od-label text (the qla json 'o' field); None = derive
+    # from the feature file's object classes
+    od_text: Optional[str] = None
 
 
 class VQAData:
@@ -74,6 +77,8 @@ class VQAData:
         for i, idx in enumerate(indices):
             ex = self.examples[idx]
             feats, od = self.features_for(ex.img_key)
+            if ex.od_text is not None:
+                od = ex.od_text
             seq = tensorize_pair(self.tokenizer, ex.question,
                                  od if self.use_od_labels else None,
                                  feats.shape[0], self.max_seq_len,
@@ -88,6 +93,62 @@ class VQAData:
                     soft[i, int(lab)] = score
                 hard[i] = max(ex.label_scores, key=ex.label_scores.get)
         return b, soft, hard
+
+
+class QlaVQAData(VQAData):
+    """The reference's VQA data layout loaded WITHOUT conversion
+    (``run_vqa.py:82-133`` + ``task_utils.py::VQATextProcessor``):
+    ``{split}_img_frcnn_feats.pt`` torch dict {img_id: [n, D] features}
+    and ``{split}_qla.json`` rows ``{"q", "o" (';'-joined od labels),
+    "an" (answer label ids), "s" (scores), "img_id", "q_id"}``. Train
+    rows with empty ``an`` are skipped, as the reference does."""
+
+    def __init__(self, data_dir: str, split: str, num_labels: int,
+                 tokenizer: BertTokenizer, max_seq_len: int = 128,
+                 img_seq_len: int = 50, img_feat_dim: int = 2054,
+                 use_od_labels: bool = True, is_test: bool = False):
+        import os
+
+        import torch
+
+        feats = torch.load(os.path.join(
+            data_dir, f"{split}_img_frcnn_feats.pt"), weights_only=False)
+        self._feat_map = {str(k): np.asarray(v, np.float32)
+                          for k, v in feats.items()}
+        qla = None
+        for cand in (f"{split}_qla.json", f"{split}_qla_mrcnn.json"):
+            path = os.path.join(data_dir, cand)
+            if os.path.isfile(path):
+                qla = json.load(open(path))
+                break
+        if qla is None:
+            raise FileNotFoundError(
+                f"no {split}_qla[_mrcnn].json under {data_dir}")
+        examples = []
+        for i, row in enumerate(qla):
+            an = row.get("an") or []
+            if not is_test and not an:
+                continue
+            examples.append(VQAExample(
+                q_id=str(row.get("q_id", i)), img_key=str(row["img_id"]),
+                question=row["q"],
+                label_scores={int(a): float(s)
+                              for a, s in zip(an, row.get("s") or [])},
+                od_text=row.get("o", "").replace(";", " ").strip()))
+
+        self.tsv = None
+        self.imgid2idx = {k: 0 for k in self._feat_map}
+        self.examples = [e for e in examples
+                         if e.img_key in self._feat_map]
+        self.num_labels = num_labels
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.img_seq_len = img_seq_len
+        self.img_feat_dim = img_feat_dim
+        self.use_od_labels = use_od_labels
+
+    def features_for(self, img_key: str):
+        return self._feat_map[str(img_key)], ""
 
 
 def load_vqa_examples(path: str) -> List[VQAExample]:

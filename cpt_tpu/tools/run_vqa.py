@@ -32,8 +32,16 @@ from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feat_file", required=True)
-    p.add_argument("--examples", required=True)
+    p.add_argument("--feat_file", default=None)
+    p.add_argument("--examples", default=None)
+    p.add_argument("--qla_data_dir", default=None,
+                   help="reference VQA layout: {split}_img_frcnn_feats.pt "
+                        "+ {split}_qla.json here (run_vqa.py:82-133; "
+                        "loads the reference's own data files)")
+    p.add_argument("--split", default="train2014",
+                   help="train split name in --qla_data_dir mode")
+    p.add_argument("--val_split", default=None,
+                   help="val split name in --qla_data_dir mode")
     p.add_argument("--val_examples", default=None)
     p.add_argument("--test_examples", default=None,
                    help="unlabeled test split; writes {test_name}_results.json")
@@ -153,13 +161,27 @@ def main(argv=None):
         assert args.per_gpu_train_batch_size % args.dp == 0
         assert args.per_gpu_eval_batch_size % args.dp == 0
 
-    data = VQAData(args.feat_file, load_vqa_examples(args.examples),
-                   args.num_labels, tokenizer, args.max_seq_length,
-                   args.max_img_seq_length, cfg.img_feature_dim)
-    val = (VQAData(args.feat_file, load_vqa_examples(args.val_examples),
-                   args.num_labels, tokenizer, args.max_seq_length,
-                   args.max_img_seq_length, cfg.img_feature_dim)
-           if args.val_examples else data)
+    if args.qla_data_dir:
+        from cpt_tpu.data.vqa import QlaVQAData
+
+        data = QlaVQAData(args.qla_data_dir, args.split, args.num_labels,
+                          tokenizer, args.max_seq_length,
+                          args.max_img_seq_length, cfg.img_feature_dim)
+        val = (QlaVQAData(args.qla_data_dir, args.val_split,
+                          args.num_labels, tokenizer, args.max_seq_length,
+                          args.max_img_seq_length, cfg.img_feature_dim)
+               if args.val_split else data)
+    else:
+        if not (args.feat_file and args.examples):
+            raise SystemExit("need --feat_file + --examples, or "
+                             "--qla_data_dir")
+        data = VQAData(args.feat_file, load_vqa_examples(args.examples),
+                       args.num_labels, tokenizer, args.max_seq_length,
+                       args.max_img_seq_length, cfg.img_feature_dim)
+        val = (VQAData(args.feat_file, load_vqa_examples(args.val_examples),
+                       args.num_labels, tokenizer, args.max_seq_length,
+                       args.max_img_seq_length, cfg.img_feature_dim)
+               if args.val_examples else data)
 
     bsz = args.per_gpu_train_batch_size
     b0, _, _ = data.batch([0], pad_to=bsz)

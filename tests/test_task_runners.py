@@ -708,3 +708,35 @@ def test_run_retrieval_coco_ir_layout(fixture, tmp_path):
     # same bar as test_run_retrieval_ranks: the captions only separate
     # the two signal groups, so R@5 over 8 images must beat random (62.5)
     assert metrics["t2i_R@5"] >= 62.5
+
+
+@pytest.mark.slow
+def test_run_vqa_qla_layout(tmp_path):
+    """--qla_data_dir mode: the reference's VQA files
+    ({split}_img_frcnn_feats.pt torch dict + {split}_qla.json with
+    q/o/an/s/img_id rows) drive run_vqa without conversion."""
+    import torch
+
+    from cpt_tpu.tools.run_vqa import main
+
+    rng = np.random.RandomState(0)
+    feats, qla = {}, []
+    for q in range(8):
+        sig = q % 2
+        f = (rng.randn(4, D) * 0.1).astype(np.float32)
+        f[:, 0] = 2.0 * sig
+        feats[f"im{q}"] = torch.tensor(f)
+        qla.append({"q": "is the dog red", "o": "dog;park" if sig
+                    else "cat;park", "an": [sig], "s": [1.0],
+                    "img_id": f"im{q}", "q_id": q})
+    torch.save(feats, tmp_path / "train2014_img_frcnn_feats.pt")
+    json.dump(qla, open(tmp_path / "train2014_qla.json", "w"))
+
+    acc = main([
+        "--qla_data_dir", str(tmp_path), "--split", "train2014",
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "30", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"qla-mode VQA failed to learn: {acc}"
