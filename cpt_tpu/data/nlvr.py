@@ -118,6 +118,54 @@ class NLVRData:
         return ids, segs, attn, feats, labels
 
 
+class Nlvr2JsonData(NLVRData):
+    """The reference's NLVR2 data layout loaded WITHOUT conversion
+    (``run_nlvr.py:73-107`` + ``task_utils.py::NLVRProcessor``):
+    ``nlvr2_{split}.json`` rows ``{"q", "o": {img_key: od string},
+    "label", "img_id": [left, right]}`` + the
+    ``nlvr2_img_frcnn_feats.pt`` torch feature dict."""
+
+    def __init__(self, data_dir: str, split: str,
+                 tokenizer: BertTokenizer, max_seq_len: int = 55,
+                 img_seq_len: int = 40, img_feat_dim: int = 2054,
+                 mode: str = "pair"):
+        import os
+
+        import torch
+
+        feats = torch.load(os.path.join(
+            data_dir, "nlvr2_img_frcnn_feats.pt"), weights_only=False)
+        self._feat_map = {str(k): np.asarray(v, np.float32)
+                          for k, v in feats.items()}
+        rows = json.load(open(os.path.join(data_dir,
+                                           f"nlvr2_{split}.json")))
+        examples, self._od = [], {}
+        for i, row in enumerate(rows):
+            left, right = (str(k) for k in row["img_id"])
+            examples.append(NLVRExample(str(i), left, right, row["q"],
+                                        row.get("label")))
+            od = row.get("o") or {}
+            for k in (left, right):
+                if k in od:
+                    self._od[k] = str(od[k]).replace(";", " ").strip()
+
+        assert mode in ("pair", "concat")
+        self.mode = mode
+        self.tsv = None
+        self.imgid2idx = {k: 0 for k in self._feat_map}
+        self.examples = [e for e in examples
+                         if e.img_left in self._feat_map
+                         and e.img_right in self._feat_map]
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.img_seq_len = img_seq_len
+        self.img_feat_dim = img_feat_dim
+
+    def _feats(self, img_key: str):
+        return (self._feat_map[str(img_key)],
+                self._od.get(str(img_key), ""))
+
+
 def load_nlvr_examples(path: str) -> List[NLVRExample]:
     raw = json.load(open(path))
     return [NLVRExample(str(x["ex_id"]), str(x["img_left"]),

@@ -23,8 +23,17 @@ from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feat_file", required=True)
-    p.add_argument("--examples", required=True)
+    p.add_argument("--feat_file", default=None)
+    p.add_argument("--examples", default=None)
+    p.add_argument("--nlvr2_data_dir", default=None,
+                   help="reference NLVR2 layout: nlvr2_{split}.json + "
+                        "nlvr2_img_frcnn_feats.pt here (run_nlvr.py:73-107"
+                        "; loads the reference's own data files)")
+    p.add_argument("--split", default="train",
+                   help="train split in --nlvr2_data_dir mode "
+                        "(train/dev/balanced_dev/...)")
+    p.add_argument("--val_split", default=None,
+                   help="val split in --nlvr2_data_dir mode")
     p.add_argument("--val_examples", default=None)
     p.add_argument("--max_seq_length", type=int, default=55)
     p.add_argument("--max_img_seq_length", type=int, default=40)
@@ -70,13 +79,30 @@ def main(argv=None):
                            classifier="mlp")
         model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))
 
-    data = NLVRData(args.feat_file, load_nlvr_examples(args.examples),
-                    tokenizer, args.max_seq_length, args.max_img_seq_length,
-                    cfg.img_feature_dim, mode=args.pair_mode)
-    val = (NLVRData(args.feat_file, load_nlvr_examples(args.val_examples),
-                    tokenizer, args.max_seq_length, args.max_img_seq_length,
-                    cfg.img_feature_dim, mode=args.pair_mode)
-           if args.val_examples else data)
+    if args.nlvr2_data_dir:
+        from cpt_tpu.data.nlvr import Nlvr2JsonData
+
+        data = Nlvr2JsonData(args.nlvr2_data_dir, args.split, tokenizer,
+                             args.max_seq_length, args.max_img_seq_length,
+                             cfg.img_feature_dim, mode=args.pair_mode)
+        val = (Nlvr2JsonData(args.nlvr2_data_dir, args.val_split,
+                             tokenizer, args.max_seq_length,
+                             args.max_img_seq_length, cfg.img_feature_dim,
+                             mode=args.pair_mode)
+               if args.val_split else data)
+    else:
+        if not (args.feat_file and args.examples):
+            raise SystemExit("need --feat_file + --examples, or "
+                             "--nlvr2_data_dir")
+        data = NLVRData(args.feat_file, load_nlvr_examples(args.examples),
+                        tokenizer, args.max_seq_length,
+                        args.max_img_seq_length, cfg.img_feature_dim,
+                        mode=args.pair_mode)
+        val = (NLVRData(args.feat_file,
+                        load_nlvr_examples(args.val_examples), tokenizer,
+                        args.max_seq_length, args.max_img_seq_length,
+                        cfg.img_feature_dim, mode=args.pair_mode)
+               if args.val_examples else data)
 
     bsz = args.per_gpu_train_batch_size
     ids, segs, attn, feats, labels = data.batch([0], pad_to=1)

@@ -740,3 +740,37 @@ def test_run_vqa_qla_layout(tmp_path):
         "--per_gpu_train_batch_size", "8", *TINY,
     ])
     assert acc >= 75.0, f"qla-mode VQA failed to learn: {acc}"
+
+
+@pytest.mark.slow
+def test_run_nlvr_nlvr2_layout(tmp_path):
+    """--nlvr2_data_dir mode: the reference's NLVR2 files
+    (nlvr2_{split}.json with q/o/label/img_id-pair rows +
+    nlvr2_img_frcnn_feats.pt) drive run_nlvr without conversion."""
+    import torch
+
+    from cpt_tpu.tools.run_nlvr import main
+
+    rng = np.random.RandomState(0)
+    feats, rows = {}, []
+    for q in range(8):
+        sig = q % 2
+        for side in ("l", "r"):
+            f = (rng.randn(4, D) * 0.1).astype(np.float32)
+            f[:, 0] = 2.0 * sig if side == "l" else 0.3
+            feats[f"im{q}{side}"] = torch.tensor(f)
+        rows.append({"q": "the left image is a dog",
+                     "o": {f"im{q}l": "dog" if sig else "cat",
+                           f"im{q}r": "park"},
+                     "label": sig, "img_id": [f"im{q}l", f"im{q}r"]})
+    torch.save(feats, tmp_path / "nlvr2_img_frcnn_feats.pt")
+    json.dump(rows, open(tmp_path / "nlvr2_train.json", "w"))
+
+    acc = main([
+        "--nlvr2_data_dir", str(tmp_path), "--split", "train",
+        "--pair_mode", "pair", "--max_seq_length", "16",
+        "--max_img_seq_length", "6", "--num_train_epochs", "25",
+        "--learning_rate", "5e-3", "--per_gpu_train_batch_size", "8",
+        *TINY,
+    ])
+    assert acc > 75.0
