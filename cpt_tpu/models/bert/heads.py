@@ -289,6 +289,43 @@ class VCR_QAR_NSPFT(nn.Module):
         return cross_entropy_ignore_index(logits, next_sentence_label), logits
 
 
+class VGFT(nn.Module):
+    """VG relation finetune baseline: pairwise region classifier.
+
+    Reference ``modeling_vg.py:23-73``: gather the subject/object image
+    hiddens (sequence positions ``txt_seq_len + pair_idx``), classify the
+    concatenation with a fresh ``Linear(2·hidden → 51)``, CE over
+    predicates. TPU-native: pairs are fixed ``[B, P, 2]`` slots; padded
+    slots carry ``rel_labels == ignore_index`` and drop out of the mean,
+    matching the reference's flattened variable-length pair lists.
+    """
+
+    config: BertConfig
+    num_rel_classes: int = 51
+    txt_seq_len: int = 70
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.bert = BertImgModel(self.config, self.dtype, name="bert")
+        self.classifier = nn.Dense(self.num_rel_classes, name="classifier",
+                                   dtype=self.dtype)
+
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 img_feats=None, pairs=None, rel_labels=None,
+                 deterministic=True):
+        seq, _ = self.bert(input_ids, token_type_ids, attention_mask,
+                           img_feats=img_feats, deterministic=deterministic)
+        img_hidden = seq[:, self.txt_seq_len:]                  # [B, R, H]
+        subs = jnp.take_along_axis(
+            img_hidden, pairs[..., 0][..., None], axis=1)       # [B, P, H]
+        objs = jnp.take_along_axis(img_hidden, pairs[..., 1][..., None], axis=1)
+        logits = self.classifier(
+            jnp.concatenate([subs, objs], axis=-1))             # [B, P, 51]
+        if rel_labels is None:
+            return None, logits
+        return cross_entropy_ignore_index(logits, rel_labels, -100), logits
+
+
 class ImageBertForSequenceClassification(nn.Module):
     """GQA/VQA/retrieval classifier (reference ``modeling_bert.py:290-354``).
 

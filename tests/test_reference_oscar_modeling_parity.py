@@ -498,3 +498,52 @@ def test_vcr_qar_twin_heads_parity():
                                    atol=2e-5, rtol=1e-4)
         np.testing.assert_allclose(float(loss_fj), float(loss_ft_t),
                                    rtol=1e-5)
+
+
+def test_vgft_parity():
+    """Reference VGFT (modeling_vg.py:23-73 — subject/object image hiddens
+    at text offset 70, Linear(2·hidden → 51) over their concatenation, CE
+    over flattened pairs) vs our VGFT, including the padded-slot path."""
+    ref_vg = pytest.importorskip("oscar.modeling.modeling_vg")
+    from cpt_tpu.models.bert.heads import VGFT
+
+    cfg = tiny_bert_config(max_position_embeddings=96)
+    torch.manual_seed(11)
+    ref = ref_vg.VGFT(_ref_config(cfg))
+    ref.train()  # reference computes loss only in training mode (dropout=0)
+
+    B, T, R, P = 2, 70, 5, 3
+    rng = np.random.RandomState(12)
+    ids = rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    tt = np.zeros((B, T), np.int32)
+    feats = rng.randn(B, R, cfg.img_feature_dim).astype(np.float32)
+    mask = np.ones((B, T + R), np.int32)
+
+    # element 0: three pairs; element 1: two (ours pads the third slot)
+    ref_pairs = [[[0, 2], [1, 4], [3, 0]], [[2, 1], [4, 4]]]
+    ref_labels = np.array([7, 0, 50, 13, 2], np.int64)
+    with torch.no_grad():
+        logits_t, loss_t = ref(
+            torch.tensor(ids, dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            img_feats=torch.tensor(feats), pairs=ref_pairs,
+            rel_labels=torch.tensor(ref_labels))
+
+    sd = {k: _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    params["classifier"] = {"kernel": cv._t(sd["classifier.weight"]),
+                            "bias": sd["classifier.bias"]}
+    pairs = np.array([ref_pairs[0], ref_pairs[1] + [[0, 0]]], np.int32)
+    labels = np.array([[7, 0, 50], [13, 2, -100]], np.int32)
+    ours = VGFT(cfg, txt_seq_len=T)
+    loss_j, logits_j = ours.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(tt),
+        jnp.asarray(mask), img_feats=jnp.asarray(feats),
+        pairs=jnp.asarray(pairs), rel_labels=jnp.asarray(labels))
+
+    ours_flat = np.concatenate([np.asarray(logits_j)[0],
+                                np.asarray(logits_j)[1, :2]])
+    np.testing.assert_allclose(ours_flat, _np(logits_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
