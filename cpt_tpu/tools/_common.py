@@ -84,3 +84,60 @@ def load_or_init(model, init_args, args, cfg, task: str = "bert_only"):
 
 def dtype_of(args):
     return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def add_detector_config_args(p: argparse.ArgumentParser):
+    """--config_file / --opts: drive a detector CLI from the reference's
+    own yacs yaml (prompt_feat configs/sgg_configs), zero conversion."""
+    p.add_argument("--config_file", default=None,
+                   help="reference yacs yaml; resolved over the reference "
+                        "defaults exactly as the reference tools do "
+                        "(models/detector/yacs_bridge.py)")
+    p.add_argument("--opts", nargs="*", default=None,
+                   help="trailing KEY VALUE yacs overrides (the reference "
+                        "tools' --opts / cfg.merge_from_list)")
+    return p
+
+
+def apply_reference_config(parser: argparse.ArgumentParser, argv):
+    """Pre-scan argv for --config_file, resolve the yaml, and install its
+    values as parser DEFAULTS so explicit CLI flags still win — the same
+    precedence as the reference's defaults ← yaml ← opts ← argparse chain.
+    Returns the ReferenceRunConfig (or None without --config_file)."""
+    import json as _json
+    import os.path as _op
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    add_detector_config_args(pre)
+    known, _ = pre.parse_known_args(argv)
+    if not known.config_file:
+        return None
+    from cpt_tpu.models.detector.yacs_bridge import load_reference_yaml
+
+    ref = load_reference_yaml(known.config_file, opts=known.opts)
+    cand = {
+        "base_lr": ref.solver.base_lr,
+        "max_iter": ref.solver.max_iter,
+        "steps": list(ref.solver.steps),
+        "warmup_iters": ref.solver.warmup_iters,
+        "checkpoint_period": ref.checkpoint_period,
+        "output_dir": ref.output_dir,
+    }
+    if ref.relation_on:
+        cand["rel_algorithm"] = ref.relation_algorithm
+        cand["sg"] = True
+    if ref.expected_results:
+        cand["expected_results"] = _json.dumps(
+            [list(e) for e in ref.expected_results])
+    # MODEL.WEIGHT: reference loads it relative to its cwd; also try
+    # next to the yaml so checked-out reference trees work in place
+    for root in ("", _op.dirname(_op.abspath(known.config_file))):
+        w = _op.join(root, ref.weight) if root else ref.weight
+        if ref.weight and _op.isfile(w):
+            cand["checkpoint"] = w
+            break
+    dests = {a.dest for a in parser._actions}
+    parser.set_defaults(**{k: v for k, v in cand.items() if k in dests})
+    return ref

@@ -33,9 +33,11 @@ from cpt_tpu.models.detector.convert import load_vinvl_checkpoint
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--task", default="refcoco",
+    p.add_argument("--task", default=None,
                    choices=["refcoco", "gqa", "vcr", "vg", "plain"],
-                   help="stage-1 coloring scheme + TSV payload layout")
+                   help="stage-1 coloring scheme + TSV payload layout "
+                        "(default refcoco, or DATASETS.TEST of "
+                        "--config_file)")
     p.add_argument("--ann_file", default=None)
     p.add_argument("--det_file", default=None)
     p.add_argument("--to_mark", default=None,
@@ -48,7 +50,9 @@ def build_args():
     p.add_argument("--image_root", default=None)
     p.add_argument("--labelmap", default=None)
     p.add_argument("--checkpoint", default=None, help="vinvl_vg_x152c4.pth")
-    p.add_argument("--output", required=True, help="predictions.tsv path")
+    p.add_argument("--output", default=None,
+                   help="predictions.tsv path (required unless "
+                        "--config_file supplies OUTPUT_DIR)")
     p.add_argument("--total_step", type=int, default=None)
     p.add_argument("--cur_step", type=int, default=None)
     p.add_argument("--shard_by_process", action="store_true",
@@ -94,7 +98,36 @@ def build_args():
                    help="tiny detector config (smoke tests)")
     p.add_argument("--synthetic", type=int, default=None,
                    help="extract N synthetic queries instead of real data")
-    return p
+    from cpt_tpu.tools._common import add_detector_config_args
+
+    return add_detector_config_args(p)
+
+
+# reference dataset class (DATASETS.TEST in the cmds/ scripts) → our task
+# name; VQAColorDataset shares the GQA color-marking pipeline
+# (vqadataset.py:63-140)
+_DATASET_CLASS_TO_TASK = {
+    "RefCoCoDataset": "refcoco", "GQAColorDataset": "gqa",
+    "VQAColorDataset": "gqa", "VCRColorDataset": "vcr", "VGDataset": "vg",
+    "ImgDataset": "plain",
+}
+
+
+def apply_ref_to_extract_args(args, ref):
+    """Map a resolved reference run config onto extraction args that were
+    not set explicitly: DATASETS.TEST → --task, DATA_DIR (a task-yaml path
+    in every cmds/ script) → --yaml, OUTPUT_DIR → the reference's
+    ``<OUTPUT_DIR>/inference/<DATA_DIR stem>/predictions.tsv`` layout
+    (``tools/test_refcoco_net.py:38-44``)."""
+    if args.task is None and ref.datasets_test:
+        args.task = _DATASET_CLASS_TO_TASK.get(ref.datasets_test[0])
+    if args.yaml is None and str(ref.data_dir).endswith((".yaml", ".yml")):
+        args.yaml = ref.data_dir
+    if args.output is None and ref.output_dir:
+        stem = os.path.splitext(os.path.basename(ref.data_dir or "out"))[0]
+        args.output = os.path.join(ref.output_dir, "inference", stem,
+                                   "predictions.tsv")
+    return args
 
 
 def shard_and_sample(anns, args):
@@ -135,8 +168,21 @@ def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
     initialize_from_env()
-    args = build_args().parse_args(argv)
-    if args.yaml:
+    from cpt_tpu.tools._common import apply_reference_config
+
+    parser = build_args()
+    ref = apply_reference_config(parser, argv)
+    args = parser.parse_args(argv)
+    if ref is not None:
+        args = apply_ref_to_extract_args(args, ref)
+    if args.task is None:
+        args.task = "refcoco"
+    if args.output is None:
+        parser.error("--output is required (or --config_file with "
+                     "OUTPUT_DIR)")
+    if os.path.dirname(args.output):
+        os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    if args.yaml and args.synthetic is None:
         import yaml as _yaml
 
         desc = _yaml.safe_load(open(args.yaml)) or {}
@@ -156,7 +202,10 @@ def main(argv=None):
     if os.path.exists(args.output) and not args.overwrite:
         print(f"{args.output} exists; skipping (use --overwrite to redo)")
         return
-    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    if ref is not None:
+        cfg = ref.detector
+    else:
+        cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     if args.precision != "bf16":
         from dataclasses import replace as _dc_replace
 

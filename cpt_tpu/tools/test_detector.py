@@ -69,7 +69,9 @@ def build_args():
                    choices=["sg_reldn", "sg_imp", "sg_msdn", "sg_grcnn",
                             "sg_nm"])
     p.add_argument("--max_rel_dets", type=int, default=16)
-    return p
+    from cpt_tpu.tools._common import add_detector_config_args
+
+    return add_detector_config_args(p)
 
 
 def attr_eval(args, model, cfg, params, h, w):
@@ -138,8 +140,15 @@ def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
     initialize_from_env()
-    args = build_args().parse_args(argv)
-    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    from cpt_tpu.tools._common import apply_reference_config
+
+    parser = build_args()
+    ref = apply_reference_config(parser, argv)
+    args = parser.parse_args(argv)
+    if ref is not None:
+        cfg = ref.detector
+    else:
+        cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = AttrRCNN(cfg, dtype=dtype)
     rng = np.random.RandomState(0)

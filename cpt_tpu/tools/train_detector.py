@@ -11,6 +11,7 @@ attributes [[...]...]?}] + --image_root, or --synthetic N.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 
 import jax
@@ -65,10 +66,12 @@ def build_args():
     p.add_argument("--max_rel_dets", type=int, default=16)
     p.add_argument("--max_rels", type=int, default=32,
                    help="gt relation slots per image (padded)")
-    return p
+    from cpt_tpu.tools._common import add_detector_config_args
+
+    return add_detector_config_args(p)
 
 
-def train_scene_graph(args, cfg, dtype):
+def train_scene_graph(args, cfg, dtype, ref=None):
     """Relation-head training: gt boxes as detections, detector gradients
     zeroed (the reference SceneParser freezes the detector —
     ``scene_parser.py:39`` + ``train_sg_net.py``)."""
@@ -128,7 +131,8 @@ def train_scene_graph(args, cfg, dtype):
                        jnp.asarray(valid), jnp.asarray(rels),
                        jnp.asarray(rel_valid))
 
-    sched = warmup_multistep_lr(SolverConfig(
+    sched = warmup_multistep_lr(dataclasses.replace(
+        ref.solver if ref is not None else SolverConfig(),
         base_lr=args.base_lr, steps=tuple(args.steps),
         max_iter=args.max_iter, warmup_iters=args.warmup_iters))
     tx = optax.sgd(sched, momentum=0.9)
@@ -168,11 +172,18 @@ def main(argv=None):
     from cpt_tpu.parallel.distributed import initialize_from_env
 
     initialize_from_env()
-    args = build_args().parse_args(argv)
-    cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+    from cpt_tpu.tools._common import apply_reference_config
+
+    parser = build_args()
+    ref = apply_reference_config(parser, argv)
+    args = parser.parse_args(argv)
+    if ref is not None:
+        cfg = ref.detector
+    else:
+        cfg = tiny_detector_config() if args.tiny else VINVL_X152C4
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.sg:
-        return train_scene_graph(args, cfg, dtype)
+        return train_scene_graph(args, cfg, dtype, ref)
     trainer = AttrRCNNTrainer(cfg, dtype=dtype)
     rng = np.random.RandomState(0)
 
@@ -262,9 +273,12 @@ def main(argv=None):
         params = {"params": load_vinvl_checkpoint(args.checkpoint, cfg)}
         print(f"loaded {args.checkpoint}")
 
-    solver = SolverConfig(base_lr=args.base_lr, steps=tuple(args.steps),
-                          max_iter=args.max_iter,
-                          warmup_iters=args.warmup_iters)
+    # --config_file supplies the full reference solver (weight decay,
+    # momentum, optimizer, clipping); CLI flags override the lr/schedule
+    base_solver = ref.solver if ref is not None else SolverConfig()
+    solver = dataclasses.replace(
+        base_solver, base_lr=args.base_lr, steps=tuple(args.steps),
+        max_iter=args.max_iter, warmup_iters=args.warmup_iters)
 
     def chain():
         yield first
