@@ -146,6 +146,39 @@ def install():
     sys.modules.setdefault("torchvision.datasets", tv_datasets)
     sys.modules.setdefault("torchvision.transforms", tv_transforms)
 
+    # pycocotools stub backed by our own parity-tested RLE codec
+    # (utils/rle.py) — segmentation_mask.py imports it at module scope;
+    # the binary-mask paths our tests exercise only need decode/merge.
+    if "pycocotools" not in sys.modules:
+        from cpt_tpu.utils import rle as _rle
+
+        def _pyc_decode(rles):
+            if isinstance(rles, dict):
+                return _rle.decode(rles)
+            return np.stack([_rle.decode(r) for r in rles], axis=-1)
+
+        def _pyc_encode(mask):
+            if mask.ndim == 3:
+                return [_rle.encode(mask[..., i])
+                        for i in range(mask.shape[-1])]
+            return _rle.encode(mask)
+
+        def _unsupported(*a, **k):
+            raise NotImplementedError(
+                "pycocotools stub: polygon RLE conversion not supported")
+
+        pyc = types.ModuleType("pycocotools")
+        pyc_mask = types.ModuleType("pycocotools.mask")
+        pyc_mask.decode = _pyc_decode
+        pyc_mask.encode = _pyc_encode
+        pyc_mask.area = _rle.area
+        pyc_mask.toBbox = _rle.to_bbox
+        pyc_mask.merge = _rle.merge
+        pyc_mask.frPyObjects = _unsupported
+        pyc.mask = pyc_mask
+        sys.modules["pycocotools"] = pyc
+        sys.modules["pycocotools.mask"] = pyc_mask
+
     # _C stub: present so `from maskrcnn_benchmark import _C` succeeds;
     # torchvision resolves first for nms/roi_align
     if REF_ROOT not in sys.path:
