@@ -39,9 +39,15 @@ class BertConfig:
     code_dim: int = 512
     code_size: int = 0
 
-    # attention backend: "einsum" (exact reference path) or "flash"
-    # (Pallas flash-attention; used when no attention dropout applies)
-    attention_impl: str = "einsum"
+    # attention backend: "auto" uses the fused Pallas sub-block
+    # (ops/fused_attention.py — QKV + softmax(QKᵀ)V + out-proj +
+    # residual + LayerNorm in one VMEM pass; no [B,12,S,S] f32 HBM
+    # round-trip) on TPU backends when eligible (key-only 2-D mask, no
+    # KV history/head-mask, no active dropout, S and H multiples of
+    # 128), else the exact einsum path. "einsum" forces the reference
+    # path, "fused" forces the kernel, "flash" uses the Pallas
+    # flash-attention SDPA (long-context variants).
+    attention_impl: str = "auto"
 
     # FFN backend: "auto" uses the fused Pallas block (ops/fused_ffn.py —
     # both matmuls + gelu + residual + LayerNorm in one VMEM pass;

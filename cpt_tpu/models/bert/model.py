@@ -75,6 +75,31 @@ class BertEmbeddings(nn.Module):
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
+class _GeneralDense(nn.Module):
+    """Parameter container with nn.DenseGeneral's exact tree
+    ({kernel, bias}, init drawn at the flattened fan-in/out like
+    DenseGeneral) — lets BertLayer route the attention sub-block through
+    either the einsum ops or the fused Pallas kernel without changing
+    checkpoints."""
+
+    kshape: Tuple[int, ...]
+    bshape: Tuple[int, ...]
+    fan_in: int
+    fan_out: int
+
+    @nn.compact
+    def __call__(self):
+        def kernel_init(key, shape, dtype):
+            flat = nn.initializers.lecun_normal()(
+                key, (self.fan_in, self.fan_out), dtype)
+            return flat.reshape(shape)
+
+        k = self.param("kernel", kernel_init, self.kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, self.bshape,
+                       jnp.float32)
+        return k, b
+
+
 class BertSelfAttention(nn.Module):
     """Joint self-attention with fused QKV and optional KV history.
 
@@ -86,24 +111,40 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.config
+        h, nh, hd = c.hidden_size, c.num_attention_heads, c.head_dim
+        self.qkv = _GeneralDense((h, 3, nh, hd), (3, nh, hd), h, 3 * nh * hd)
+        self.out = _GeneralDense((nh, hd, h), (h,), nh * hd, h)
+        self.probs_dropout = nn.Dropout(c.attention_probs_dropout_prob)
+
+    def fused_params(self) -> Tuple[Array, Array, Array, Array]:
+        """(wqkv [H, 3H] q|k|v head-major, bqkv [3H], wo [H, H] rows
+        head-major, bo [H]) — the layout ops/fused_attention.py expects."""
+        c = self.config
+        h = c.hidden_size
+        kq, bq = self.qkv()
+        ko, bo = self.out()
+        return kq.reshape(h, 3 * h), bq.reshape(3 * h), ko.reshape(h, h), bo
+
     def __call__(self, hidden: Array, attn_bias: Array,
                  history_state: Optional[Array] = None,
                  head_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         c = self.config
         h, nh, hd = c.hidden_size, c.num_attention_heads, c.head_dim
+        dt = self.dtype
         kv_input = hidden if history_state is None else (
             jnp.concatenate([history_state, hidden], axis=1))
 
-        qkv = nn.DenseGeneral((3, nh, hd), axis=-1, name="qkv",
-                              dtype=self.dtype)
+        kq, bq = self.qkv()
+        kq, bq = kq.astype(dt), bq.astype(dt)
         if history_state is None:
-            proj = qkv(hidden)  # [B, S, 3, nh, hd]
+            proj = jnp.einsum("bsh,hknd->bsknd", hidden, kq) + bq
             q, k, v = proj[..., 0, :, :], proj[..., 1, :, :], proj[..., 2, :, :]
         else:
-            pk = qkv(kv_input)
-            q = qkv(hidden)[..., 0, :, :]
+            pk = jnp.einsum("bsh,hknd->bsknd", kv_input, kq) + bq
+            q = (jnp.einsum("bsh,hknd->bsknd", hidden, kq) + bq)[..., 0, :, :]
             k, v = pk[..., 1, :, :], pk[..., 2, :, :]
 
         use_flash = (c.attention_impl == "flash" and history_state is None
@@ -121,13 +162,12 @@ class BertSelfAttention(nn.Module):
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
             scores = scores + attn_bias
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-            probs = nn.Dropout(c.attention_probs_dropout_prob)(
-                probs, deterministic=deterministic)
+            probs = self.probs_dropout(probs, deterministic=deterministic)
             if head_mask is not None:
                 probs = probs * head_mask
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return nn.DenseGeneral(h, axis=(-2, -1), name="out",
-                               dtype=self.dtype)(ctx)
+        ko, bo = self.out()
+        return jnp.einsum("bqnd,ndh->bqh", ctx, ko.astype(dt)) + bo.astype(dt)
 
 
 class _DenseParams(nn.Module):
@@ -172,11 +212,43 @@ class BertLayer(nn.Module):
                  head_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         c = self.config
-        attn_out = BertSelfAttention(c, self.dtype, name="attention")(
-            hidden, attn_bias, history_state, head_mask, deterministic)
-        attn_out = nn.Dropout(c.hidden_dropout_prob)(attn_out, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                              name="attention_out_LayerNorm")(hidden + attn_out)
+        attn = BertSelfAttention(c, self.dtype, name="attention")
+        gamma_a, beta_a = _LNParams(c.hidden_size,
+                                    name="attention_out_LayerNorm")()
+
+        dropout_h = c.hidden_dropout_prob > 0.0 and not deterministic
+        dropout_a = (c.attention_probs_dropout_prob > 0.0
+                     and not deterministic)
+        key_bias_only = attn_bias.ndim == 4 and attn_bias.shape[2] == 1
+        use_fused_attn = (
+            (c.attention_impl == "fused"
+             or (c.attention_impl == "auto" and _fused_ffn_available()))
+            and history_state is None and head_mask is None
+            and not dropout_h and not dropout_a and key_bias_only
+            and c.hidden_size % 128 == 0 and hidden.shape[1] % 128 == 0)
+        if use_fused_attn:
+            from cpt_tpu.ops.fused_attention import fused_attention_block
+
+            wqkv, bqkv, wo, bo = attn.fused_params()
+            key_bias = attn_bias[:, 0, 0, :].astype(jnp.float32)
+            # tb=2 is the measured knee on v5e (PERF.md round 3); fall
+            # back to 1 for odd batch sizes
+            tb = 2 if hidden.shape[0] % 2 == 0 else 1
+            hidden = fused_attention_block(
+                hidden, wqkv, bqkv, wo, bo, gamma_a, beta_a, key_bias,
+                c.num_attention_heads, c.layer_norm_eps, tb)
+        else:
+            attn_out = attn(hidden, attn_bias, history_state, head_mask,
+                            deterministic)
+            attn_out = nn.Dropout(c.hidden_dropout_prob)(
+                attn_out, deterministic=deterministic)
+            # numerically identical to the former nn.LayerNorm
+            y = (hidden + attn_out).astype(jnp.float32)
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y), axis=-1,
+                           keepdims=True) - jnp.square(mu)
+            y = (y - mu) * jax.lax.rsqrt(var + c.layer_norm_eps)
+            hidden = (y * gamma_a + beta_a).astype(self.dtype)
 
         w1, b1 = _DenseParams(c.hidden_size, c.intermediate_size,
                               name="intermediate")()
