@@ -248,6 +248,7 @@ class Extractor:
                     self.wfns.append(make_windowed_extract_fn(model, cfg,
                                                               **kw))
             self.wfn = self.wfns[-1]
+        self._base_batch_fn = None
         self.infer_seconds = 0.0
         self.n_copies = 0
 
@@ -292,25 +293,66 @@ class Extractor:
             return (max(h, self.cfg.input.pad_h), max(w, self.cfg.input.pad_w))
         return min(candidates, key=lambda b: b[0] * b[1])
 
-    def extract_task(self, task: ExtractTask):
-        """→ (feats [n_copies, M, 2054], labels, scores) numpy."""
+    def _canvas(self, task: ExtractTask):
+        """Task image on its canvas bucket → (jnp image, (h, w))."""
+        ih, iw = task.image_rgb.shape[:2]
+        h, w = self.pick_bucket(ih, iw)
+        if (h, w) != (ih, iw):
+            canvas = np.zeros((h, w, 3), np.uint8)
+            canvas[: min(ih, h), : min(iw, w)] = task.image_rgb[: h, : w]
+            return jnp.asarray(canvas), (h, w)
+        return jnp.asarray(task.image_rgb), (h, w)
+
+    def base_maps(self, tasks: Sequence[ExtractTask]) -> list:
+        """Cross-request base-pass batching (the serving lever named in
+        PERF.md round 3): compute the windowed base maps of several tasks
+        in ONE batched backbone call per canvas-bucket group (padded to
+        the next power of two so compile count stays bounded). Feed the
+        results back via ``extract_task(task, base=...)``. Single-image
+        requests pay batch-1 latency; a loaded serving queue amortizes
+        the dominant per-image base pass across requests.
+
+        → list aligned with ``tasks`` (None entries when not windowed)."""
+        if not self.windowed:
+            return [None] * len(tasks)
+        bases: list = [None] * len(tasks)
+        images, groups = [], {}
+        for i, t in enumerate(tasks):
+            img, hw = self._canvas(t)
+            images.append(img)
+            groups.setdefault(hw, []).append(i)
+        t0 = time.time()
+        for idxs in groups.values():
+            if len(idxs) == 1:
+                bases[idxs[0]] = self.base_fn(self.params, images[idxs[0]])
+                continue
+            bp = 1 << (len(idxs) - 1).bit_length()
+            if self._base_batch_fn is None:
+                self._base_batch_fn = jax.jit(
+                    jax.vmap(self.base_fn, in_axes=(None, 0)))
+            batch = jnp.stack(
+                [images[i] for i in idxs] +
+                [jnp.zeros_like(images[idxs[0]])] * (bp - len(idxs)))
+            out = self._base_batch_fn(self.params, batch)
+            for j, i in enumerate(idxs):
+                bases[i] = jax.tree_util.tree_map(lambda a, j=j: a[j], out)
+        self.infer_seconds += time.time() - t0
+        return bases
+
+    def extract_task(self, task: ExtractTask, base=None):
+        """→ (feats [n_copies, M, 2054], labels, scores) numpy.
+
+        ``base``: optional precomputed windowed base map for this task
+        (from ``base_maps``); ignored on the full path."""
         if self.windowed and (task.copy_rects is not None
                               or task.copy_masks is not None):
-            return self._extract_task_windowed(task)
+            return self._extract_task_windowed(task, base=base)
         m = self.det_bucket_for(len(task.det_boxes))
         dets, det_valid = pad_boxes(task.det_boxes, m)
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)
         hw = jnp.asarray(task.image_hw, jnp.int32)
-        ih, iw = task.image_rgb.shape[:2]
-        h, w = self.pick_bucket(ih, iw)
-        if (h, w) != (ih, iw):
-            canvas = np.zeros((h, w, 3), np.uint8)
-            canvas[: min(ih, h), : min(iw, w)] = (
-                task.image_rgb[: h, : w])
-            image = jnp.asarray(canvas)
-        else:
-            image = jnp.asarray(task.image_rgb)
+        image, (h, w) = self._canvas(task)
 
         n_copies = task.n_copies
         k = (task.copy_rects.shape[1] if task.copy_rects is not None else 1)
@@ -355,7 +397,7 @@ class Extractor:
         self.n_copies += n_copies
         return gathered
 
-    def _extract_task_windowed(self, task: ExtractTask):
+    def _extract_task_windowed(self, task: ExtractTask, base=None):
         """Windowed-recompute path: copies whose rect fits the window reuse
         the task's cached base feature map; the rest run the full path."""
         from cpt_tpu.engine.windowed import window_origins
@@ -384,14 +426,7 @@ class Extractor:
         dets_j = jnp.asarray(dets)
         det_valid_j = jnp.asarray(det_valid)
         hw = jnp.asarray(task.image_hw, jnp.int32)
-        ih, iw = task.image_rgb.shape[:2]
-        h, w = self.pick_bucket(ih, iw)
-        if (h, w) != (ih, iw):
-            canvas = np.zeros((h, w, 3), np.uint8)
-            canvas[: min(ih, h), : min(iw, w)] = task.image_rgb[: h, : w]
-            image = jnp.asarray(canvas)
-        else:
-            image = jnp.asarray(task.image_rgb)
+        image, (h, w) = self._canvas(task)
 
         n = task.n_copies
         k = task.copy_rects.shape[1] if task.copy_rects is not None else 1
@@ -429,7 +464,8 @@ class Extractor:
         fdim = None
         out_f = out_l = out_s = None
         t0 = time.time()
-        base = self.base_fn(self.params, image) if any_windowed else None
+        if base is None and any_windowed:
+            base = self.base_fn(self.params, image)
 
         def scatter(sel, chunk_out, count):
             nonlocal out_f, out_l, out_s, fdim

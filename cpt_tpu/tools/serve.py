@@ -54,6 +54,18 @@ def build_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--windowed", action="store_true",
                    help="two-level windowed extraction (PERF.md)")
+    p.add_argument("--window", nargs=2, type=int, action="append",
+                   default=None, metavar=("H", "W"),
+                   help="windowed ladder rung(s); repeatable "
+                        "(default: Extractor's (512, 640))")
+    p.add_argument("--halo", type=int, default=160,
+                   help="windowed exactness halo (>= 2x early-stage RF)")
+    p.add_argument("--base_batch", type=int, default=1,
+                   help=">1: micro-batch queued requests' windowed base "
+                        "passes into one backbone call (sustained-QPS "
+                        "lever; single requests keep batch-1 latency)")
+    p.add_argument("--tiny_canvas", type=int, default=None,
+                   help="--tiny only: canvas/pad size override")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--score_batch", type=int, default=32,
@@ -83,6 +95,13 @@ class CPTService:
 
         # stage 1
         dcfg = tiny_detector_config() if args.tiny else VINVL_X152C4
+        if args.tiny and args.tiny_canvas:
+            import dataclasses
+
+            n = args.tiny_canvas
+            dcfg = dataclasses.replace(
+                dcfg, input=dataclasses.replace(
+                    dcfg.input, pad_h=n, pad_w=n, buckets=((n, n),)))
         det = AttrRCNN(dcfg, dtype=dtype)
         m = dcfg.max_force_boxes
         h0 = w0 = dcfg.input.buckets[0][0]
@@ -98,8 +117,12 @@ class CPTService:
             dparams = init
             print("WARNING: random detector weights (no --checkpoint)")
         self.dcfg = dcfg
+        wkw = {}
+        if args.window:
+            wkw["window"] = [tuple(w) for w in args.window]
         self.extractor = Extractor(det, dparams, dcfg,
-                                   windowed=args.windowed)
+                                   windowed=args.windowed,
+                                   halo=args.halo, **wkw)
 
         # stage 2
         class _A:
@@ -138,6 +161,8 @@ class CPTService:
 
         self.lock = threading.Lock()
         self.n_requests = 0
+        self.batcher = (_BaseBatcher(self, args.base_batch)
+                        if args.base_batch > 1 else None)
         if not args.no_warmup:
             self._warmup()
 
@@ -171,54 +196,130 @@ class CPTService:
 
     def predict(self, image_rgb: np.ndarray, caption: str, dets_xyxy):
         """→ (pred_box original coords, per-candidate scores)."""
+        if self.batcher is not None:
+            return self.batcher.submit(image_rgb, caption, dets_xyxy)
+        with self.lock:
+            task, scale = self._prepare(image_rgb, caption, dets_xyxy)
+            return self._finish(task, caption, scale)
+
+    def _prepare(self, image_rgb: np.ndarray, caption: str, dets_xyxy):
+        """Host-side request prep → (ExtractTask, resize scale)."""
+        from cpt_tpu.engine.extract import refcoco_task
+
+        img, scale = self._resize(np.asarray(image_rgb))
+        dets = np.asarray(dets_xyxy, np.float32) * scale
+        return refcoco_task("q0", img, img.shape[:2], dets, caption), scale
+
+    def _finish(self, task, caption: str, scale: float, base=None):
+        """Device work for one prepared request (optionally with a
+        precomputed windowed base map from ``Extractor.base_maps``)."""
         import tempfile
 
         from cpt_tpu.data.refcoco import RefcocoCPTData, iter_eval_batches
-        from cpt_tpu.engine.extract import refcoco_task
         from cpt_tpu.engine.scoring import (refcoco_collect_scores,
                                             run_mlm_batch)
         from cpt_tpu.utils.tsv import tsv_writer
 
-        with self.lock:
-            img, scale = self._resize(np.asarray(image_rgb))
-            dets = np.asarray(dets_xyxy, np.float32) * scale
-            task = refcoco_task("q0", img, img.shape[:2], dets, caption)
-            feats, labels, scores_det = self.extractor.extract_task(task)
-            objs = self.extractor.boxlists_for(
-                task, feats[: task.n_copies], labels[: task.n_copies],
-                scores_det[: task.n_copies])
+        feats, labels, scores_det = self.extractor.extract_task(task,
+                                                                base=base)
+        objs = self.extractor.boxlists_for(
+            task, feats[: task.n_copies], labels[: task.n_copies],
+            scores_det[: task.n_copies])
 
-            # stage-2 over the in-memory payload via the standard refcoco
-            # tensorization (same row layout extract_features writes)
-            from cpt_tpu.engine.extract import refcoco_payload
+        # stage-2 over the in-memory payload via the standard refcoco
+        # tensorization (same row layout extract_features writes)
+        from cpt_tpu.engine.extract import refcoco_payload
 
-            with tempfile.TemporaryDirectory(prefix="cpt_serve_") as wd:
-                from cpt_tpu.tools.validate_checkpoints import (
-                    det_json_for_stage2)
+        with tempfile.TemporaryDirectory(prefix="cpt_serve_") as wd:
+            from cpt_tpu.tools.validate_checkpoints import (
+                det_json_for_stage2)
 
-                tsv = f"{wd}/p.tsv"
-                tsv_writer([["q0",
-                             json.dumps(refcoco_payload(task, objs))]], tsv)
-                json.dump([{"id": "q0", "caption": caption}],
-                          open(f"{wd}/ann.json", "w"))
-                det_json_for_stage2(tsv, f"{wd}/det.json")
-                data = RefcocoCPTData(tsv, f"{wd}/ann.json",
-                                      f"{wd}/det.json", self.tokenizer,
-                                      img_feat_dim=self.cfg.img_feature_dim)
-                all_scores, all_rects = [], []
-                for batch, _ex in iter_eval_batches(data,
-                                                    self.args.score_batch):
-                    at_mask = run_mlm_batch(self.score_fn, self.oparams,
-                                            batch)
-                    grouped = refcoco_collect_scores(at_mask, batch,
-                                                     self.tokenizer)
-                    for _i, (sc, rc) in grouped.items():
-                        all_scores.extend(sc)
-                        all_rects.extend(rc)
-            best = int(np.argmax(all_scores))
-            pred = [float(v) / scale for v in all_rects[best]]
-            self.n_requests += 1
-            return pred, [float(s) for s in all_scores]
+            tsv = f"{wd}/p.tsv"
+            tsv_writer([["q0",
+                         json.dumps(refcoco_payload(task, objs))]], tsv)
+            json.dump([{"id": "q0", "caption": caption}],
+                      open(f"{wd}/ann.json", "w"))
+            det_json_for_stage2(tsv, f"{wd}/det.json")
+            data = RefcocoCPTData(tsv, f"{wd}/ann.json",
+                                  f"{wd}/det.json", self.tokenizer,
+                                  img_feat_dim=self.cfg.img_feature_dim)
+            all_scores, all_rects = [], []
+            for batch, _ex in iter_eval_batches(data,
+                                                self.args.score_batch):
+                at_mask = run_mlm_batch(self.score_fn, self.oparams,
+                                        batch)
+                grouped = refcoco_collect_scores(at_mask, batch,
+                                                 self.tokenizer)
+                for _i, (sc, rc) in grouped.items():
+                    all_scores.extend(sc)
+                    all_rects.extend(rc)
+        best = int(np.argmax(all_scores))
+        pred = [float(v) / scale for v in all_rects[best]]
+        self.n_requests += 1
+        return pred, [float(s) for s in all_scores]
+
+
+class _BaseBatcher:
+    """Micro-batching request queue (``--base_batch``): a single worker
+    drains whatever requests have queued while the device was busy (up
+    to ``max_batch``), runs their windowed base passes as ONE batched
+    backbone call (``Extractor.base_maps``), then finishes each request.
+    An empty queue degenerates to batch-1 — no added latency; under
+    sustained load the dominant per-image base pass amortizes across
+    concurrent requests (PERF.md round-3 serving decomposition)."""
+
+    def __init__(self, svc: "CPTService", max_batch: int):
+        import queue
+
+        self.svc = svc
+        self.max_batch = max_batch
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image_rgb, caption, dets_xyxy):
+        job = {"args": (image_rgb, caption, dets_xyxy),
+               "event": threading.Event(), "result": None, "error": None}
+        self.q.put(job)
+        job["event"].wait()
+        if job["error"] is not None:
+            raise job["error"]
+        return job["result"]
+
+    def _loop(self):
+        import queue
+
+        while True:
+            jobs = [self.q.get()]
+            while len(jobs) < self.max_batch:
+                try:
+                    jobs.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
+            prepped = []
+            for job in jobs:
+                try:
+                    task, scale = self.svc._prepare(*job["args"])
+                    prepped.append((job, task, scale))
+                except Exception as e:  # noqa: BLE001 — per-job isolation
+                    job["error"] = e
+                    job["event"].set()
+            try:
+                bases = self.svc.extractor.base_maps(
+                    [t for _, t, _ in prepped])
+            except Exception as e:  # noqa: BLE001
+                for job, _, _ in prepped:
+                    job["error"] = e
+                    job["event"].set()
+                continue
+            for (job, task, scale), base in zip(prepped, bases):
+                try:
+                    job["result"] = self.svc._finish(
+                        task, job["args"][1], scale, base=base)
+                except Exception as e:  # noqa: BLE001
+                    job["error"] = e
+                finally:
+                    job["event"].set()
 
 
 def make_handler(svc: CPTService):

@@ -104,6 +104,50 @@ def test_predict_matches_direct_service_call(server):
 
 
 @pytest.mark.slow
+def test_base_batch_concurrent_matches_serial():
+    """--base_batch N: concurrent requests micro-batch their windowed
+    base passes into one backbone call; results match the same requests
+    served serially (windowed tiny config: 256 canvas, window 192,
+    halo 48 ≥ 2·RF — exact)."""
+    import concurrent.futures
+
+    from cpt_tpu.tools.serve import build_args, serve_forever
+
+    args = build_args().parse_args(
+        ["--tiny", "--tiny_canvas", "256", "--windowed",
+         "--window", "192", "192", "--halo", "48", "--base_batch", "3",
+         "--port", "0", "--hidden_size", "64", "--num_hidden_layers", "2",
+         "--score_batch", "8", "--no_warmup"])
+    httpd = serve_forever(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        svc = httpd.svc
+        assert svc.batcher is not None
+        # tiny net: halo 48 >= 2*full-RF so the (equally exact) one-level
+        # mode is selected; X152 scale would pick two_level
+        assert svc.extractor.windowed_mode in ("one_level", "two_level")
+        rng = np.random.RandomState(11)
+        reqs = []
+        for i in range(3):
+            img = rng.randint(0, 256, (256, 256, 3)).astype(np.uint8)
+            dets = [[120, 120, 136, 136], [100, 110, 150, 140]]
+            reqs.append((img, f"the thing {i}", dets))
+        # serial (each goes through the batcher one at a time → batch-1)
+        serial = [svc.predict(*r) for r in reqs]
+        # concurrent: submitted together so the worker drains them as one
+        # batched base pass
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(svc.predict, *r) for r in reqs]
+            concurrent_res = [f.result(timeout=600) for f in futs]
+        for (p1, s1), (p2, s2) in zip(serial, concurrent_res):
+            np.testing.assert_allclose(s2, s1, rtol=1e-3, atol=1e-5)
+            np.testing.assert_allclose(p2, p1)
+    finally:
+        httpd.shutdown()
+
+
+@pytest.mark.slow
 def test_predict_error_handling(server):
     code, resp = _post(server, "/predict", {"caption": "no image"})
     assert code == 400 and "error" in resp

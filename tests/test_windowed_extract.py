@@ -172,6 +172,45 @@ def test_extractor_multi_window_auto_sizing(tmp_path):
 
 
 @pytest.mark.slow
+def test_base_maps_batched_matches_per_task():
+    """Extractor.base_maps (cross-request base-pass batching, the serving
+    lever): base maps computed in one vmapped backbone call feed
+    extract_task(base=...) and reproduce the per-task path."""
+    rng = np.random.RandomState(3)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    dets = np.asarray([[120.0, 120.0, 136.0, 136.0],
+                       [100.0, 110.0, 150.0, 140.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+    tasks = [refcoco_task(f"q{i}",
+                          rng.randint(0, 256, (CANVAS, CANVAS, 3))
+                          .astype(np.uint8),
+                          (CANVAS, CANVAS), dets, "query")
+             for i in range(3)]
+
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=(192, 192), halo=48)
+    bases = wnd.base_maps(tasks)          # 3 → padded batch of 4
+    assert all(b is not None for b in bases)
+    for task, base in zip(tasks, bases):
+        f_solo, l_solo, s_solo = wnd.extract_task(task)
+        f_pre, l_pre, s_pre = wnd.extract_task(task, base=base)
+        np.testing.assert_array_equal(l_pre, l_solo)
+        np.testing.assert_allclose(f_pre, f_solo, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(s_pre, s_solo, rtol=1e-4, atol=1e-4)
+
+    # non-windowed extractor: base_maps degenerates to Nones
+    plain = Extractor(model, params, cfg, copies_per_chunk=2)
+    assert plain.base_maps(tasks) == [None, None, None]
+
+
+@pytest.mark.slow
 def test_windowed_mask_painting_exact():
     """Mask-painted copies (VCR-style) through the windowed path match the
     exact full path with sufficient halo."""
