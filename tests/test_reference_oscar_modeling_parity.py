@@ -547,3 +547,48 @@ def test_vgft_parity():
     np.testing.assert_allclose(ours_flat, _np(logits_t),
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["dis_code", "dis_code_t"])
+def test_dis_code_parity(variant):
+    """VQ-VAE discrete-code image-feature variants vs the reference
+    executed directly (``modeling_bert.py:167-176, 249-259``): code ids →
+    padding-idx embedding (→ transpose for ``_t``) → linear projection →
+    joint encoder. ``dis_code_t`` feeds [B, code_size] ids and yields a
+    code_dim-long image segment."""
+    from dataclasses import replace
+
+    cfg = replace(tiny_bert_config(), img_feature_type=variant,
+                  code_voc=17, code_dim=8, code_size=5)
+    torch.manual_seed(6)
+    ref = ref_mb.BertImgModel(_ref_config(cfg, code_voc=17, code_dim=8,
+                                          code_size=5))
+    ref.eval()
+
+    B, T = 2, 6
+    rng = np.random.RandomState(7)
+    ids = rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    tt = rng.randint(0, 2, (B, T)).astype(np.int32)
+    n_in = 4 if variant == "dis_code" else cfg.code_size
+    n_img = 4 if variant == "dis_code" else cfg.code_dim
+    codes = rng.randint(0, cfg.code_voc, (B, n_in)).astype(np.int32)
+    mask = np.ones((B, T + n_img), np.int32)
+    mask[0, T + n_img - 1] = 0
+
+    with torch.no_grad():
+        seq_t, pooled_t = ref(
+            torch.tensor(ids, dtype=torch.long),
+            token_type_ids=torch.tensor(tt, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            img_feats=torch.tensor(codes, dtype=torch.long))[:2]
+
+    sd = {f"bert.{k}": _np(v) for k, v in ref.state_dict().items()}
+    params = cv.convert_bert_state_dict(sd, cfg)
+    model = BertImgModel(cfg)
+    seq_j, pooled_j = model.apply(
+        {"params": params["bert"]}, jnp.asarray(ids), jnp.asarray(tt),
+        jnp.asarray(mask), img_feats=jnp.asarray(codes))
+    np.testing.assert_allclose(np.asarray(seq_j), _np(seq_t),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled_j), _np(pooled_t),
+                               atol=2e-5, rtol=1e-4)
