@@ -46,6 +46,13 @@ def main():
     t0 = time.perf_counter()
     req(1)
     print(f"warm serial request {time.perf_counter() - t0:.2f}s")
+    # warm the BATCHED base shapes too (queue drains of 2..base_batch each
+    # compile their own vmapped base program) — two concurrent rounds
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(concurrency) as ex:
+            list(ex.map(req, range(concurrency)))
+        print(f"concurrent warm round: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(concurrency) as ex:
@@ -54,6 +61,11 @@ def main():
     print(f"base_batch={base_batch}: {n_requests} requests, "
           f"concurrency {concurrency}: {dt:.1f}s wall = "
           f"{n_requests / dt:.2f} req/s")
+    if svc.batcher is not None:
+        s = svc.batcher.stats
+        print(f"drains: {s['drains']}")
+        print("base_s:", [round(v, 2) for v in s["base_s"]])
+        print("finish_s:", [round(v, 2) for v in s["finish_s"]])
 
 
 if __name__ == "__main__":

@@ -303,7 +303,8 @@ class Extractor:
             return jnp.asarray(canvas), (h, w)
         return jnp.asarray(task.image_rgb), (h, w)
 
-    def base_maps(self, tasks: Sequence[ExtractTask]) -> list:
+    def base_maps(self, tasks: Sequence[ExtractTask],
+                  pad_to: Optional[int] = None) -> list:
         """Cross-request base-pass batching (the serving lever named in
         PERF.md round 3): compute the windowed base maps of several tasks
         in ONE batched backbone call per canvas-bucket group (padded to
@@ -311,6 +312,12 @@ class Extractor:
         results back via ``extract_task(task, base=...)``. Single-image
         requests pay batch-1 latency; a loaded serving queue amortizes
         the dominant per-image base pass across requests.
+
+        ``pad_to``: pad every multi-task group to this one batch size so
+        a serving daemon compiles exactly ONE batched program regardless
+        of how many requests each queue drain yields (a varying drain
+        size would otherwise trigger a fresh multi-minute compile the
+        first time each power-of-two batch appears).
 
         → list aligned with ``tasks`` (None entries when not windowed)."""
         if not self.windowed:
@@ -327,6 +334,8 @@ class Extractor:
                 bases[idxs[0]] = self.base_fn(self.params, images[idxs[0]])
                 continue
             bp = 1 << (len(idxs) - 1).bit_length()
+            if pad_to is not None and pad_to >= len(idxs):
+                bp = pad_to
             if self._base_batch_fn is None:
                 self._base_batch_fn = jax.jit(
                     jax.vmap(self.base_fn, in_axes=(None, 0)))

@@ -274,6 +274,7 @@ class _BaseBatcher:
         self.svc = svc
         self.max_batch = max_batch
         self.q: "queue.Queue" = queue.Queue()
+        self.stats = {"drains": [], "base_s": [], "finish_s": []}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -304,14 +305,18 @@ class _BaseBatcher:
                 except Exception as e:  # noqa: BLE001 — per-job isolation
                     job["error"] = e
                     job["event"].set()
+            self.stats["drains"].append(len(prepped))
+            t0 = time.perf_counter()
             try:
                 bases = self.svc.extractor.base_maps(
-                    [t for _, t, _ in prepped])
+                    [t for _, t, _ in prepped], pad_to=self.max_batch)
             except Exception as e:  # noqa: BLE001
                 for job, _, _ in prepped:
                     job["error"] = e
                     job["event"].set()
                 continue
+            self.stats["base_s"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
             for (job, task, scale), base in zip(prepped, bases):
                 try:
                     job["result"] = self.svc._finish(
@@ -320,6 +325,7 @@ class _BaseBatcher:
                     job["error"] = e
                 finally:
                     job["event"].set()
+            self.stats["finish_s"].append(time.perf_counter() - t0)
 
 
 def make_handler(svc: CPTService):
