@@ -186,11 +186,22 @@ def main(argv=None):
         import yaml as _yaml
 
         desc = _yaml.safe_load(open(args.yaml)) or {}
+        root = desc.get("ann_root", os.path.dirname(args.yaml))
+
+        def resolve(p):
+            # the reference's find_file_path_in_yaml rule
+            # (load_files.py:67-76): as-is if it exists, else ann_root
+            # -relative
+            return p if os.path.isfile(str(p)) else os.path.join(root, p)
+
         for key, attr in (("ann", "ann_file"), ("det", "det_file"),
                           ("image_root", "image_root"),
                           ("to_mark", "to_mark")):
             if key in desc and getattr(args, attr) is None:
-                setattr(args, attr, desc[key])
+                val = desc[key]
+                if key != "image_root":
+                    val = resolve(val)
+                setattr(args, attr, val)
     if args.shard_by_process:
         args.total_step = jax.process_count()
         args.cur_step = jax.process_index()

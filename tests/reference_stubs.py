@@ -137,14 +137,58 @@ def install():
     tv_datasets.CocoDetection = _CocoDetection
     tv_datasets.coco = types.SimpleNamespace(CocoDetection=_CocoDetection)
     tv.datasets = tv_datasets
+    def _tv_to_tensor(pic):
+        arr = np.asarray(pic, np.uint8).copy()
+        return torch.from_numpy(arr).permute(2, 0, 1).float().div(255.0)
+
+    def _tv_normalize(tensor, mean, std, inplace=False):
+        mean_t = torch.as_tensor(mean, dtype=tensor.dtype)[:, None, None]
+        std_t = torch.as_tensor(std, dtype=tensor.dtype)[:, None, None]
+        return (tensor - mean_t) / std_t
+
     tv_transforms = types.ModuleType("torchvision.transforms")
-    tv_transforms.functional = types.SimpleNamespace()
+    tv_transforms.functional = types.SimpleNamespace(
+        to_tensor=_tv_to_tensor, normalize=_tv_normalize)
     tv_transforms.Compose = lambda ts: ts
+
+    class _ColorJitter:
+        # constructed by the reference's transforms.py:94 even on the
+        # eval path (it is excluded from the eval Compose)
+        def __init__(self, brightness=None, contrast=None, saturation=None,
+                     hue=None):
+            pass
+
+        def __call__(self, img):
+            return img
+
+    tv_transforms.ColorJitter = _ColorJitter
     tv.transforms = tv_transforms
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.ops", tv_ops)
     sys.modules.setdefault("torchvision.datasets", tv_datasets)
     sys.modules.setdefault("torchvision.transforms", tv_transforms)
+
+    # python 3.12 removed the deprecated `imp` module the reference's
+    # engine files still import (unused at runtime)
+    if "imp" not in sys.modules:
+        sys.modules["imp"] = types.ModuleType("imp")
+
+    # cityscapesscripts helper stub (eval_instances.py imports four
+    # trivial helpers from it)
+    if "cityscapesscripts" not in sys.modules:
+        cs = types.ModuleType("cityscapesscripts")
+        cs_helpers = types.ModuleType("cityscapesscripts.helpers")
+        cs_h = types.ModuleType("cityscapesscripts.helpers.csHelpers")
+        cs_h.writeDict2JSON = lambda d, p: None
+        cs_h.ensurePath = lambda p: None
+        cs_h.colors = types.SimpleNamespace(ENDC="", BOLD="", RED="",
+                                            GREEN="")
+        cs_h.getColorEntry = lambda val, args: ""
+        cs_helpers.csHelpers = cs_h
+        cs.helpers = cs_helpers
+        sys.modules["cityscapesscripts"] = cs
+        sys.modules["cityscapesscripts.helpers"] = cs_helpers
+        sys.modules["cityscapesscripts.helpers.csHelpers"] = cs_h
 
     # pycocotools stub backed by our own parity-tested RLE codec
     # (utils/rle.py) — segmentation_mask.py imports it at module scope;
@@ -192,6 +236,19 @@ def install():
         setattr(_c, name, None)
     maskrcnn_benchmark._C = _c
     sys.modules["maskrcnn_benchmark._C"] = _c
+
+    # stub modules need a real __spec__: transformers'
+    # _is_package_available probes importlib.util.find_spec("timm") etc.,
+    # which raises ValueError on spec-less sys.modules entries
+    import importlib.machinery as _machinery
+
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and getattr(mod, "__spec__", None) is None \
+                and getattr(mod, "__loader__", None) is None \
+                and name.split(".")[0] in (
+                    "timm", "torchvision", "yacs", "pycocotools",
+                    "cityscapesscripts", "imp"):
+            mod.__spec__ = _machinery.ModuleSpec(name, loader=None)
 
 
 def tiny_resnet_cfg():
@@ -281,11 +338,20 @@ def full_attr_rcnn_cfg():
     return cfg
 
 
-def build_reference_attr_rcnn(force_boxes: bool = True):
+def build_reference_attr_rcnn(force_boxes: bool = True, overrides=None):
     """Build the reference AttrRCNN (tiny cfg), eval mode, randomized
-    frozen-BN buffers, trans_conv removed (absent in the real VinVL shape)."""
+    frozen-BN buffers, trans_conv removed (absent in the real VinVL shape).
+
+    ``overrides``: {dotted.cfg.key: value} applied before the build (e.g.
+    RES2_OUT_CHANNELS=256 for real-width 2054-d features)."""
     install()
     cfg = full_attr_rcnn_cfg()
+    for key, val in (overrides or {}).items():
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = val
     cfg.MODEL.RETINANET_ON = False
     cfg.MODEL.FCOS_ON = False
     cfg.MODEL.RPN_ONLY = False
@@ -306,8 +372,12 @@ def build_reference_attr_rcnn(force_boxes: bool = True):
     model.eval()
     # the 64-channel tiny backbone triggers the FPN-compat trans_conv the
     # real 1024-channel VinVL config never builds — drop it
-    model.roi_heads.box.feature_extractor.trans_conv = None
-    model.attribute.feature_extractor.trans_conv = None
+    if getattr(model.roi_heads.box.feature_extractor, "trans_conv",
+               None) is not None:
+        model.roi_heads.box.feature_extractor.trans_conv = None
+    if getattr(model.attribute.feature_extractor, "trans_conv",
+               None) is not None:
+        model.attribute.feature_extractor.trans_conv = None
 
     rng = np.random.RandomState(3)
     with torch.no_grad():
