@@ -102,8 +102,9 @@ def generate_vg_fixture(root: str, n_pairs: int = 6, n_objects: int = 4,
                         feat_dim: int = 32, seed: int = 0,
                         predicates=("on", "has", "near")) -> dict:
     """VG-style fixture: rows keyed <img>_<s>_<o> with
-    [boxlist, subj_obj_names, colors, rel_label] payloads + predicate vocab
-    + gt relations pickle."""
+    [[boxlist], color_names, pair_labels, rel_label] payloads (the
+    reference inference_vg layout) + predicate vocab + gt relations
+    pickle."""
     import pickle
 
     os.makedirs(root, exist_ok=True)
@@ -117,7 +118,7 @@ def generate_vg_fixture(root: str, n_pairs: int = 6, n_objects: int = 4,
                     "feature": encode_feature(f)} for f in feats]
         img_key = f"im{q}.jpg_0_1"
         rows.append([img_key, json.dumps(
-            {"objects": [boxlist, ["dog", "cat"], ["red", "blue"], rel]})])
+            {"objects": [[boxlist], ["red", "blue"], ["dog", "cat"], rel]})])
         gts.append({"img_path": f"im{q}.jpg",
                     "relations": np.array([[0, 1, (q % len(predicates)) + 1]])})
     paths = {

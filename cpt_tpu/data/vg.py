@@ -52,7 +52,10 @@ class VGCPTData:
     def decode_row(self, idx: int):
         img_key, payload = self.tsv.seek(idx)
         info = json.loads(payload)
-        boxlist, subj_obj_names, colors, rel_label = info["objects"]
+        # reference layout: [[boxlist], color_names, pair_labels, rel]
+        # (inference_vg.py:179-181 / vg_cpt_dataset.py:103-121)
+        nested, colors, subj_obj_names, rel_label = info["objects"]
+        boxlist = nested[0]
         od_labels = [o["class"] for o in boxlist]
         feats = np.stack([decode_feature(o["feature"]) for o in boxlist])
         return img_key, od_labels, feats, subj_obj_names, colors, rel_label

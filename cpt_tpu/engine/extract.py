@@ -597,8 +597,12 @@ def vcr_payload(task: ExtractTask, objs) -> dict:
 
 
 def vg_payload(task: ExtractTask, objs) -> dict:
-    return {"objects": [objs[0], task.meta["subj_obj_names"],
-                        task.meta["colors"], task.meta["rel_label"]]}
+    # the reference layout (inference_vg.py:179-181 writes
+    # [[boxlist], color_names, pair_labels, rel]; its stage-2 reads
+    # objs[0] / colors at [1] / names at [2], vg_cpt_dataset.py:103-121)
+    return {"objects": [[objs[0]], task.meta["colors"],
+                        task.meta["subj_obj_names"],
+                        task.meta["rel_label"]]}
 
 
 def plain_payload(task: ExtractTask, objs) -> dict:

@@ -194,6 +194,9 @@ def main(argv=None):
             # -relative
             return p if os.path.isfile(str(p)) else os.path.join(root, p)
 
+        args.vocab_file = None
+        if "vocab" in desc:
+            args.vocab_file = resolve(desc["vocab"])
         for key, attr in (("ann", "ann_file"), ("det", "det_file"),
                           ("image_root", "image_root"),
                           ("to_mark", "to_mark")):
@@ -253,11 +256,19 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, devices=jax.devices()[:args.dp])
     windows = [tuple(int(v) for v in w.split("x"))
                for w in args.windows.split(",") if w]
+    # per-task paint convention: the reference's GQA/VQA/VCR datasets
+    # paint rects INCLUSIVELY (`Image.new('RGBA', (x2-x1+1, y2-y1+1))`,
+    # gqadataset.py:153 / vqadataset.py:162 / vcrdataset.py:262) while
+    # RefCOCO and VG paint exclusively (refcocodataset.py:301,
+    # vgdataset.py:157) — caught by the cross-framework pipeline test
+    inclusive = args.task in ("gqa", "vcr")
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
+                          inclusive_paint=inclusive,
                           windowed=args.windowed, window=windows,
                           allow_approximate=args.allow_approximate,
-                          mesh=mesh)
+                          mesh=mesh,
+                          with_masks=(args.task == "vcr"))
 
     from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
                                            plain_task, vcr_color_task,
@@ -301,6 +312,37 @@ def main(argv=None):
                 yield refcoco_task(f"syn{q}", img,
                                    (cfg.input.pad_h, cfg.input.pad_w),
                                    dets, f"the red thing {q}")
+            return
+        if (args.task == "vg"
+                and args.ann_file.endswith((".pk", ".pkl", ".pickle"))):
+            # the reference's OWN VG data format (vgdataset.py:25-53): a
+            # pickle of {img_path, width, height, boxes xyxy [N,4],
+            # labels [N], relations [R,3]} records + an idx_to_label
+            # vocab json, expanded to one task per overlapping
+            # (subj < obj) pair exactly like process_vg_data
+            # (vgdataset.py:99-115; inclusive +1 IoU, strict > 0)
+            import pickle as _pickle
+
+            from cpt_tpu.structures.boxes import box_iou
+
+            vgdata = _pickle.load(open(args.ann_file, "rb"))
+            vgdata = shard_and_sample(vgdata, args)
+            vocab = json.load(open(args.vocab_file))
+            for d in vgdata:
+                boxes = np.asarray(d["boxes"], np.float32)
+                iou = np.array(box_iou(jnp.asarray(boxes),
+                                       jnp.asarray(boxes)))
+                np.fill_diagonal(iou, -1.0)
+                labels = np.asarray(d["labels"]).astype(np.int64)
+                img, hw, sc = load_one(d["img_path"], d.get("height"))
+                for s, o in zip(*np.nonzero(iou > 0)):
+                    if s >= o:
+                        continue
+                    yield vg_pair_task(
+                        d["img_path"], img, hw, boxes * sc, int(s), int(o),
+                        vocab["idx_to_label"][str(int(labels[s]))],
+                        vocab["idx_to_label"][str(int(labels[o]))],
+                        None)
             return
         anns = json.load(open(args.ann_file))
         anns = shard_and_sample(anns, args)

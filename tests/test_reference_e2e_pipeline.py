@@ -337,3 +337,229 @@ def test_two_stage_cross_framework_predictions(tmp_path, monkeypatch):
                                    np.asarray(captured[k], np.float64),
                                    err_msg=f"prediction mismatch for {k}")
     np.testing.assert_allclose(acc, miou_ref, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_gqa_stage1_pipeline_tsv_parity(tmp_path):
+    """Second engine family: the reference's GQA color-marking extraction
+    executed directly (`GQAColorDataset` question-entity marking with the
+    +1-inclusive paint, `gqadataset.py:128-156`; `VGCollator`;
+    `engine/inference_vcr.py::inference` — per-query single boxlist,
+    geometry concat `:285-296`, its own TSV writer `:83-215`) vs our
+    `extract_features --task gqa` on the same fixture and weights."""
+    from PIL import Image
+    from torch.utils.data import DataLoader
+
+    from maskrcnn_benchmark.data.collate_batch import VGCollator
+    from maskrcnn_benchmark.data.datasets.gqadataset import GQAColorDataset
+    from maskrcnn_benchmark.engine.inference_vcr import (
+        inference as vcr_inference)
+
+    rng = np.random.RandomState(9)
+    (tmp_path / "images").mkdir()
+    for i in (1, 2):
+        arr = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "images" / f"g{i}.jpg")
+    anns = [
+        {"q_id": "g0", "img_id": 1, "img_path": "g1.jpg",
+         "question": "what is it", "w": W, "h": H},
+        {"q_id": "g1", "img_id": 2, "img_path": "g2.jpg",
+         "question": "what color", "w": W, "h": H},
+    ]
+    dets = {  # [name, box_xyxy] — the GQA det format (gqadataset.py:135)
+        "1": [["thing1", [4, 4, 30, 28]], ["thing2", [20, 16, 58, 52]],
+              ["thing3", [8, 36, 40, 60]]],
+        "2": [["thing2", [10, 10, 39, 39]], ["thing1", [25, 20, 59, 59]]],
+    }
+    # to_mark entries are [box_xyxy, [char_insert_pos]] — the reference's
+    # own stage-2 indexes the position as x[0][0] (gqa_cpt.py:239)
+    to_mark = {"g0": [[[20, 16, 58, 52], [8]]],
+               "g1": [[[10, 10, 39, 39], [5]]]}
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    json.dump(dets, open(tmp_path / "det.json", "w"))
+    json.dump(to_mark, open(tmp_path / "to_mark.json", "w"))
+    yaml_path = tmp_path / "gqa_test.yaml"
+    yaml_path.write_text(
+        f"ann_root: {tmp_path}\nann: ann.json\ndet: det.json\n"
+        f"to_mark: to_mark.json\nimage_root: {tmp_path / 'images'}\n")
+    labelmap = {
+        "label_to_idx": {n: i + 1 for i, n in enumerate(CLASSES)},
+        "idx_to_label": {str(i + 1): n for i, n in enumerate(CLASSES)},
+    }
+    json.dump(labelmap, open(tmp_path / "labelmap.json", "w"))
+
+    ref_model, ref_cfg = reference_stubs.build_reference_attr_rcnn(
+        force_boxes=True)
+    CN = reference_stubs.CfgNode
+    ref_cfg.INPUT = CN(MIN_SIZE_TEST=0, MAX_SIZE_TEST=0, TO_BGR255=True,
+                       PIXEL_MEAN=[103.530, 116.280, 123.675],
+                       PIXEL_STD=[1.0, 1.0, 1.0])
+    ref_cfg.TEST.SAVE_RESULTS_TO_TSV = True
+    ref_cfg.TEST.TSV_SAVE_SUBSET = ["rect", "class", "conf", "feature"]
+    ref_cfg.TEST.GATHER_ON_CPU = False
+    ref_cfg.TEST.SKIP_PERFORMANCE_EVAL = True
+
+    args_ns = CN(TOTAL_STEP=None, CUR_STEP=None, N_SHOT=None, RAND_SEED=0)
+    dataset = GQAColorDataset(str(yaml_path),
+                              transforms=build_transforms(ref_cfg,
+                                                          is_train=False),
+                              args=args_ns)
+    loader = DataLoader(dataset, batch_size=2, shuffle=False, num_workers=0,
+                        collate_fn=VGCollator(size_divisible=16))
+    out_dir = tmp_path / "ref_out"
+    out_dir.mkdir()
+    vcr_inference(ref_model, ref_cfg, loader, "gqa_test", device="cpu",
+                  output_folder=str(out_dir), skip_performance_eval=True,
+                  labelmap_file=str(tmp_path / "labelmap.json"))
+    ref_tsv = out_dir / "predictions.tsv"
+    assert ref_tsv.exists()
+
+    ckpt = tmp_path / "ref_model.pth"
+    torch.save({"model": ref_model.state_dict()}, ckpt)
+    our_tsv = tmp_path / "ours.tsv"
+    from cpt_tpu.tools.extract_features import main as extract_main
+
+    extract_main(["--task", "gqa", "--yaml", str(yaml_path),
+                  "--tiny", "--dtype", "float32",
+                  "--checkpoint", str(ckpt),
+                  "--labelmap", str(tmp_path / "labelmap.json"),
+                  "--output", str(our_tsv)])
+
+    ref_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(ref_tsv))[i] for i in range(2))}
+    our_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(our_tsv))[i] for i in range(2))}
+    assert set(ref_rows) == set(our_rows) == {"g0", "g1"}
+    for key in sorted(ref_rows):
+        ref_objs, ref_meta = ref_rows[key]["objects"]
+        our_objs, our_meta = our_rows[key]["objects"]
+        # reference meta = [positions_and_colors, None] (txt_names unused
+        # on the GQA path); ours carries positions_and_colors only
+        assert our_meta[0] == ref_meta[0]
+        assert len(our_objs) == len(ref_objs)
+        for ref_o, our_o in zip(ref_objs, our_objs):
+            assert our_o["class"] == ref_o["class"], key
+            np.testing.assert_allclose(our_o["rect"], ref_o["rect"],
+                                       atol=1e-3)
+            np.testing.assert_allclose(our_o["conf"], ref_o["conf"],
+                                       atol=2e-3, rtol=1e-2)
+            rf = decode_feature(ref_o["feature"])
+            of = decode_feature(our_o["feature"])
+            np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-5)
+            np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_vg_stage1_pipeline_tsv_parity(tmp_path, monkeypatch):
+    """Third engine family: the reference's VG pair extraction executed
+    directly (`VGDataset` — pickle annotations, IoU>0 pair expansion
+    `vgdataset.py:99-115`, subject-red/object-blue EXCLUSIVE paint
+    `:153-158`; `engine/inference_vg.py::inference`) vs our
+    `extract_features --task vg` reading the SAME reference-format
+    pickle+vocab yaml."""
+    import pickle
+
+    from PIL import Image
+    from torch.utils.data import DataLoader
+
+    from maskrcnn_benchmark.data.collate_batch import VGCollator
+    from maskrcnn_benchmark.data.datasets.vgdataset import VGDataset
+    from maskrcnn_benchmark.engine.inference_vg import (
+        inference as vg_inference)
+
+    rng = np.random.RandomState(13)
+    (tmp_path / "images").mkdir()
+    for name in ("v1.jpg", "v2.jpg"):
+        arr = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "images" / name)
+    vgdata = [
+        {"img_path": "v1.jpg", "width": W, "height": H,
+         # boxes 0/1 overlap; box 2 is disjoint → pairs: (0,1) only
+         "boxes": np.asarray([[4, 4, 30, 28], [20, 16, 58, 52],
+                              [2, 40, 14, 60]], np.float32),
+         "labels": np.asarray([1, 2, 3], np.int64),
+         "relations": np.asarray([[0, 1, 1]], np.int32)},
+        {"img_path": "v2.jpg", "width": W, "height": H,
+         # all three overlap pairwise → pairs (0,1), (0,2), (1,2)
+         "boxes": np.asarray([[10, 10, 39, 39], [25, 20, 59, 59],
+                              [15, 25, 44, 50]], np.float32),
+         "labels": np.asarray([2, 1, 4], np.int64),
+         "relations": np.asarray([[0, 2, 2]], np.int32)},
+    ]
+    pickle.dump(vgdata, open(tmp_path / "vg_eval.pk", "wb"))
+    vocab = {"idx_to_label": {str(i + 1): n for i, n in enumerate(CLASSES)},
+             "idx_to_predicate": {"1": "on", "2": "near"}}
+    json.dump(vocab, open(tmp_path / "vocab.json", "w"))
+    yaml_path = tmp_path / "vg_test.yaml"
+    yaml_path.write_text(
+        f"ann_root: {tmp_path}\nann: vg_eval.pk\nvocab: vocab.json\n"
+        f"image_root: {tmp_path / 'images'}\n")
+    labelmap = {
+        "label_to_idx": {n: i + 1 for i, n in enumerate(CLASSES)},
+        "idx_to_label": {str(i + 1): n for i, n in enumerate(CLASSES)},
+    }
+    json.dump(labelmap, open(tmp_path / "labelmap.json", "w"))
+
+    ref_model, ref_cfg = reference_stubs.build_reference_attr_rcnn(
+        force_boxes=True)
+    CN = reference_stubs.CfgNode
+    ref_cfg.INPUT = CN(MIN_SIZE_TEST=0, MAX_SIZE_TEST=0, TO_BGR255=True,
+                       PIXEL_MEAN=[103.530, 116.280, 123.675],
+                       PIXEL_STD=[1.0, 1.0, 1.0])
+    ref_cfg.TEST.SAVE_RESULTS_TO_TSV = True
+    ref_cfg.TEST.TSV_SAVE_SUBSET = ["rect", "class", "conf", "feature"]
+    ref_cfg.TEST.GATHER_ON_CPU = False
+    ref_cfg.TEST.SKIP_PERFORMANCE_EVAL = True
+
+    args_ns = CN(TOTAL_STEP=None, CUR_STEP=None, N_SHOT=None, RAND_SEED=0)
+    monkeypatch.chdir(tmp_path)  # the eval path dumps ./vg.pk
+    dataset = VGDataset(str(yaml_path),
+                        transforms=build_transforms(ref_cfg,
+                                                    is_train=False),
+                        args=args_ns)
+    assert len(dataset) == 4  # (0,1) + three v2 pairs
+    loader = DataLoader(dataset, batch_size=2, shuffle=False, num_workers=0,
+                        collate_fn=VGCollator(size_divisible=16))
+    out_dir = tmp_path / "ref_out"
+    out_dir.mkdir()
+    vg_inference(ref_model, ref_cfg, loader, "vg_test", device="cpu",
+                 output_folder=str(out_dir), skip_performance_eval=True,
+                 labelmap_file=str(tmp_path / "labelmap.json"))
+    ref_tsv = out_dir / "predictions.tsv"
+    assert ref_tsv.exists()
+
+    ckpt = tmp_path / "ref_model.pth"
+    torch.save({"model": ref_model.state_dict()}, ckpt)
+    our_tsv = tmp_path / "ours.tsv"
+    from cpt_tpu.tools.extract_features import main as extract_main
+
+    extract_main(["--task", "vg", "--yaml", str(yaml_path),
+                  "--tiny", "--dtype", "float32",
+                  "--checkpoint", str(ckpt),
+                  "--labelmap", str(tmp_path / "labelmap.json"),
+                  "--output", str(our_tsv)])
+
+    ref_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(ref_tsv))[i] for i in range(4))}
+    our_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(our_tsv))[i] for i in range(4))}
+    assert set(ref_rows) == set(our_rows)
+    assert "v1.jpg_0_1" in ref_rows and "v2.jpg_1_2" in ref_rows
+    for key in sorted(ref_rows):
+        ref_nested, ref_colors, ref_names, ref_rel = ref_rows[key]["objects"]
+        our_nested, our_colors, our_names, our_rel = our_rows[key]["objects"]
+        assert our_colors == ref_colors == ["red", "blue"]
+        assert our_names == ref_names
+        assert our_rel == ref_rel  # None on the eval path
+        ref_objs, our_objs = ref_nested[0], our_nested[0]
+        assert len(our_objs) == len(ref_objs) == 3
+        for ref_o, our_o in zip(ref_objs, our_objs):
+            assert our_o["class"] == ref_o["class"], key
+            np.testing.assert_allclose(our_o["rect"], ref_o["rect"],
+                                       atol=1e-3)
+            np.testing.assert_allclose(our_o["conf"], ref_o["conf"],
+                                       atol=2e-3, rtol=1e-2)
+            rf = decode_feature(ref_o["feature"])
+            of = decode_feature(our_o["feature"])
+            np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-5)
+            np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)

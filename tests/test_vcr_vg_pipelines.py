@@ -79,12 +79,16 @@ def test_vcr_cli_learns(tmp_path, tmp_path_factory):
         "--feat_file", paths["feat_file"], "--examples", paths["examples"],
         "--hidden_size", "32", "--num_hidden_layers", "2",
         "--img_feature_dim", "24", "--max_seq_length", "24",
-        "--max_img_seq_length", "6", "--num_train_epochs", "150",
-        "--learning_rate", "1e-2", "--weight_decay", "0.0",
+        "--max_img_seq_length", "6", "--num_train_epochs", "300",
+        "--learning_rate", "3e-3", "--weight_decay", "0.0", "--seed", "1",
         "--per_gpu_train_batch_size", "8",
         "--per_gpu_eval_batch_size", "4",
         "--output", str(tmp_path / "results.pk"),
     ])
+    # lr/epochs/seed chosen from a measured sweep (this tiny NSP task is
+    # marginal under 0.1 dropout: 1e-2/150ep reached 75% on exactly one
+    # rng stream and regressed when the attention-dropout stream moved;
+    # 3e-3/300ep hits 100% on multiple seeds)
     assert acc >= 75.0, f"VCR NSP tuning failed to learn: acc={acc}"
 
 
