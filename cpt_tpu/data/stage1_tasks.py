@@ -50,52 +50,115 @@ def gqa_mark_task(q_id: str, image_rgb: np.ndarray, image_hw, det_boxes,
     )
 
 
-def rasterize_polygon(polygon: Sequence[Sequence[float]], h: int, w: int
-                      ) -> np.ndarray:
-    """Polygon [[x, y], ...] → binary mask [h, w] (PIL rasterization for
-    parity with the reference's polygon handling)."""
+def rasterize_polygon(polygon, h: int, w: int) -> np.ndarray:
+    """Polygon(s) → binary mask [h, w]. Accepts one part [[x, y], ...] or
+    a list of parts (the reference's multi-part segms). FILL-only PIL
+    rasterization — the reference draws ``polygon(..., fill=color)`` with
+    no outline (vcrdataset.py:277-283), and outline strokes add boundary
+    pixels scanline fill excludes."""
     from PIL import Image, ImageDraw
 
     img = Image.new("L", (w, h), 0)
-    ImageDraw.Draw(img).polygon([(float(x), float(y)) for x, y in polygon],
-                                outline=1, fill=1)
+    draw = ImageDraw.Draw(img)
+    if len(polygon) and hasattr(polygon[0][0], "__len__"):
+        parts = polygon          # list of parts
+    else:
+        parts = [polygon] if len(polygon) else []
+    for part in parts:
+        if len(part) < 2:
+            part = list(part) + [part[0]]
+        draw.polygon([(float(x), float(y)) for x, y in part], fill=1)
     return np.asarray(img, np.uint8)
+
+
+def vcr_entity_groups(ann: dict) -> Tuple[List[List[int]], List[List[int]]]:
+    """First-appearance entity groups from the reference's mixed-token
+    VCR sentences → (vis_groups, txt_groups): vis from question+answers
+    (color assignment, ``vcrdataset.py:184-188``), txt additionally
+    includes rationale-only groups (``:181-183``). Groups carry SORTED
+    member ids (the reference's ``lst2str(sorted(x))`` identity). The
+    reference's within-sentence order is a Python-set artifact;
+    first-appearance is the deterministic equivalent."""
+    def collect(sents, seen, out):
+        for sent in sents:
+            for tok in sent:
+                if isinstance(tok, list):
+                    key = tuple(sorted(tok))
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(sorted(tok))
+
+    seen: set = set()
+    vis: List[List[int]] = []
+    collect([ann["question"]] + list(ann["answers"]), seen, vis)
+    txt = list(vis)
+    collect(list(ann.get("rationales", [])), seen, txt)
+    return vis, txt
 
 
 def vcr_color_task(q_id: str, image_rgb: np.ndarray, image_hw, det_boxes,
                    entity_ids: Sequence[Sequence[int]],
                    entity_polygons: Dict[int, Sequence[Sequence[float]]],
                    entity_names: Dict[int, str],
-                   color_d: int = 6, palette=CROSS_TASK_COLORS
+                   color_d: int = 6, palette=CROSS_TASK_COLORS,
+                   txt_entity_ids: Optional[Sequence[Sequence[int]]] = None
                    ) -> ExtractTask:
-    """``entity_ids``: entity-id lists referenced by the question/answers in
-    order of appearance; the first ``color_d`` distinct entities get palette
-    colors painted over their segmentation masks (single copy)."""
+    """Reference ``construct_to_mark_and_color`` semantics
+    (``vcrdataset.py:173-255``):
+
+    * vis sweep over ``entity_ids`` (the question+answers groups): each
+      MEMBER not yet painted gets the group's palette color — a member
+      shared with an earlier group keeps its earlier paint; the color
+      counter advances only when a group painted someone, and stops at
+      ``color_d``.
+    * txt sweep over ``txt_entity_ids`` (default ``entity_ids``; the
+      reference also includes rationale-only groups): names follow the
+      person/people/<cls>s/objects rule (:237-249); a group carries a
+      color word only when EVERY member wears the same paint (:250-253).
+    * masks pasted sequentially per member (alpha blend), pre-composited
+      on host — pixel-identical to the reference's per-member overlay
+      pastes (same color within a group, same cross-group order).
+
+    The reference's group order within one sentence is a Python-set
+    iteration artifact (``_get_eles`` → ``list(set(...))``,
+    vcrdataset.py:176-179); callers supply first-appearance order."""
     h, w = image_rgb.shape[:2]
-    mask = np.zeros((h, w), np.uint8)
-    # composite all colored entities into one copy via sequential mask paints
-    obj_colors: Dict[str, str] = {}
-    obj_names: Dict[str, str] = {}
+    painted: Dict[int, str] = {}   # member id → color name (vis sweep)
     color_cnt = 0
     masks, mask_colors = [], []
     for ids in entity_ids:
-        key = vcr_entity_key(ids)
-        if key not in obj_names:
-            names = sorted({entity_names[i] for i in ids})
-            obj_names[key] = ("people" if len(ids) > 1 and
-                              names == ["person"] else " and ".join(
-                                  entity_names[i] for i in sorted(ids)))
-        if key in obj_colors or color_cnt >= color_d:
+        if color_cnt >= color_d:
             continue
-        m = np.zeros((h, w), np.uint8)
+        painted_any = False
         for i in ids:
-            if i in entity_polygons:
-                m |= rasterize_polygon(entity_polygons[i], h, w)
-        if m.any():
-            masks.append(m)
+            if i in painted:
+                continue
+            masks.append(rasterize_polygon(entity_polygons.get(i, []),
+                                           h, w))
             mask_colors.append(palette[color_cnt][1])
-            obj_colors[key] = palette[color_cnt][0]
+            painted[i] = palette[color_cnt][0]
+            painted_any = True
+        if painted_any:
             color_cnt += 1
+
+    obj_colors: Dict[str, str] = {}
+    obj_names: Dict[str, str] = {}
+    for ids in (entity_ids if txt_entity_ids is None else txt_entity_ids):
+        key = vcr_entity_key(ids)
+        if key in obj_names:
+            continue
+        clses = [entity_names[i] for i in ids]
+        if len(set(clses)) == 1:
+            if clses[0] == "person":
+                obj_names[key] = "person" if len(clses) == 1 else "people"
+            else:
+                obj_names[key] = (clses[0] if len(clses) == 1
+                                  else clses[0] + "s")
+        else:
+            obj_names[key] = "objects"
+        member_colors = {painted.get(i, "none") for i in ids}
+        if len(member_colors) == 1 and "none" not in member_colors:
+            obj_colors[key] = next(iter(member_colors))
 
     # flatten to one composited mask pass per copy: paint sequentially by
     # running K mask copies through the extractor's single-mask channel is

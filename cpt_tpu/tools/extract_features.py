@@ -267,8 +267,7 @@ def main(argv=None):
                           inclusive_paint=inclusive,
                           windowed=args.windowed, window=windows,
                           allow_approximate=args.allow_approximate,
-                          mesh=mesh,
-                          with_masks=(args.task == "vcr"))
+                          mesh=mesh)
 
     from cpt_tpu.data.stage1_tasks import (gqa_mark_task, parse_gqa_marks,
                                            plain_task, vcr_color_task,
@@ -379,7 +378,29 @@ def main(argv=None):
                     continue
                 yield gqa_mark_task(q_id, img, hw, dets * sc, marks)
         elif args.task == "vcr":
+            from cpt_tpu.data.stage1_tasks import vcr_entity_groups
+
             for ann in anns:
+                if "annot_id" in ann:
+                    # the reference's OWN VCR layout (vcrdataset.py:
+                    # 139-172): mixed-token sentences, to_mark
+                    # {img_id: {boxes, names}}, [name, xyxy] dets, and
+                    # per-image <img>.json segms files
+                    img_id = ann["img_id"]
+                    tm = to_mark[img_id]
+                    names = dict(enumerate(tm["names"]))
+                    segms = json.load(open(os.path.join(
+                        args.image_root,
+                        ann["img_path"].replace(".jpg", ".json"))))["segms"]
+                    polys = dict(enumerate(segms))
+                    vis, txt = vcr_entity_groups(ann)
+                    dets = np.asarray([d[1] for d in det_dic[img_id]],
+                                      np.float32)
+                    img, hw, sc = load_one(ann["img_path"], ann.get("h"))
+                    yield vcr_color_task(ann["annot_id"], img, hw,
+                                         dets * sc, vis, polys, names,
+                                         txt_entity_ids=txt)
+                    continue
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img_key"]]])
                 img, hw, sc = load_one(ann["img_path"], ann.get("h"))
                 polys = {int(k): v for k, v in ann["entity_polygons"].items()}

@@ -563,3 +563,149 @@ def test_vg_stage1_pipeline_tsv_parity(tmp_path, monkeypatch):
             of = decode_feature(our_o["feature"])
             np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-5)
             np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_vcr_stage1_pipeline_tsv_parity(tmp_path):
+    """Fourth engine family: the reference's VCR mask-paint extraction
+    executed directly (`VCRColorDataset` — entity-group color assignment
+    with member-level det dedup `vcrdataset.py:215-234`, per-image segms
+    polygon overlays `:272-283`, person/people/<cls>s/objects naming
+    `:237-249`; `inference_vcr` engine) vs our `extract_features --task
+    vcr` on the SAME reference-format files. Sentences carry at most one
+    distinct entity group each — the reference's within-sentence group
+    order is a Python-set artifact (`_get_eles`, :176-179)."""
+    from PIL import Image
+    from torch.utils.data import DataLoader
+
+    from maskrcnn_benchmark.data.collate_batch import VGCollator
+    from maskrcnn_benchmark.data.datasets.vcrdataset import VCRColorDataset
+    from maskrcnn_benchmark.engine.inference_vcr import (
+        inference as vcr_inference)
+
+    rng = np.random.RandomState(17)
+    (tmp_path / "images").mkdir()
+    segms = {
+        "vcr1": [[[[6, 6], [28, 6], [28, 26], [6, 26]]],
+                 # entity 1: TWO polygon parts
+                 [[[22, 18], [40, 18], [40, 34], [22, 34]],
+                  [[44, 36], [56, 36], [56, 50], [44, 50]]],
+                 [[[10, 38], [38, 38], [24, 58]]]],
+        "vcr2": [[[[12, 12], [36, 12], [36, 36], [12, 36]]],
+                 [[[28, 22], [56, 22], [56, 56], [28, 56]]]],
+    }
+    for name in ("vcr1", "vcr2"):
+        arr = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "images" / f"{name}.jpg")
+        json.dump({"segms": segms[name]},
+                  open(tmp_path / "images" / f"{name}.json", "w"))
+    anns = [
+        # vis groups [0] and [1]; rationale-only group [2] gets a name
+        # but no color
+        {"annot_id": "a0", "img_id": "i1", "img_path": "vcr1.jpg",
+         "w": W, "h": H,
+         "question": ["what", "is", [0], "doing", "?"],
+         "answers": [["he", "holds", [1]], ["nothing", "at", "all"]],
+         "rationales": [[[2], "is", "there"]]},
+        # shared member: [0] then [0, 1] — member 0 keeps its first
+        # paint, so group "0_1" wears MIXED colors → no color word
+        {"annot_id": "a1", "img_id": "i1", "img_path": "vcr1.jpg",
+         "w": W, "h": H,
+         "question": ["who", "is", [0], "?"],
+         "answers": [[[0, 1], "are", "together"]],
+         "rationales": []},
+        {"annot_id": "a2", "img_id": "i2", "img_path": "vcr2.jpg",
+         "w": W, "h": H,
+         "question": ["where", "is", [0], "?"],
+         "answers": [["outside"]],
+         "rationales": [[[1], "shows", "it"]]},
+    ]
+    to_mark = {
+        "i1": {"boxes": [[4, 4, 30, 28], [20, 16, 58, 52], [8, 36, 40, 60]],
+               "names": ["person", "person", "dog"]},
+        "i2": {"boxes": [[10, 10, 39, 39], [25, 20, 59, 59]],
+               "names": ["person", "dog"]},
+    }
+    dets = {
+        "i1": [["person", [4, 4, 30, 28]], ["dog", [20, 16, 58, 52]],
+               ["person", [8, 36, 40, 60]]],
+        "i2": [["person", [10, 10, 39, 39]], ["dog", [25, 20, 59, 59]]],
+    }
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    json.dump(dets, open(tmp_path / "det.json", "w"))
+    json.dump(to_mark, open(tmp_path / "to_mark.json", "w"))
+    yaml_path = tmp_path / "vcr_test.yaml"
+    yaml_path.write_text(
+        f"ann_root: {tmp_path}\nann: ann.json\ndet: det.json\n"
+        f"to_mark: to_mark.json\nimage_root: {tmp_path / 'images'}\n")
+    labelmap = {
+        "label_to_idx": {n: i + 1 for i, n in enumerate(CLASSES)},
+        "idx_to_label": {str(i + 1): n for i, n in enumerate(CLASSES)},
+    }
+    json.dump(labelmap, open(tmp_path / "labelmap.json", "w"))
+
+    ref_model, ref_cfg = reference_stubs.build_reference_attr_rcnn(
+        force_boxes=True)
+    CN = reference_stubs.CfgNode
+    ref_cfg.INPUT = CN(MIN_SIZE_TEST=0, MAX_SIZE_TEST=0, TO_BGR255=True,
+                       PIXEL_MEAN=[103.530, 116.280, 123.675],
+                       PIXEL_STD=[1.0, 1.0, 1.0])
+    ref_cfg.TEST.SAVE_RESULTS_TO_TSV = True
+    ref_cfg.TEST.TSV_SAVE_SUBSET = ["rect", "class", "conf", "feature"]
+    ref_cfg.TEST.GATHER_ON_CPU = False
+    ref_cfg.TEST.SKIP_PERFORMANCE_EVAL = True
+
+    args_ns = CN(TOTAL_STEP=None, CUR_STEP=None, N_SHOT=None, RAND_SEED=0,
+                 COLOR_D=6)
+    dataset = VCRColorDataset(str(yaml_path),
+                              transforms=build_transforms(ref_cfg,
+                                                          is_train=False),
+                              args=args_ns)
+    assert len(dataset) == 3
+    loader = DataLoader(dataset, batch_size=2, shuffle=False, num_workers=0,
+                        collate_fn=VGCollator(size_divisible=16))
+    out_dir = tmp_path / "ref_out"
+    out_dir.mkdir()
+    vcr_inference(ref_model, ref_cfg, loader, "vcr_test", device="cpu",
+                  output_folder=str(out_dir), skip_performance_eval=True,
+                  labelmap_file=str(tmp_path / "labelmap.json"))
+    ref_tsv = out_dir / "predictions.tsv"
+    assert ref_tsv.exists()
+
+    ckpt = tmp_path / "ref_model.pth"
+    torch.save({"model": ref_model.state_dict()}, ckpt)
+    our_tsv = tmp_path / "ours.tsv"
+    from cpt_tpu.tools.extract_features import main as extract_main
+
+    extract_main(["--task", "vcr", "--yaml", str(yaml_path),
+                  "--tiny", "--dtype", "float32",
+                  "--checkpoint", str(ckpt),
+                  "--labelmap", str(tmp_path / "labelmap.json"),
+                  "--output", str(our_tsv)])
+
+    ref_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(ref_tsv))[i] for i in range(3))}
+    our_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(our_tsv))[i] for i in range(3))}
+    assert set(ref_rows) == set(our_rows) == {"a0", "a1", "a2"}
+    # semantics spot-checks: rationale-only entity named but uncolored;
+    # mixed-paint group "0_1" carries no color word
+    ref_colors_a0, ref_names_a0 = ref_rows["a0"]["objects"][1]
+    assert "2" in ref_names_a0 and "2" not in ref_colors_a0
+    ref_colors_a1, _ = ref_rows["a1"]["objects"][1]
+    assert "0_1" not in ref_colors_a1 and "0" in ref_colors_a1
+    for key in sorted(ref_rows):
+        ref_objs, ref_meta = ref_rows[key]["objects"]
+        our_objs, our_meta = our_rows[key]["objects"]
+        assert our_meta == ref_meta, key  # [txt_colors, txt_names] dicts
+        assert len(our_objs) == len(ref_objs)
+        for ref_o, our_o in zip(ref_objs, our_objs):
+            assert our_o["class"] == ref_o["class"], key
+            np.testing.assert_allclose(our_o["rect"], ref_o["rect"],
+                                       atol=1e-3)
+            np.testing.assert_allclose(our_o["conf"], ref_o["conf"],
+                                       atol=2e-3, rtol=1e-2)
+            rf = decode_feature(ref_o["feature"])
+            of = decode_feature(our_o["feature"])
+            np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-5)
+            np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)
