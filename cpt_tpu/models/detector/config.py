@@ -85,6 +85,11 @@ class ROIHeadsConfig:
     # POOLER_SAMPLING_RATIO = 0; max grid 8 covers any RoI ≤ 1790px at 1/16
     pooler_sampling_ratio: int = 0
     cls_agnostic_bbox_reg: bool = False
+    # TEST.IGNORE_BOX_REGRESSION: RPN-mode post-processing keeps the raw
+    # proposals instead of regression-decoded boxes (the reference's
+    # GQA/VQA plain-feature extraction runs with this True,
+    # cmds/gqa/_ext.sh; box_head/inference.py:84-90)
+    ignore_box_regression: bool = False
     # force-boxes head RoI-slot chunking (extraction peak-memory cap): the
     # pooled [C, M, 14, 14, 1024] tensor dominates HBM at large copy
     # batches; processing M in chunks of this size lets C grow instead.

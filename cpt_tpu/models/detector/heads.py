@@ -112,8 +112,13 @@ def _decode_clip_per_class(cfg, class_logits, box_deltas, proposals, image_hw):
     rh = cfg.roi_heads
     prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
     n, c = prob.shape
-    decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
-                           rh.bbox_reg_weights).reshape(n, c, 4)
+    if rh.ignore_box_regression:
+        # raw proposals repeated per class (reference inference.py:84-91)
+        decoded = jnp.broadcast_to(
+            proposals.astype(jnp.float32)[:, None, :], (n, c, 4))
+    else:
+        decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
+                               rh.bbox_reg_weights).reshape(n, c, 4)
     h = image_hw[0].astype(jnp.float32)
     w = image_hw[1].astype(jnp.float32)
     decoded = jnp.stack([
@@ -276,9 +281,14 @@ def postprocess_fast(cfg: DetectorConfig, class_logits: Array,
     prob = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
     n, c = prob.shape
 
-    decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
-                           rh.bbox_reg_weights)           # [N, C*4]
-    decoded = decoded.reshape(n, c, 4)
+    if rh.ignore_box_regression:
+        # raw proposals (reference :84-90, :320 — the reachable config)
+        decoded = jnp.broadcast_to(
+            proposals.astype(jnp.float32)[:, None, :], (n, c, 4))
+    else:
+        decoded = decode_boxes(box_deltas.astype(jnp.float32), proposals,
+                               rh.bbox_reg_weights)       # [N, C*4]
+        decoded = decoded.reshape(n, c, 4)
     h = image_hw[0].astype(jnp.float32)
     w = image_hw[1].astype(jnp.float32)
     decoded = jnp.stack([

@@ -281,6 +281,7 @@ def load_reference_yaml(path: str,
                            else scales),
         pooler_sampling_ratio=int(g("MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO")),
         cls_agnostic_bbox_reg=bool(g("MODEL.CLS_AGNOSTIC_BBOX_REG")),
+        ignore_box_regression=bool(g("TEST.IGNORE_BOX_REGRESSION")),
         bbox_reg_weights=tuple(g("MODEL.ROI_HEADS.BBOX_REG_WEIGHTS")),
         batch_size_per_image=int(g("MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE")),
         positive_fraction=float(g("MODEL.ROI_HEADS.POSITIVE_FRACTION")),

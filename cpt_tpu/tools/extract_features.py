@@ -96,6 +96,16 @@ def build_args():
                         "toolchains")
     p.add_argument("--tiny", action="store_true",
                    help="tiny detector config (smoke tests)")
+    p.add_argument("--image_dir", default=None,
+                   help="plain RPN-mode detection + features over a "
+                        "directory of jpgs (the reference ImgDataset / "
+                        "cmds/gqa/_ext.sh uncolored pass; keys = file "
+                        "stems, sorted)")
+    p.add_argument("--nms_filter", type=int, default=None,
+                   help="override MODEL.ROI_HEADS.NMS_FILTER (0/1/2)")
+    p.add_argument("--ignore_box_regression", action="store_true",
+                   help="TEST.IGNORE_BOX_REGRESSION: keep raw proposals "
+                        "(the reference's plain-extraction setting)")
     p.add_argument("--synthetic", type=int, default=None,
                    help="extract N synthetic queries instead of real data")
     from cpt_tpu.tools._common import add_detector_config_args
@@ -225,6 +235,15 @@ def main(argv=None):
 
         cfg = _dc_replace(cfg, backbone=_dc_replace(
             cfg.backbone, precision=args.precision))
+    if args.nms_filter is not None or args.ignore_box_regression:
+        from dataclasses import replace as _dc_replace
+
+        rh = cfg.roi_heads
+        if args.nms_filter is not None:
+            rh = _dc_replace(rh, nms_filter=args.nms_filter)
+        if args.ignore_box_regression:
+            rh = _dc_replace(rh, ignore_box_regression=True)
+        cfg = _dc_replace(cfg, roi_heads=rh)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = AttrRCNN(cfg, dtype=dtype)
 
@@ -421,6 +440,61 @@ def main(argv=None):
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[key]])
                 img, hw, sc = load_one(ann["img_path"], ann.get("h"))
                 yield plain_task(key, img, hw, dets * sc)
+
+    if args.image_dir:
+        # plain RPN-mode detection + features over an image directory —
+        # the reference's ImgDataset pass (refcocodataset.py:21-64 +
+        # generic engine/inference.py through the NMS filters): one TSV
+        # row per image, per-det rect/class/conf/b64 2054-d feature
+        import base64
+        import glob as _glob
+
+        from cpt_tpu.engine.extract import make_detect_fn
+        from cpt_tpu.models.detector.rpn import grid_anchors
+
+        files = sorted(_glob.glob(os.path.join(args.image_dir, "*.jpg")))
+        files = shard_and_sample(files, args)
+        h0, w0 = cfg.input.pad_h, cfg.input.pad_w
+        anchors = jnp.asarray(grid_anchors(cfg.rpn, h0 // 16, w0 // 16))
+        fn = make_detect_fn(model, cfg, with_attributes=False)
+
+        def rpn_rows():
+            for path in files:
+                img, hw = load_image(
+                    path, h0, w0,
+                    resize_min=cfg.input.min_size_test if args.resize
+                    else None,
+                    resize_max=cfg.input.max_size_test if args.resize
+                    else None)
+                canvas = np.zeros((h0, w0, 3), np.uint8)
+                canvas[: hw[0], : hw[1]] = img
+                feats, boxes, labels, scores, valid, _ = fn(
+                    params, jnp.asarray(canvas), anchors,
+                    jnp.asarray(hw, jnp.int32))
+                n = int(np.asarray(valid).sum())
+                feats, boxes = np.asarray(feats)[:n], np.asarray(boxes)[:n]
+                labels, scores = np.asarray(labels)[:n], np.asarray(scores)[:n]
+                objects = []
+                for i in range(n):
+                    objects.append({
+                        "rect": [float(v) for v in boxes[i]], "bbox_id": i,
+                        "class": (labelmap or {}).get(int(labels[i]),
+                                                      str(int(labels[i]))),
+                        "conf": float(scores[i]),
+                        "feature": base64.b64encode(
+                            feats[i].astype(np.float32)).decode("utf-8"),
+                    })
+                key = os.path.splitext(os.path.basename(path))[0]
+                yield key, json.dumps({"objects": objects,
+                                       "relations": None})
+
+        from cpt_tpu.utils.tsv import tsv_writer
+
+        t0 = time.time()
+        tsv_writer(list(rpn_rows()), args.output)
+        print(f"wrote {args.output}: {len(files)} images "
+              f"(RPN mode) in {time.time() - t0:.1f}s")
+        return
 
     payload = {"refcoco": None, "gqa": gqa_payload, "vcr": vcr_payload,
                "vg": vg_payload, "plain": plain_payload}[args.task]

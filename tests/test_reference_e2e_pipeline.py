@@ -709,3 +709,101 @@ def test_vcr_stage1_pipeline_tsv_parity(tmp_path):
             of = decode_feature(our_o["feature"])
             np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-5)
             np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_plain_rpn_pipeline_tsv_parity(tmp_path, monkeypatch):
+    """Fifth (and last) engine family: the reference's PLAIN feature
+    extraction executed directly — `ImgDataset` over an image directory
+    (with its tmp/cnt.pk shard hack and ../img_info.json,
+    `refcocodataset.py:21-64`) through the generic
+    `engine/inference.py::inference` in RPN mode with the _ext.sh
+    settings (NMS_FILTER 1 "peter", IGNORE_BOX_REGRESSION) — vs our
+    `extract_features --image_dir` RPN mode on the same directory."""
+    import pickle
+
+    from PIL import Image
+    from torch.utils.data import DataLoader
+
+    from maskrcnn_benchmark.data.collate_batch import BatchCollator
+    from maskrcnn_benchmark.data.datasets.refcocodataset import ImgDataset
+    from maskrcnn_benchmark.engine.inference import (
+        inference as generic_inference)
+
+    rng = np.random.RandomState(23)
+    images_dir = tmp_path / "images"
+    images_dir.mkdir()
+    info = {}
+    for name in ("p1.jpg", "p2.jpg"):
+        arr = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(images_dir / name)
+        info[name] = {"width": W, "height": H}
+    json.dump(info, open(tmp_path / "img_info.json", "w"))
+    # the ImgDataset 15-shard side channel: shard 14 takes files[0:]
+    (tmp_path / "tmp").mkdir()
+    pickle.dump(14, open(tmp_path / "tmp" / "cnt.pk", "wb"))
+    labelmap = {
+        "label_to_idx": {n: i + 1 for i, n in enumerate(CLASSES)},
+        "idx_to_label": {str(i + 1): n for i, n in enumerate(CLASSES)},
+    }
+    json.dump(labelmap, open(tmp_path / "labelmap.json", "w"))
+
+    ref_model, ref_cfg = reference_stubs.build_reference_attr_rcnn(
+        force_boxes=False,
+        overrides={"MODEL.ROI_HEADS.NMS_FILTER": 1})
+    CN = reference_stubs.CfgNode
+    ref_cfg.INPUT = CN(MIN_SIZE_TEST=0, MAX_SIZE_TEST=0, TO_BGR255=True,
+                       PIXEL_MEAN=[103.530, 116.280, 123.675],
+                       PIXEL_STD=[1.0, 1.0, 1.0])
+    ref_cfg.TEST.SAVE_RESULTS_TO_TSV = True
+    ref_cfg.TEST.TSV_SAVE_SUBSET = ["rect", "class", "conf", "feature"]
+    ref_cfg.TEST.GATHER_ON_CPU = False
+    ref_cfg.TEST.SKIP_PERFORMANCE_EVAL = True
+
+    monkeypatch.chdir(tmp_path)  # tmp/cnt.pk is cwd-relative
+    dataset = ImgDataset(str(images_dir),
+                         transforms=build_transforms(ref_cfg,
+                                                     is_train=False))
+    assert len(dataset) == 2
+    loader = DataLoader(dataset, batch_size=2, shuffle=False, num_workers=0,
+                        collate_fn=BatchCollator(size_divisible=16))
+    out_dir = tmp_path / "ref_out"
+    out_dir.mkdir()
+    generic_inference(ref_model, ref_cfg, loader, "img_test", device="cpu",
+                      output_folder=str(out_dir),
+                      skip_performance_eval=True,
+                      labelmap_file=str(tmp_path / "labelmap.json"))
+    ref_tsv = out_dir / "predictions.tsv"
+    assert ref_tsv.exists()
+
+    ckpt = tmp_path / "ref_model.pth"
+    torch.save({"model": ref_model.state_dict()}, ckpt)
+    our_tsv = tmp_path / "ours.tsv"
+    from cpt_tpu.tools.extract_features import main as extract_main
+
+    extract_main(["--image_dir", str(images_dir),
+                  "--tiny", "--dtype", "float32",
+                  "--nms_filter", "1", "--ignore_box_regression",
+                  "--checkpoint", str(ckpt),
+                  "--labelmap", str(tmp_path / "labelmap.json"),
+                  "--output", str(our_tsv)])
+
+    ref_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(ref_tsv))[i] for i in range(2))}
+    our_rows = {k: json.loads(v) for k, v in
+                (TSVFile(str(our_tsv))[i] for i in range(2))}
+    assert set(ref_rows) == set(our_rows) == {"p1", "p2"}
+    for key in sorted(ref_rows):
+        ref_objs = ref_rows[key]["objects"]
+        our_objs = our_rows[key]["objects"]
+        assert len(our_objs) == len(ref_objs) >= 2, key  # min_detections
+        for ref_o, our_o in zip(ref_objs, our_objs):
+            assert our_o["class"] == ref_o["class"], key
+            np.testing.assert_allclose(our_o["rect"], ref_o["rect"],
+                                       atol=1e-2, rtol=1e-3)
+            np.testing.assert_allclose(our_o["conf"], ref_o["conf"],
+                                       atol=2e-3, rtol=1e-2)
+            rf = decode_feature(ref_o["feature"])
+            of = decode_feature(our_o["feature"])
+            np.testing.assert_allclose(of[-6:], rf[-6:], atol=1e-4)
+            np.testing.assert_allclose(of, rf, atol=4e-3, rtol=2e-2)
