@@ -32,8 +32,10 @@ def main():
 
     rng = np.random.RandomState(0)
     h, w = 480, 640
+    # sort over axis 1 gives [[x0, y0], [x1, y1]] with x0<=x1, y0<=y1;
+    # plain reshape is then valid xyxy
     dets = np.sort(rng.uniform(10, 300, (10, 2, 2)), axis=1)
-    dets = dets.transpose(0, 2, 1).reshape(10, 4).tolist()
+    dets = dets.reshape(10, 4).tolist()
 
     def req(i):
         img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)

@@ -60,11 +60,14 @@ def rasterize_polygon(polygon, h: int, w: int) -> np.ndarray:
 
     img = Image.new("L", (w, h), 0)
     draw = ImageDraw.Draw(img)
-    if len(polygon) and hasattr(polygon[0][0], "__len__"):
-        parts = polygon          # list of parts
+    if len(polygon) and (not len(polygon[0])
+                         or hasattr(polygon[0][0], "__len__")):
+        parts = polygon          # list of parts (possibly with empty members)
     else:
         parts = [polygon] if len(polygon) else []
     for part in parts:
+        if not len(part):
+            continue
         if len(part) < 2:
             part = list(part) + [part[0]]
         draw.polygon([(float(x), float(y)) for x, y in part], fill=1)

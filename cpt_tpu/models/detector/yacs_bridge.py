@@ -120,6 +120,7 @@ _REF_DEFAULTS: Dict[str, Any] = {
     "TEST.SAVE_RESULTS_TO_TSV": False,                       # :472
     "TEST.TSV_SAVE_SUBSET": ("rect", "class", "conf"),       # :475
     "TEST.SKIP_PERFORMANCE_EVAL": False,                     # :489
+    "TEST.IGNORE_BOX_REGRESSION": False,                     # :514
     "TEST.EXPECTED_RESULTS": (),                             # :476
     "TEST.EXPECTED_RESULTS_SIGMA_TOL": 4,                    # :477
     "OUTPUT_DIR": ".",

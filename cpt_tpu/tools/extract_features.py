@@ -49,6 +49,9 @@ def build_args():
                         "prompt_feat/data/*/yamls convention)")
     p.add_argument("--image_root", default=None)
     p.add_argument("--labelmap", default=None)
+    p.add_argument("--vocab_file", default=None,
+                   help="idx_to_label vocab json (vg pickle annotations; "
+                        "defaults to the task yaml's 'vocab' entry)")
     p.add_argument("--checkpoint", default=None, help="vinvl_vg_x152c4.pth")
     p.add_argument("--output", default=None,
                    help="predictions.tsv path (required unless "
@@ -130,7 +133,13 @@ def apply_ref_to_extract_args(args, ref):
     ``<OUTPUT_DIR>/inference/<DATA_DIR stem>/predictions.tsv`` layout
     (``tools/test_refcoco_net.py:38-44``)."""
     if args.task is None and ref.datasets_test:
-        args.task = _DATASET_CLASS_TO_TASK.get(ref.datasets_test[0])
+        cls = ref.datasets_test[0]
+        if cls not in _DATASET_CLASS_TO_TASK:
+            raise SystemExit(
+                f"DATASETS.TEST class {cls!r} has no extraction task "
+                f"mapping (known: {sorted(_DATASET_CLASS_TO_TASK)}); "
+                "pass --task explicitly")
+        args.task = _DATASET_CLASS_TO_TASK[cls]
     if args.yaml is None and str(ref.data_dir).endswith((".yaml", ".yml")):
         args.yaml = ref.data_dir
     if args.output is None and ref.output_dir:
@@ -138,6 +147,20 @@ def apply_ref_to_extract_args(args, ref):
         args.output = os.path.join(ref.output_dir, "inference", stem,
                                    "predictions.tsv")
     return args
+
+
+def _scale_poly(poly, sc):
+    if len(poly) and len(poly[0]) and hasattr(poly[0][0], "__len__"):
+        return [_scale_poly(part, sc) for part in poly]
+    return [[float(x) * sc, float(y) * sc] for x, y, *_ in poly]
+
+
+def scale_polys(polys, sc):
+    """--resize scales the canvas and dets; segm polygons must follow or
+    the painted masks land at original-size coordinates."""
+    if sc == 1.0:
+        return polys
+    return {k: _scale_poly(p, sc) for k, p in polys.items()}
 
 
 def shard_and_sample(anns, args):
@@ -204,8 +227,7 @@ def main(argv=None):
             # -relative
             return p if os.path.isfile(str(p)) else os.path.join(root, p)
 
-        args.vocab_file = None
-        if "vocab" in desc:
+        if args.vocab_file is None and "vocab" in desc:
             args.vocab_file = resolve(desc["vocab"])
         for key, attr in (("ann", "ann_file"), ("det", "det_file"),
                           ("image_root", "image_root"),
@@ -345,6 +367,10 @@ def main(argv=None):
 
             vgdata = _pickle.load(open(args.ann_file, "rb"))
             vgdata = shard_and_sample(vgdata, args)
+            if args.vocab_file is None:
+                raise SystemExit(
+                    "--task vg with pickle annotations needs --vocab_file "
+                    "(or a task --yaml with a 'vocab' entry)")
             vocab = json.load(open(args.vocab_file))
             for d in vgdata:
                 boxes = np.asarray(d["boxes"], np.float32)
@@ -417,7 +443,8 @@ def main(argv=None):
                                       np.float32)
                     img, hw, sc = load_one(ann["img_path"], ann.get("h"))
                     yield vcr_color_task(ann["annot_id"], img, hw,
-                                         dets * sc, vis, polys, names,
+                                         dets * sc, vis,
+                                         scale_polys(polys, sc), names,
                                          txt_entity_ids=txt)
                     continue
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img_key"]]])
@@ -425,7 +452,8 @@ def main(argv=None):
                 polys = {int(k): v for k, v in ann["entity_polygons"].items()}
                 names = {int(k): v for k, v in ann["entity_names"].items()}
                 yield vcr_color_task(ann["img_key"], img, hw, dets * sc,
-                                     ann["entity_ids"], polys, names)
+                                     ann["entity_ids"],
+                                     scale_polys(polys, sc), names)
         elif args.task == "vg":
             for ann in anns:
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img"]]])
@@ -491,7 +519,7 @@ def main(argv=None):
         from cpt_tpu.utils.tsv import tsv_writer
 
         t0 = time.time()
-        tsv_writer(list(rpn_rows()), args.output)
+        tsv_writer(rpn_rows(), args.output)  # stream: rows hold b64 feats
         print(f"wrote {args.output}: {len(files)} images "
               f"(RPN mode) in {time.time() - t0:.1f}s")
         return

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import collections
 import io
 import json
 import threading
@@ -274,7 +275,10 @@ class _BaseBatcher:
         self.svc = svc
         self.max_batch = max_batch
         self.q: "queue.Queue" = queue.Queue()
-        self.stats = {"drains": [], "base_s": [], "finish_s": []}
+        # bounded: a long-lived daemon would otherwise grow these forever
+        self.stats = {"drains": collections.deque(maxlen=4096),
+                      "base_s": collections.deque(maxlen=4096),
+                      "finish_s": collections.deque(maxlen=4096)}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
