@@ -110,10 +110,12 @@ def vcr_color_task(q_id: str, image_rgb: np.ndarray, image_hw, det_boxes,
     (``vcrdataset.py:173-255``):
 
     * vis sweep over ``entity_ids`` (the question+answers groups): each
-      MEMBER not yet painted gets the group's palette color — a member
-      shared with an earlier group keeps its earlier paint; the color
-      counter advances only when a group painted someone, and stops at
-      ``color_d``.
+      member whose det BOX VALUE is not yet painted gets the group's
+      palette color (the reference's dedup key is the box, not the member
+      id — ``d not in ret_to_mark_dets``, :226-231 — so a member sharing
+      a box with an earlier-painted member is skipped and carries no
+      color); the color counter advances only when a group painted
+      someone, and stops at ``color_d``.
     * txt sweep over ``txt_entity_ids`` (default ``entity_ids``; the
       reference also includes rationale-only groups): names follow the
       person/people/<cls>s/objects rule (:237-249); a group carries a
@@ -127,6 +129,12 @@ def vcr_color_task(q_id: str, image_rgb: np.ndarray, image_hw, det_boxes,
     vcrdataset.py:176-179); callers supply first-appearance order."""
     h, w = image_rgb.shape[:2]
     painted: Dict[int, str] = {}   # member id → color name (vis sweep)
+    # The reference dedups painted members by det BOX VALUE, not member id
+    # (``d not in ret_to_mark_dets``, vcrdataset.py:226-231): a member whose
+    # box equals an already-painted box is skipped entirely — no paint and
+    # no ``ele_color_dic`` entry, so its groups carry no color word.
+    painted_boxes: List[Tuple[float, ...]] = []
+    det_boxes_arr = np.asarray(det_boxes, np.float32)
     color_cnt = 0
     masks, mask_colors = [], []
     for ids in entity_ids:
@@ -134,11 +142,13 @@ def vcr_color_task(q_id: str, image_rgb: np.ndarray, image_hw, det_boxes,
             continue
         painted_any = False
         for i in ids:
-            if i in painted:
+            box = tuple(float(v) for v in det_boxes_arr[i][:4])
+            if box in painted_boxes:
                 continue
             masks.append(rasterize_polygon(entity_polygons.get(i, []),
                                            h, w))
             mask_colors.append(palette[color_cnt][1])
+            painted_boxes.append(box)
             painted[i] = palette[color_cnt][0]
             painted_any = True
         if painted_any:

@@ -66,15 +66,17 @@ def _as_int_boxes(boxes: np.ndarray) -> np.ndarray:
 def _own_box_pixel_counts(boxes: np.ndarray,
                           masks: Optional[np.ndarray]) -> np.ndarray:
     """Mask pixels inside each instance's own (truncated) box
-    (eval_instances.py:307-309, :390-392)."""
+    (eval_instances.py:307-309, :390-392). Raw Python slice semantics on
+    purpose: the reference slices ``mask[ymin:ymax, xmin:xmax]`` directly,
+    so a NEGATIVE coordinate wraps to the array tail (usually an empty or
+    near-empty slice) — numpy slicing reproduces that quirk exactly."""
     n = boxes.shape[0]
     counts = np.zeros(n, dtype=np.int64)
     if masks is None:
         return counts
     for i in range(n):
         x0, y0, x1, y1 = boxes[i]
-        counts[i] = int(np.count_nonzero(
-            masks[i][max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)]))
+        counts[i] = int(np.count_nonzero(masks[i][y0:y1, x0:x1]))
     return counts
 
 

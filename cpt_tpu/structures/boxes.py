@@ -87,6 +87,26 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(area_a + area_b - inter, 1e-10)
 
 
+def box_iou_np(a, b):
+    """Host-side NumPy twin of :func:`box_iou` (same inclusive +1 widths).
+
+    For data-pipeline loops that would otherwise dispatch unjitted jnp ops
+    per record (minutes of per-op round trips on the relay backend).
+    """
+    import numpy as np
+
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    area = lambda x: (np.maximum(x[:, 2] - x[:, 0] + TO_REMOVE, 0.0)
+                      * np.maximum(x[:, 3] - x[:, 1] + TO_REMOVE, 0.0))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt + TO_REMOVE, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / np.maximum(area(a)[:, None] + area(b)[None, :] - inter,
+                              1e-10)
+
+
 def xywh_iou(a, b) -> float:
     """Host-side scalar IoU over xywh boxes; mirrors the reference's
     ``Oscar/oscar/utils/iou.py::computeIoU`` used by every eval rule."""

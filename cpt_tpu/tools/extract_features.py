@@ -150,7 +150,9 @@ def apply_ref_to_extract_args(args, ref):
 
 
 def _scale_poly(poly, sc):
-    if len(poly) and len(poly[0]) and hasattr(poly[0][0], "__len__"):
+    # same multi-part detection as rasterize_polygon: an empty FIRST part
+    # ([[], [...]]) still marks a list-of-parts, not a point list
+    if len(poly) and (not len(poly[0]) or hasattr(poly[0][0], "__len__")):
         return [_scale_poly(part, sc) for part in poly]
     return [[float(x) * sc, float(y) * sc] for x, y, *_ in poly]
 
@@ -363,7 +365,7 @@ def main(argv=None):
             # (vgdataset.py:99-115; inclusive +1 IoU, strict > 0)
             import pickle as _pickle
 
-            from cpt_tpu.structures.boxes import box_iou
+            from cpt_tpu.structures.boxes import box_iou_np
 
             vgdata = _pickle.load(open(args.ann_file, "rb"))
             vgdata = shard_and_sample(vgdata, args)
@@ -374,9 +376,8 @@ def main(argv=None):
             vocab = json.load(open(args.vocab_file))
             for d in vgdata:
                 boxes = np.asarray(d["boxes"], np.float32)
-                iou = np.array(box_iou(jnp.asarray(boxes),
-                                       jnp.asarray(boxes)))
-                np.fill_diagonal(iou, -1.0)
+                iou = box_iou_np(boxes, boxes)  # host math: no per-record
+                np.fill_diagonal(iou, -1.0)     # device round trips
                 labels = np.asarray(d["labels"]).astype(np.int64)
                 img, hw, sc = load_one(d["img_path"], d.get("height"))
                 for s, o in zip(*np.nonzero(iou > 0)):
@@ -474,11 +475,11 @@ def main(argv=None):
         # the reference's ImgDataset pass (refcocodataset.py:21-64 +
         # generic engine/inference.py through the NMS filters): one TSV
         # row per image, per-det rect/class/conf/b64 2054-d feature
-        import base64
         import glob as _glob
 
         from cpt_tpu.engine.extract import make_detect_fn
         from cpt_tpu.models.detector.rpn import grid_anchors
+        from cpt_tpu.utils.tsv import encode_feature
 
         files = sorted(_glob.glob(os.path.join(args.image_dir, "*.jpg")))
         files = shard_and_sample(files, args)
@@ -509,8 +510,7 @@ def main(argv=None):
                         "class": (labelmap or {}).get(int(labels[i]),
                                                       str(int(labels[i]))),
                         "conf": float(scores[i]),
-                        "feature": base64.b64encode(
-                            feats[i].astype(np.float32)).decode("utf-8"),
+                        "feature": encode_feature(feats[i]),
                     })
                 key = os.path.splitext(os.path.basename(path))[0]
                 yield key, json.dumps({"objects": objects,

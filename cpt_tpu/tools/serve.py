@@ -176,6 +176,18 @@ class CPTService:
         t0 = time.perf_counter()
         self.predict(img, "the red warmup box", dets)
         print(f"warmup done in {time.perf_counter() - t0:.1f}s")
+        if self.batcher is not None and getattr(self.extractor,
+                                                "windowed", False):
+            # a 1-request warmup only hits base_maps' unbatched branch;
+            # compile the padded batched base program NOW or the first
+            # loaded queue drain stalls every client on an X152-sized
+            # compile (the stall pad_to exists to avoid)
+            task, _ = self._prepare(img, "the red warmup box", dets)
+            t0 = time.perf_counter()
+            self.extractor.base_maps([task, task],
+                                     pad_to=self.batcher.max_batch)
+            print(f"batched base warmup (pad {self.batcher.max_batch}) "
+                  f"in {time.perf_counter() - t0:.1f}s")
 
     def _resize(self, img: np.ndarray):
         """Reference MIN/MAX_SIZE_TEST rule (extract_features.load_image),

@@ -172,6 +172,14 @@ def _fixture(with_masks):
     # image 3: GT but no predictions.
     add_image(gt_boxes=[[40, 40, 80, 80]], gt_labels=[1],
               pred_boxes=np.zeros((0, 4)), pred_labels=[], scores=[])
+    # image 4: NEGATIVE-coordinate boxes (truncated instances). The
+    # reference slices mask[y0:y1, x0:x1] raw, so a negative coordinate
+    # WRAPS to the canvas tail (near-empty pixel counts); parity requires
+    # reproducing that quirk, not clamping to 0.
+    add_image(gt_boxes=[[-6, 70, 20, 110], [60, 60, 100, 100]],
+              gt_labels=[0, 0],
+              pred_boxes=[[-4, 68, 22, 108], [61, 61, 99, 99]],
+              pred_labels=[0, 0], scores=[0.7, 0.65])
     return gt_recs, pred_recs, gt_bls, pred_bls, canvas_masks
 
 

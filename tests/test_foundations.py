@@ -96,6 +96,20 @@ def test_box_iou_matches_reference_convention():
     assert abs(host - 25.0 / 175.0) < 1e-9
 
 
+def test_box_iou_np_matches_device_twin(rng):
+    import jax.numpy as jnp
+    from cpt_tpu.structures.boxes import box_iou, box_iou_np
+
+    a = rng.rand(7, 4) * 50
+    b = rng.rand(5, 4) * 50
+    a[:, 2:] += a[:, :2]
+    b[:, 2:] += b[:, :2]
+    np.testing.assert_allclose(box_iou_np(a, b),
+                               np.asarray(box_iou(jnp.asarray(a),
+                                                  jnp.asarray(b))),
+                               rtol=1e-5)
+
+
 def test_box_encode_decode_roundtrip(rng):
     import jax.numpy as jnp
     from cpt_tpu.structures.boxes import decode_boxes, encode_boxes

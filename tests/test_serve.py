@@ -147,6 +147,25 @@ def test_base_batch_concurrent_matches_serial():
         httpd.shutdown()
 
 
+def test_base_batch_warmup_compiles_batched_base():
+    """Warmup with --base_batch must compile the PADDED batched base
+    program too — a 1-request warmup only hits base_maps' unbatched
+    branch, leaving the first loaded queue drain to stall every queued
+    client on an X152-sized compile."""
+    from cpt_tpu.tools.serve import build_args, serve_forever
+
+    args = build_args().parse_args(
+        ["--tiny", "--tiny_canvas", "256", "--windowed",
+         "--window", "192", "192", "--halo", "48", "--base_batch", "3",
+         "--port", "0", "--hidden_size", "64", "--num_hidden_layers", "2",
+         "--score_batch", "8"])  # warmup ON
+    httpd = serve_forever(args)
+    try:
+        assert httpd.svc.extractor._base_batch_fn is not None
+    finally:
+        httpd.shutdown()
+
+
 @pytest.mark.slow
 def test_predict_error_handling(server):
     code, resp = _post(server, "/predict", {"caption": "no image"})

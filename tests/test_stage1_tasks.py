@@ -109,6 +109,46 @@ def test_vcr_stage1_to_stage2(extractor, tmp_path, rng):
     assert tok.convert_tokens_to_ids("blue") in ids
 
 
+def test_vcr_dedup_is_by_box_value(rng):
+    """The reference dedups painted members by det BOX value
+    (``d not in ret_to_mark_dets``, vcrdataset.py:226-231): a member whose
+    box equals an already-painted member's box is skipped entirely — not
+    painted, no color word — even though the member ids differ."""
+    img = _image(rng)
+    dets = np.array([[4, 4, 24, 24], [4, 4, 24, 24], [30, 8, 50, 30]],
+                    np.float32)  # members 0 and 1 share one box
+    polys = {0: [(5, 5), (20, 5), (20, 20), (5, 20)],
+             1: [(30, 10), (48, 10), (48, 28), (30, 28)]}
+    names = {0: "person", 1: "person"}
+    task = vcr_color_task("vdup", img, (60, 60), dets,
+                          entity_ids=[[0], [1]], entity_polygons=polys,
+                          entity_names=names)
+    # member 1 skipped: its polygon pixels untouched, no color word
+    np.testing.assert_array_equal(task.image_rgb[10:28, 30:48],
+                                  img[10:28, 30:48])
+    assert "1" not in task.meta["obj_colors"]
+    assert task.meta["obj_names"]["1"] == "person"
+    # same-group case: the group paints member 0 only, so its members'
+    # colors disagree ({color, none}) -> no group color word either
+    task2 = vcr_color_task("vdup2", img, (60, 60), dets,
+                           entity_ids=[[0, 1]], entity_polygons=polys,
+                           entity_names=names)
+    assert "0_1" not in task2.meta["obj_colors"]
+
+
+def test_scale_poly_empty_first_part():
+    """--resize segm scaling must use rasterize_polygon's multi-part
+    detection: an empty FIRST part still marks a list-of-parts."""
+    from cpt_tpu.tools.extract_features import scale_polys
+
+    polys = {0: [[], [[2.0, 4.0], [6.0, 4.0], [6.0, 8.0]]]}
+    out = scale_polys(polys, 0.5)
+    assert out[0] == [[], [[1.0, 2.0], [3.0, 2.0], [3.0, 4.0]]]
+    # point-list input (single part) still scales as points
+    assert scale_polys({1: [[2.0, 4.0], [6.0, 8.0]]}, 0.5)[1] == \
+        [[1.0, 2.0], [3.0, 4.0]]
+
+
 def test_vcr_mask_painting_changes_pixels(rng):
     img = _image(rng)
     polys = {0: [(5, 5), (20, 5), (20, 20), (5, 20)]}
