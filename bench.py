@@ -182,12 +182,16 @@ def eligibility_fractions(h=640, w=1024, n=20000, seed=1):
 
 def bench_extraction_two_level(c=128, h=640, w=1024,
                                window=(512, 640), halo=160,
-                               precision="bf16"):
+                               precision="bf16", base_batch=8):
     """Stage-1 via the two-level EXACT windowed path (production
     ``Extractor(windowed=True)`` on X152: per-copy early stages on the
     painted window — RF through them is 77 px < halo — deep stack on the
     patched map; features equal the full path). Includes the per-task
-    base-map pass."""
+    base-map pass, amortized over ``base_batch`` tasks exactly as
+    ``Extractor.run`` amortizes it in production (one batched early-stage
+    call per ``RUN_BASE_BATCH``-task block — PERF.md round 4; the batch-1
+    base pass is 88 ms vs 18.9 ms/task batched at 8). ``base_batch=1``
+    measures the old per-task base pass."""
     from cpt_tpu.engine.windowed import (make_base_early_fn,
                                          make_two_level_extract_fn,
                                          window_origins)
@@ -225,18 +229,49 @@ def bench_extraction_two_level(c=128, h=640, w=1024,
     cv = jnp.ones((c,), bool)
     args = (jnp.asarray(origins), jnp.asarray(rects), rv, colors, cv,
             dets, dv, hw)
-    img = jnp.asarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
-    out = wfn(params, img, base_fn(params, img), *args)
+
+    def fresh_img(batch=None):
+        shape = (h, w, 3) if batch is None else (batch, h, w, 3)
+        img = jnp.asarray(rng.randint(0, 256, shape).astype(np.uint8))
+        float(img.sum())  # drain the queue
+        return img
+
+    # windowed per-copy pass, base map precomputed (drained) outside the
+    # timed region
+    img = fresh_img()
+    base = base_fn(params, img)
+    out = wfn(params, img, base, *args)
     float(out[0].sum())  # compile + drain
     ts = []
     for _ in range(3):
-        img = jnp.asarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
-        float(img.sum())
+        img = fresh_img()
+        base = base_fn(params, img)
+        jax.tree_util.tree_map(lambda a: float(a.sum()), base)
         t0 = time.perf_counter()
-        out = wfn(params, img, base_fn(params, img), *args)
+        out = wfn(params, img, base, *args)
         float(out[0].sum())
         ts.append(time.perf_counter() - t0)
-    return c / min(ts)
+    t_wfn = min(ts)
+
+    # per-task base-pass share: one early-stage call per base_batch tasks
+    # (Extractor.run blocks groups and calls base_maps — the same batched
+    # program)
+    if base_batch > 1:
+        bfn = jax.jit(jax.vmap(base_fn, in_axes=(None, 0)))
+    else:
+        bfn = base_fn
+    out = bfn(params, fresh_img(base_batch if base_batch > 1 else None))
+    jax.tree_util.tree_map(lambda a: float(a.sum()), out)  # compile + drain
+    ts = []
+    for _ in range(3):
+        img = fresh_img(base_batch if base_batch > 1 else None)
+        t0 = time.perf_counter()
+        out = bfn(params, img)
+        jax.tree_util.tree_map(lambda a: float(a.sum()), out)
+        ts.append(time.perf_counter() - t0)
+    t_base = min(ts) / base_batch
+
+    return c / (t_wfn + t_base)
 
 
 def bench_serving(n_warm: int = 8) -> float:
@@ -317,6 +352,7 @@ def main():
              + (1.0 - f_def) / copies_per_sec)
         blended = 1.0 / t
         breakdown.update({
+            "base_batch": 8,
             "two_level_exact_copies_per_sec": round(two_level, 1),
             "two_level_vs_baseline": round(
                 two_level / A100_EXTRACTION_COPIES_PER_SEC, 2),

@@ -548,31 +548,58 @@ class Extractor:
             } for b in range(n_dets)])
         return objs
 
+    # default cross-task base-batch for the dataset path: the per-task
+    # base-map pass otherwise runs at batch 1 (3-6% MXU utilization at
+    # X152 batch-1 shapes, PERF.md round 1); batching the next few tasks'
+    # base passes into one call amortizes it (PERF.md round 4)
+    RUN_BASE_BATCH = 8
+
     def run(self, tasks: Iterable[ExtractTask], out_tsv: str,
             payload_fn: Optional[Callable] = None,
-            group_by_image: bool = True) -> None:
+            group_by_image: bool = True,
+            base_batch: Optional[int] = None) -> None:
         """``payload_fn(task, objs) -> json-serializable payload``; defaults
         to the RefCOCO row layout. ``group_by_image`` packs consecutive
         queries over the same image into one device batch (fills large
         chunks — ~2x on real RefCOCO val where each image has several
-        referring expressions of ~10 copies each)."""
+        referring expressions of ~10 copies each). On the windowed path,
+        the base-map passes of up to ``base_batch`` consecutive task
+        groups run as ONE batched backbone call (``base_maps``) — the
+        batch-1 base pass is otherwise ~20% of the two-level budget
+        (PERF.md round 4); ``base_batch=1`` restores per-task passes."""
         payload_fn = payload_fn or refcoco_payload
         max_copies = self.chunk or 64
+        if base_batch is None:
+            base_batch = self.RUN_BASE_BATCH if self.windowed else 1
+
+        def blocks(it, size):
+            block = []
+            for x in it:
+                block.append(x)
+                if len(block) >= size:
+                    yield block
+                    block = []
+            if block:
+                yield block
 
         def rows():
             groups = (_group_consecutive(tasks, max_copies)
                       if group_by_image else ([t] for t in tasks))
-            for group in groups:
-                merged = merge_tasks(group)
-                feats, labels, scores = self.extract_task(merged)
-                at = 0
-                for task in group:
-                    n = task.n_copies
-                    objs = self.boxlists_for(task, feats[at:at + n],
-                                             labels[at:at + n],
-                                             scores[at:at + n])
-                    yield [task.key, json.dumps(payload_fn(task, objs))]
-                    at += n
+            for block in blocks(groups, max(base_batch, 1)):
+                merged = [merge_tasks(g) for g in block]
+                bases = (self.base_maps(merged) if len(merged) > 1
+                         else [None])
+                for group, task_m, base in zip(block, merged, bases):
+                    feats, labels, scores = self.extract_task(task_m,
+                                                              base=base)
+                    at = 0
+                    for task in group:
+                        n = task.n_copies
+                        objs = self.boxlists_for(task, feats[at:at + n],
+                                                 labels[at:at + n],
+                                                 scores[at:at + n])
+                        yield [task.key, json.dumps(payload_fn(task, objs))]
+                        at += n
 
         tsv_writer(rows(), out_tsv)
 

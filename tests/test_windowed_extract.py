@@ -211,6 +211,65 @@ def test_base_maps_batched_matches_per_task():
 
 
 @pytest.mark.slow
+def test_run_base_batched_tsv_identical():
+    """Extractor.run with cross-task base-pass batching (base_batch>1, the
+    round-4 dataset-path amortization) writes a TSV byte-identical to the
+    per-task base passes (base_batch=1)."""
+    import tempfile
+    from pathlib import Path
+
+    rng = np.random.RandomState(4)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_task
+
+    dets = np.asarray([[120.0, 120.0, 136.0, 136.0],
+                       [100.0, 110.0, 150.0, 140.0]], np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk_tasks():
+        rng2 = np.random.RandomState(5)
+        return [refcoco_task(f"q{i}",
+                             rng2.randint(0, 256, (CANVAS, CANVAS, 3))
+                             .astype(np.uint8),
+                             (CANVAS, CANVAS), dets, f"query {i}")
+                for i in range(5)]
+
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    window=(192, 192), halo=48)
+
+    def read_rows(path):
+        import json
+
+        from cpt_tpu.utils.tsv import TSVFile, decode_feature
+
+        tf = TSVFile(str(path))
+        rows = []
+        for i in range(len(tf)):
+            key, payload = tf.seek(i)
+            copies = json.loads(payload)["objects"][0]  # [n_copies][n_dets]
+            rows.append((key, [(o["class"], decode_feature(o["feature"]))
+                               for copy in copies for o in copy]))
+        return rows
+
+    with tempfile.TemporaryDirectory() as td:
+        solo, batched = Path(td, "solo.tsv"), Path(td, "batched.tsv")
+        wnd.run(mk_tasks(), str(solo), base_batch=1)
+        wnd.run(mk_tasks(), str(batched), base_batch=4)  # 5 → blocks 4+1
+        rs, rb = read_rows(solo), read_rows(batched)
+        assert [k for k, _ in rs] == [k for k, _ in rb]
+        for (_, os_), (_, ob) in zip(rs, rb):
+            for (cls_s, f_s), (cls_b, f_b) in zip(os_, ob):
+                assert cls_s == cls_b
+                # batched base pass may differ at the float noise floor
+                np.testing.assert_allclose(f_b, f_s, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_windowed_mask_painting_exact():
     """Mask-painted copies (VCR-style) through the windowed path match the
     exact full path with sufficient halo."""
