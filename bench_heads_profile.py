@@ -17,8 +17,10 @@ from cpt_tpu.models.detector.attr_rcnn import AttrRCNN
 from cpt_tpu.models.detector.config import VINVL_X152C4
 from cpt_tpu.ops.roi_align import roi_align
 
-C, M = 128, 128
+C, M = 64, 128   # C=128 standalone OOMs the relay HBM; stage5 is linear in C
 H16, W16 = 40, 64
+
+_scale = jax.jit(lambda x, s: x * s)
 
 
 def timed(jfn, fresh, n=3):
@@ -35,11 +37,18 @@ def timed(jfn, fresh, n=3):
     return min(ts) * 1e3
 
 
+_base_cache = {}
+
+
 def on_device_normal(seed, shape):
-    """Fresh bf16 normal generated on device, queue drained."""
-    gen = jax.jit(lambda k: jax.random.normal(k, shape, jnp.bfloat16),
-                  static_argnums=())
-    x = gen(jax.random.PRNGKey(seed))
+    """Fresh bf16 input on device, queue drained. One normal per shape;
+    freshness across timed calls via a scalar multiply (the relay gotcha
+    is about XLA constant-folding/caching identical buffers, which the
+    multiply defeats without 1.3 GB PRNG intermediates)."""
+    if shape not in _base_cache:
+        gen = jax.jit(lambda k: jax.random.normal(k, shape, jnp.bfloat16))
+        _base_cache[shape] = gen(jax.random.PRNGKey(0))
+    x = _scale(_base_cache[shape], jnp.bfloat16(1.0 + 0.001 * seed))
     float(x.sum())
     return x
 
