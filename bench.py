@@ -163,20 +163,26 @@ def sample_coco_rects(n, h, w, rng):
     return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float32)
 
 
-def eligibility_fractions(h=640, w=1024, n=20000, seed=1):
-    """Fraction of realistic rects the two-level windowed path accepts at
-    the default (512, 640) window and at the smaller (448, 576) window
-    the per-task auto-sizing can drop to (PERF.md round-2 window sweep:
-    +3.5% when rects fit)."""
+# production window ladder (smallest first): each copy routes to the
+# smallest rung its paint fits; the rest fall back to the exact
+# full-canvas path. Rung economics (PERF.md round-4 ladder study):
+# early-stage cost scales with window area while stage3+heads are
+# fixed, so smaller rungs are faster for the rects they fit.
+LADDER = ((384, 512), (448, 576), (512, 640))
+
+
+def eligibility_fractions(h=640, w=1024, n=20000, seed=1,
+                          windows=LADDER, halo=160):
+    """Fraction of realistic rects each ladder rung accepts (cumulative:
+    a rect eligible for a small rung is also eligible for larger ones)."""
     from cpt_tpu.engine.windowed import window_origins
 
     rng = np.random.RandomState(seed)
     rects = sample_coco_rects(n, h, w, rng).reshape(n, 1, 4)
-    f = {}
-    for tag, window, halo in (("default", (512, 640), 160),
-                              ("small", (448, 576), 160)):
+    f = []
+    for window in windows:
         _, fits = window_origins(rects, window, (h, w), halo)
-        f[tag] = float(np.asarray(fits).mean())
+        f.append(float(np.asarray(fits).mean()))
     return f
 
 
@@ -302,23 +308,21 @@ def main():
     seq_per_sec = bench_scoring()
     if "--stage2-only" in sys.argv:
         copies_per_sec = None
-        two_level = two_small = None
+        ladder_rates = [None] * len(LADDER)
     else:
         try:
             copies_per_sec = bench_extraction()
         except Exception:
             traceback.print_exc(file=sys.stderr)
             copies_per_sec = None
-        try:
-            two_level = bench_extraction_two_level()
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            two_level = None
-        try:
-            two_small = bench_extraction_two_level(window=(448, 576))
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            two_small = None
+        ladder_rates = []
+        for wdw in LADDER:
+            try:
+                ladder_rates.append(bench_extraction_two_level(window=wdw))
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                ladder_rates.append(None)
+        two_level = ladder_rates[-1]
 
     if copies_per_sec is None:
         print(json.dumps({
@@ -343,23 +347,32 @@ def main():
             seq_per_sec / A100_SCORING_SEQ_PER_SEC, 2),
     }
     blended = copies_per_sec
+    two_level = ladder_rates[-1] if ladder_rates else None
     if two_level is not None:
-        f = eligibility_fractions()
-        r_small = two_small if two_small is not None else two_level
-        f_small = f["small"]
-        f_def = max(f["default"], f_small)
-        t = (f_small / r_small + (f_def - f_small) / two_level
-             + (1.0 - f_def) / copies_per_sec)
+        # each copy runs on the smallest eligible rung (fractions are
+        # cumulative; a rung that failed to measure inherits the next
+        # larger rung's rate), the rest on the exact full-canvas path
+        fracs = eligibility_fractions()
+        rates = list(ladder_rates)
+        for i in range(len(rates) - 2, -1, -1):
+            if rates[i] is None:
+                rates[i] = rates[i + 1]
+        fracs = [max(fr, *fracs[:i + 1]) for i, fr in enumerate(fracs)]
+        t, prev = 0.0, 0.0
+        for fr, r in zip(fracs, rates):
+            t += (fr - prev) / r
+            prev = fr
+        t += (1.0 - prev) / copies_per_sec
         blended = 1.0 / t
         breakdown.update({
             "base_batch": 8,
             "two_level_exact_copies_per_sec": round(two_level, 1),
             "two_level_vs_baseline": round(
                 two_level / A100_EXTRACTION_COPIES_PER_SEC, 2),
-            "two_level_small_window_copies_per_sec":
-                round(r_small, 1),
-            "windowed_eligible_fraction": round(f_def, 3),
-            "small_window_eligible_fraction": round(f_small, 3),
+            "ladder": [{"window": list(wdw), "copies_per_sec": round(r, 1),
+                        "eligible_fraction": round(fr, 3)}
+                       for wdw, r, fr in zip(LADDER, rates, fracs)],
+            "windowed_eligible_fraction": round(fracs[-1], 3),
             "blended_extraction_copies_per_sec": round(blended, 1),
             "blended_extraction_vs_baseline": round(
                 blended / A100_EXTRACTION_COPIES_PER_SEC, 2),

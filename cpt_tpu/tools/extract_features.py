@@ -81,7 +81,7 @@ def build_args():
                    help="keep --windowed even when halo < backbone RF "
                         "(approximate features; drift auto-measured and "
                         "logged on the first task)")
-    p.add_argument("--windows", default="448x576,512x640",
+    p.add_argument("--windows", default="384x512,448x576,512x640",
                    help="comma-separated HxW window ladder for --windowed; "
                         "each copy routes to the smallest window its paint "
                         "fits (per-task auto window sizing)")
