@@ -67,8 +67,6 @@ class AttrRCNN(nn.Module):
         images [C, H, W, 3] · shared force_boxes [M, 4]/[M] →
         dict of [C, M, ...] outputs.
         """
-        from cpt_tpu.ops.roi_align import roi_align
-
         feats = self.backbone(images)                       # [C, h, w, 1024]
         return self.heads_from_feats(feats, force_boxes, force_valid,
                                      with_attributes=with_attributes)
@@ -80,7 +78,7 @@ class AttrRCNN(nn.Module):
         [C, h, w, 1024] (used by the windowed-recompute extractor, which
         patches copies of a cached base map instead of re-running the
         backbone on full canvases)."""
-        from cpt_tpu.ops.roi_align import roi_align
+        from cpt_tpu.ops.roi_align_pallas import batched_roi_align
 
         c_cfg = self.config
         rh = c_cfg.roi_heads
@@ -95,10 +93,10 @@ class AttrRCNN(nn.Module):
             extraction (3.3 GB at C=64/M=128); chunking caps it so larger
             copy batches fit HBM (``roi_heads.head_chunk``)."""
             ck = boxes_chunk.shape[0]
-            pooled = jax.vmap(lambda f: roi_align(
-                f, boxes_chunk, spatial_scale=rh.pooler_scale,
-                pooled=rh.pooler_resolution,
-                sampling=rh.pooler_sampling_ratio))(feats)  # [C, ck, P, P, ch]
+            pooled = batched_roi_align(
+                feats, boxes_chunk, rh.pooler_scale, rh.pooler_resolution,
+                rh.pooler_sampling_ratio, 8,
+                rh.pooler_impl)                             # [C, ck, P, P, ch]
             flat = pooled.reshape((n_copies * ck,) + pooled.shape[2:])
             x = self.box_extractor.run_head(flat)           # stage5
             cls_logits, _deltas, pooled_vec = self.box_predictor(x)
@@ -109,10 +107,10 @@ class AttrRCNN(nn.Module):
             res = (scores, labels, pooled_vec.reshape(n_copies, ck, -1),
                    prob.reshape(n_copies, ck, -1))
             if with_attributes:
-                apooled = jax.vmap(lambda f: roi_align(
-                    f, boxes_chunk, spatial_scale=rh.pooler_scale,
-                    pooled=rh.pooler_resolution,
-                    sampling=rh.pooler_sampling_ratio))(feats)
+                apooled = batched_roi_align(
+                    feats, boxes_chunk, rh.pooler_scale,
+                    rh.pooler_resolution, rh.pooler_sampling_ratio, 8,
+                    rh.pooler_impl)
                 ax = self.attr_extractor.run_head(
                     apooled.reshape((n_copies * ck,) + apooled.shape[2:]))
                 attr_logits, _ = self.attr_predictor(ax, labels.reshape(-1))

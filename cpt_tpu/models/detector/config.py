@@ -95,6 +95,12 @@ class ROIHeadsConfig:
     # batches; processing M in chunks of this size lets C grow instead.
     # None = no chunking.
     head_chunk: Optional[int] = 32
+    # force-boxes pooling backend. "auto"/"xla" (default): the XLA
+    # separable einsums. "pallas": the fused VMEM kernel
+    # (ops/roi_align_pallas.py) — a measured NO-WIN on v5e (per-RoI
+    # Mosaic relayouts outweigh the saved HBM round-trip; PERF.md
+    # round 4), kept opt-in as a correctness-tested study.
+    pooler_impl: str = "auto"
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     batch_size_per_image: int = 384
     positive_fraction: float = 0.5

@@ -74,6 +74,34 @@ def _interp_matrix(starts: Array, bin_sizes: Array, size: int, pooled: int,
     return (rows.sum(axis=2) / s_n).astype(dtype)                  # [N,P,size]
 
 
+def interp_matrices(rois: Array, h: int, w: int, *, spatial_scale: float,
+                    pooled: int, sampling, max_sampling: int = 8,
+                    dtype=jnp.float32):
+    """Separable interpolation matrices (Ry [N, P, H], Rx [N, P, W]) for a
+    RoI set — the shared front half of ``roi_align`` (also consumed by the
+    fused Pallas pooling kernel, ``roi_align_pallas.py``)."""
+    scale = jnp.float32(spatial_scale)
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    x2 = rois[:, 2] * scale
+    y2 = rois[:, 3] * scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / pooled
+    bin_h = roi_h / pooled
+
+    if sampling == 0:
+        s_y = jnp.clip(jnp.ceil(bin_h), 1, max_sampling).astype(jnp.int32)
+        s_x = jnp.clip(jnp.ceil(bin_w), 1, max_sampling).astype(jnp.int32)
+    else:
+        s_y = s_x = sampling
+    ry = _interp_matrix(y1, bin_h, h, pooled, s_y, dtype,
+                        max_sampling)                              # [N,P,H]
+    rx = _interp_matrix(x1, bin_w, w, pooled, s_x, dtype,
+                        max_sampling)                              # [N,P,W]
+    return ry, rx
+
+
 @functools.partial(jax.jit, static_argnames=("pooled", "sampling",
                                              "spatial_scale", "chunk",
                                              "max_sampling", "contract"))
@@ -94,26 +122,9 @@ def roi_align(features: Array, rois: Array, *, spatial_scale: float,
     h, w, c = features.shape
     n = rois.shape[0]
     dtype = features.dtype
-
-    scale = jnp.float32(spatial_scale)
-    x1 = rois[:, 0] * scale
-    y1 = rois[:, 1] * scale
-    x2 = rois[:, 2] * scale
-    y2 = rois[:, 3] * scale
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / pooled
-    bin_h = roi_h / pooled
-
-    if sampling == 0:
-        s_y = jnp.clip(jnp.ceil(bin_h), 1, max_sampling).astype(jnp.int32)
-        s_x = jnp.clip(jnp.ceil(bin_w), 1, max_sampling).astype(jnp.int32)
-    else:
-        s_y = s_x = sampling
-    ry = _interp_matrix(y1, bin_h, h, pooled, s_y, dtype,
-                        max_sampling)                              # [N,P,H]
-    rx = _interp_matrix(x1, bin_w, w, pooled, s_x, dtype,
-                        max_sampling)                              # [N,P,W]
+    ry, rx = interp_matrices(rois, h, w, spatial_scale=spatial_scale,
+                             pooled=pooled, sampling=sampling,
+                             max_sampling=max_sampling, dtype=dtype)
 
     # chunked over RoIs to bound the [chunk, P, ·, C] intermediate
     pad = (-n) % chunk

@@ -121,6 +121,11 @@ class CPTService:
         wkw = {}
         if args.window:
             wkw["window"] = [tuple(w) for w in args.window]
+        elif args.windowed:
+            # production 3-rung ladder (PERF.md round 4): each request's
+            # copies route to the smallest rung their paint fits; rungs
+            # compile lazily on first use, so idle rungs cost nothing
+            wkw["window"] = [(384, 512), (448, 576), (512, 640)]
         self.extractor = Extractor(det, dparams, dcfg,
                                    windowed=args.windowed,
                                    halo=args.halo, **wkw)

@@ -146,10 +146,11 @@ def test_extractor_multi_window_auto_sizing(tmp_path):
     from cpt_tpu.engine.extract import Extractor, refcoco_task
 
     image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
-    # small central (fits the small window), medium (large window only),
-    # huge (full path)
+    # one det per ladder rung (16 px → 160-window, 80 px → 192, 120 px →
+    # 224) plus a huge one that falls back to the full path
     dets = np.asarray([[120.0, 120.0, 136.0, 136.0],
                        [90.0, 90.0, 170.0, 170.0],
+                       [70.0, 70.0, 190.0, 190.0],
                        [10.0, 10.0, 240.0, 240.0]], np.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
@@ -163,9 +164,9 @@ def test_extractor_multi_window_auto_sizing(tmp_path):
     exact = Extractor(model, params, cfg, copies_per_chunk=2)
     ef, el, es = exact.extract_task(mk())
     wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
-                    window=[(160, 160), (224, 224)], halo=48)
-    assert wnd.windows == [(160, 160), (224, 224)]
-    assert len(wnd.wfns) == 2
+                    window=[(160, 160), (192, 192), (224, 224)], halo=48)
+    assert wnd.windows == [(160, 160), (192, 192), (224, 224)]
+    assert len(wnd.wfns) == 3
     wf, wl, ws = wnd.extract_task(mk())
     np.testing.assert_array_equal(wl, el)
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
