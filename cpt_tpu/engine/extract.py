@@ -587,8 +587,11 @@ class Extractor:
                       if group_by_image else ([t] for t in tasks))
             for block in blocks(groups, max(base_batch, 1)):
                 merged = [merge_tasks(g) for g in block]
-                bases = (self.base_maps(merged) if len(merged) > 1
-                         else [None])
+                # pad_to pins ONE batched base program per canvas bucket
+                # (a smaller trailing block would otherwise compile its
+                # own power-of-two size — multi-minute on the relay)
+                bases = (self.base_maps(merged, pad_to=base_batch)
+                         if len(merged) > 1 else [None])
                 for group, task_m, base in zip(block, merged, bases):
                     feats, labels, scores = self.extract_task(task_m,
                                                               base=base)

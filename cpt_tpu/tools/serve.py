@@ -121,7 +121,7 @@ class CPTService:
         wkw = {}
         if args.window:
             wkw["window"] = [tuple(w) for w in args.window]
-        elif args.windowed:
+        elif args.windowed and not args.tiny:
             # production 3-rung ladder (PERF.md round 4): each request's
             # copies route to the smallest rung their paint fits; rungs
             # compile lazily on first use, so idle rungs cost nothing
