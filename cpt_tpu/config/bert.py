@@ -28,6 +28,10 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     initializer_range: float = 0.02
+    # captioning decoder/embedding tying (reference modeling_bert.py:
+    # 616-625: BertForImageCaptioning ties only when config.tie_weights;
+    # pretraining/CPT heads tie unconditionally, :980-1000)
+    tie_weights: bool = True
     layer_norm_eps: float = 1e-12
 
     # Oscar image-input extensions

@@ -34,16 +34,19 @@ class NLVRData:
     def __init__(self, feat_file: str, examples: Sequence[NLVRExample],
                  tokenizer: BertTokenizer, max_seq_len: int = 55,
                  img_seq_len: int = 40, img_feat_dim: int = 2054,
-                 mode: str = "pair"):
+                 mode: str = "pair", use_od_labels: bool = True):
         """``mode="pair"``: two (statement, od, image) sequences per
         example for ``ImageBertForMultipleChoice`` (reference
         ``--use_pair``, ``tensorize_example_pair``). ``mode="concat"``:
         ONE sequence with both images' od labels joined and their
         features stacked, for ``ImageBertForSequenceClassification``
         (the reference's default ``tensorize_example`` construction,
-        run_nlvr.py:132-146)."""
+        run_nlvr.py:132-146). ``use_od_labels=False`` drops the od-label
+        text_b segment (reference ``--use_label_seq`` off,
+        run_nlvr.py:73-94)."""
         assert mode in ("pair", "concat")
         self.mode = mode
+        self.use_od_labels = use_od_labels
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
         self.examples = [e for e in examples
@@ -83,7 +86,8 @@ class NLVRData:
             ex = self.examples[idx]
             for c, key in enumerate((ex.img_left, ex.img_right)):
                 f, od = self._feats(key)
-                seq = tensorize_pair(self.tokenizer, ex.statement, od,
+                seq = tensorize_pair(self.tokenizer, ex.statement,
+                                     od if self.use_od_labels else None,
                                      f.shape[0], t, r)
                 ids[i, c] = seq.input_ids
                 segs[i, c] = seq.segment_ids
@@ -109,7 +113,8 @@ class NLVRData:
             fr, odr = self._feats(ex.img_right)
             f = np.concatenate([fl, fr])[:r]
             seq = tensorize_pair(self.tokenizer, ex.statement,
-                                 odl + " " + odr, f.shape[0], t, r)
+                                 (odl + " " + odr) if self.use_od_labels
+                                 else None, f.shape[0], t, r)
             ids[i], segs[i], attn[i] = (seq.input_ids, seq.segment_ids,
                                         seq.attention_mask)
             feats[i] = pad_img_feats(f, r)
@@ -128,7 +133,7 @@ class Nlvr2JsonData(NLVRData):
     def __init__(self, data_dir: str, split: str,
                  tokenizer: BertTokenizer, max_seq_len: int = 55,
                  img_seq_len: int = 40, img_feat_dim: int = 2054,
-                 mode: str = "pair"):
+                 mode: str = "pair", use_od_labels: bool = True):
         import os
 
         import torch
@@ -151,6 +156,7 @@ class Nlvr2JsonData(NLVRData):
 
         assert mode in ("pair", "concat")
         self.mode = mode
+        self.use_od_labels = use_od_labels
         self.tsv = None
         self.imgid2idx = {k: 0 for k in self._feat_map}
         self.examples = [e for e in examples

@@ -106,13 +106,19 @@ class QlaVQAData(VQAData):
     def __init__(self, data_dir: str, split: str, num_labels: int,
                  tokenizer: BertTokenizer, max_seq_len: int = 128,
                  img_seq_len: int = 50, img_feat_dim: int = 2054,
-                 use_od_labels: bool = True, is_test: bool = False):
+                 use_od_labels: bool = True, is_test: bool = False,
+                 feat_split: Optional[str] = None):
+        """``feat_split`` names the feature .pt when it differs from the
+        qla split — the reference's composite splits (``train+val2014``,
+        ``train2014_vg``, ``vg`` dev; run_vqa.py:47-67 --use_vg/
+        --use_vg_dev/--do_train_val) reuse another split's features."""
         import os
 
         import torch
 
         feats = torch.load(os.path.join(
-            data_dir, f"{split}_img_frcnn_feats.pt"), weights_only=False)
+            data_dir, f"{feat_split or split}_img_frcnn_feats.pt"),
+            weights_only=False)
         self._feat_map = {str(k): np.asarray(v, np.float32)
                           for k, v in feats.items()}
         qla = None

@@ -76,13 +76,15 @@ def scst_advantages(sample_scores: np.ndarray,
 
 def scst_step(model, params, opt_update, cfg: GenerationConfig,
               scorer: CiderD, tokenizer, batch, image_ids: Sequence[str],
-              rng, sample_n: int = 1, baseline_type: str = "greedy"
-              ) -> Tuple[dict, float, float]:
+              rng, sample_n: int = 1, baseline_type: str = "greedy",
+              baseline_beams: int = 1) -> Tuple[dict, float, float]:
     """One SCST update. batch = (segment_ids, attn, img_feats).
 
     ``sample_n`` rollouts per image (tiled contiguously, matching the
     reference's ``gt_idx = i // seq_per_img``); baseline per
-    ``scst_advantages``. Returns (grads, mean sampled reward, mean
+    ``scst_advantages``. ``baseline_beams > 1`` decodes the greedy
+    baseline with beam search instead (the reference's ``--sc_beam_size``,
+    run_captioning.py:543). Returns (grads, mean sampled reward, mean
     baseline reward). ``batch`` may carry a 4th element ``base_ids``
     (od-label context ids for the decode canvas)."""
     segment_ids, attn, img_feats = batch[:3]
@@ -110,8 +112,18 @@ def scst_step(model, params, opt_update, cfg: GenerationConfig,
                            for i, t in zip(ids_rep, np.asarray(sampled))]
                           ).reshape(b, sample_n)
     if baseline_type == "greedy":
-        greedy, _ = greedy_or_sample(model, params, cfg, segment_ids, attn,
-                                     img_feats, base_ids=base_ids)
+        if baseline_beams > 1:
+            from cpt_tpu.engine.generation import beam_search
+
+            beam_cfg = dataclasses.replace(cfg, do_sample=False,
+                                           num_beams=baseline_beams,
+                                           num_keep_best=1)
+            toks, _ = beam_search(model, params, beam_cfg, segment_ids,
+                                  attn, img_feats, base_ids=base_ids)
+            greedy = toks[:, 0]
+        else:
+            greedy, _ = greedy_or_sample(model, params, cfg, segment_ids,
+                                         attn, img_feats, base_ids=base_ids)
         r_base = np.asarray([scorer.score(i, tokens_to_words(t))
                              for i, t in zip(image_ids, np.asarray(greedy))])
     else:

@@ -118,6 +118,22 @@ def build_optimizer(params, cfg: OptimConfig,
     return tx
 
 
+def freeze_params(tx: optax.GradientTransformation,
+                  substring: str) -> optax.GradientTransformation:
+    """Zero the update of every parameter whose tree path contains
+    ``substring`` — the JAX equivalent of the reference's
+    ``requires_grad = False`` freezing (e.g. ``--freeze_embedding``,
+    ``modeling_bert.py:622-625`` freezes ``word_embeddings``)."""
+
+    def mask_of(params):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [substring in jax.tree_util.keystr(p) for p, _ in flat])
+
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), mask_of))
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any

@@ -42,7 +42,11 @@ class BertForImageCaptioning(nn.Module):
 
     def setup(self):
         self.bert = BertImgModel(self.config, self.dtype, name="bert")
+        # decoder/embedding tying follows config.tie_weights
+        # (modeling_bert.py:616-625; the reference caption recipes default
+        # to an UNTIED decoder)
         self.mlm_head = BertLMPredictionHead(self.config, self.dtype,
+                                             tied=self.config.tie_weights,
                                              name="mlm_head")
 
     def __call__(self, input_ids, attention_mask, token_type_ids=None,

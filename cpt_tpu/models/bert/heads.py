@@ -59,17 +59,30 @@ class BertPredictionHeadTransform(nn.Module):
 
 
 class BertLMPredictionHead(nn.Module):
-    """MLM head; decoder weight tied to the embedding table (passed in)."""
+    """MLM head; decoder weight tied to the embedding table (passed in).
+
+    ``tied=False`` gives the head its own ``decoder`` table — the
+    reference captioning model's ``config.tie_weights=False`` default,
+    where a finetuned checkpoint's decoder has diverged from the
+    embeddings (``modeling_bert.py:616-625``). Pretraining/CPT heads tie
+    unconditionally (``:980-1000``)."""
 
     config: BertConfig
     dtype: Any = jnp.float32
+    tied: bool = True
 
     @nn.compact
     def __call__(self, hidden: Array, word_embedding_table: Array) -> Array:
         c = self.config
         x = BertPredictionHeadTransform(c, self.dtype, name="transform")(hidden)
-        logits = jnp.einsum("...h,vh->...v", x,
-                            word_embedding_table.astype(self.dtype))
+        if self.tied:
+            table = word_embedding_table
+        else:
+            table = self.param(
+                "decoder",
+                nn.initializers.normal(stddev=c.initializer_range),
+                (c.vocab_size, c.hidden_size), jnp.float32)
+        logits = jnp.einsum("...h,vh->...v", x, table.astype(self.dtype))
         bias = self.param("bias", nn.initializers.zeros, (c.vocab_size,),
                           jnp.float32)
         return logits + bias.astype(self.dtype)
@@ -339,6 +352,7 @@ class ImageBertForSequenceClassification(nn.Module):
     def setup(self):
         c = self.config
         self.bert = BertImgModel(c, self.dtype, name="bert")
+        self.cls_dropout = nn.Dropout(c.hidden_dropout_prob)
         if c.classifier == "mlp":
             self.cls_hidden = nn.Dense(c.hidden_size * c.cls_hidden_scale,
                                        name="cls_hidden", dtype=self.dtype)
@@ -354,7 +368,9 @@ class ImageBertForSequenceClassification(nn.Module):
         c = self.config
         _, pooled = self.bert(input_ids, token_type_ids, attention_mask,
                               img_feats=img_feats, deterministic=deterministic)
-        x = pooled
+        # classifier-input dropout (modeling_bert.py:303,331 — the
+        # reference drops the pooled output before the classifier)
+        x = self.cls_dropout(pooled, deterministic=deterministic)
         if self.cls_hidden is not None:
             x = jax.nn.relu(self.cls_hidden(x))
         logits = self.cls_out(x)
@@ -390,6 +406,7 @@ class ImageBertForMultipleChoice(nn.Module):
     def setup(self):
         c = self.config
         self.bert = BertImgModel(c, self.dtype, name="bert")
+        self.cls_dropout = nn.Dropout(c.hidden_dropout_prob)
         if c.classifier == "mlp":
             self.cls_hidden = nn.Dense(c.hidden_size * c.cls_hidden_scale,
                                        name="cls_hidden", dtype=self.dtype)
@@ -409,6 +426,9 @@ class ImageBertForMultipleChoice(nn.Module):
         _, pooled = self.bert(flat(input_ids), flat(token_type_ids),
                               flat(attention_mask), img_feats=flat(img_feats),
                               deterministic=deterministic)
+        # pooled-output dropout before the joint classifier
+        # (modeling_bert.py:374,417)
+        pooled = self.cls_dropout(pooled, deterministic=deterministic)
         x = pooled.reshape(b, -1)               # [B, nc·hidden]
         if self.cls_hidden is not None:
             x = jax.nn.relu(self.cls_hidden(x))

@@ -72,7 +72,24 @@ def build_args():
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--repetition_penalty", type=float, default=1.0)
     p.add_argument("--length_penalty", type=float, default=1.0)
+    p.add_argument("--no_tie_weights", action="store_true",
+                   help="UNTIE the caption decoder from the word "
+                        "embeddings — the reference's default "
+                        "(config.tie_weights=False, modeling_bert.py:"
+                        "616-625); our default ties, matching "
+                        "--tie_weights recipes")
+    p.add_argument("--freeze_embedding", action="store_true",
+                   help="freeze the word-embedding table during training "
+                        "(reference modeling_bert.py:622-625 "
+                        "requires_grad=False)")
+    p.add_argument("--num_return_sequences", type=int, default=1,
+                   help="independent sampling decodes kept per image "
+                        "(reference run_captioning.py:668; sampling mode "
+                        "only)")
     p.add_argument("--scst_steps", type=int, default=0)
+    p.add_argument("--sc_beam_size", type=int, default=1,
+                   help="beam size of the SCST baseline decode "
+                        "(reference run_captioning.py:543,895; 1 = greedy)")
     p.add_argument("--sc_train_sample_n", type=int, default=5,
                    help="SCST rollouts per image (run_captioning.py:891)")
     p.add_argument("--sc_baseline_type", default="greedy",
@@ -175,7 +192,18 @@ def main(argv=None):
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
     cfg = model_config(args)
+    if args.no_tie_weights:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, tie_weights=False)
     model = BertForImageCaptioning(cfg, dtype=dtype_of(args))
+
+    def freeze_embedding_tx(tx):
+        """--freeze_embedding: zero the word-embedding update (the
+        reference sets requires_grad=False on exactly that table,
+        modeling_bert.py:622-625)."""
+        return (train_lib.freeze_params(tx, "word_embeddings")
+                if args.freeze_embedding else tx)
 
     if args.dataset_yaml:
         ydata = CaptionYamlData(args.dataset_yaml)
@@ -227,7 +255,7 @@ def main(argv=None):
             warmup_steps=int(args.train_steps * args.warmup_ratio),
             num_train_steps=args.train_steps,
             scheduler=args.scheduler)
-        tx = train_lib.build_optimizer(params, ocfg)
+        tx = freeze_embedding_tx(train_lib.build_optimizer(params, ocfg))
         state = train_lib.create_train_state(params, tx)
 
         # drop_worst_ratio is shape-static (top_k size) → one jitted step
@@ -351,7 +379,7 @@ def main(argv=None):
     if args.scst_steps > 0:
         from cpt_tpu.engine.scst import scst_step
 
-        tx = optax.adam(args.learning_rate)
+        tx = freeze_embedding_tx(optax.adam(args.learning_rate))
         opt = tx.init(params)
         rng = jax.random.PRNGKey(args.seed + 1)
         for it in range(args.scst_steps):
@@ -365,7 +393,8 @@ def main(argv=None):
             grads, r_s, r_g = scst_step(
                 model, params, None, gen_cfg, scorer, tokenizer, batch, [k],
                 sub, sample_n=args.sc_train_sample_n,
-                baseline_type=args.sc_baseline_type)
+                baseline_type=args.sc_baseline_type,
+                baseline_beams=args.sc_beam_size)
             upd, opt = tx.update(grads, opt, params)
             params = optax.apply_updates(params, upd)
             if (it + 1) % 10 == 0:
@@ -425,6 +454,18 @@ def main(argv=None):
             toks, scores = greedy_or_sample(model, params, gen_cfg, *ctx,
                                             sub, base_ids=base)
             text = decode_caption(tokenizer, np.asarray(toks[0]), gen_cfg)
+            if args.do_sample and args.num_return_sequences > 1:
+                # reference generate(num_return_sequences=n): n independent
+                # sampling decodes per image (run_captioning.py:668)
+                seqs = [{"caption": text, "confidence": float(scores[0])}]
+                for _ in range(args.num_return_sequences - 1):
+                    dec_rng, sub = jax.random.split(dec_rng)
+                    t2, s2 = greedy_or_sample(model, params, gen_cfg, *ctx,
+                                              sub, base_ids=base)
+                    seqs.append({"caption": decode_caption(
+                        tokenizer, np.asarray(t2[0]), gen_cfg),
+                        "confidence": float(s2[0])})
+                outputs[k] = seqs
         hyps[k] = text.split()
         outputs.setdefault(k, text)
     cider = scorer.corpus_score(hyps)

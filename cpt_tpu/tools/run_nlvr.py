@@ -44,6 +44,10 @@ def build_args():
                         "recipe); concat = one sequence with both images' "
                         "labels/features + a binary classifier (the "
                         "reference's default tensorize_example path)")
+    p.add_argument("--no_od_labels", action="store_true",
+                   help="drop the od-label text segment (reference "
+                        "--use_label_seq off, run_nlvr.py:713; the "
+                        "published recipe keeps labels on, our default)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard batches over a dp mesh of this many chips")
     p.add_argument("--max_steps", type=int, default=0,
@@ -84,11 +88,13 @@ def main(argv=None):
 
         data = Nlvr2JsonData(args.nlvr2_data_dir, args.split, tokenizer,
                              args.max_seq_length, args.max_img_seq_length,
-                             cfg.img_feature_dim, mode=args.pair_mode)
+                             cfg.img_feature_dim, mode=args.pair_mode,
+                             use_od_labels=not args.no_od_labels)
         val = (Nlvr2JsonData(args.nlvr2_data_dir, args.val_split,
                              tokenizer, args.max_seq_length,
                              args.max_img_seq_length, cfg.img_feature_dim,
-                             mode=args.pair_mode)
+                             mode=args.pair_mode,
+                             use_od_labels=not args.no_od_labels)
                if args.val_split else data)
     else:
         if not (args.feat_file and args.examples):
@@ -97,11 +103,13 @@ def main(argv=None):
         data = NLVRData(args.feat_file, load_nlvr_examples(args.examples),
                         tokenizer, args.max_seq_length,
                         args.max_img_seq_length, cfg.img_feature_dim,
-                        mode=args.pair_mode)
+                        mode=args.pair_mode,
+                        use_od_labels=not args.no_od_labels)
         val = (NLVRData(args.feat_file,
                         load_nlvr_examples(args.val_examples), tokenizer,
                         args.max_seq_length, args.max_img_seq_length,
-                        cfg.img_feature_dim, mode=args.pair_mode)
+                        cfg.img_feature_dim, mode=args.pair_mode,
+                        use_od_labels=not args.no_od_labels)
                if args.val_examples else data)
 
     bsz = args.per_gpu_train_batch_size

@@ -39,6 +39,17 @@ def build_args():
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--text_only", action="store_true",
                    help="text-only MLM (run_mlm.py equivalent)")
+    p.add_argument("--extra_yaml", default=None,
+                   help="second (QA-style) corpus descriptor trained "
+                        "alongside the main one with --extra_loss_weight "
+                        "(reference --extra_dataset_file, "
+                        "run_oscarplus_pretrain.py:50,408-425)")
+    p.add_argument("--extra_feat_file", default=None)
+    p.add_argument("--extra_captions", default=None)
+    p.add_argument("--extra_loss_weight", type=float, default=0.0,
+                   help="per-step loss = (1-w)*main + w*extra, exactly the "
+                        "reference's two-dataloader weighting "
+                        "(run_oscarplus_pretrain.py:410-425)")
     p.add_argument("--mask_loss_for_unmatched", type=int, default=1,
                    help="keep MLM loss on polluted od-label tokens "
                         "(reference flag; 0 = drop, oscar_tsv.py:693-694)")
@@ -102,6 +113,24 @@ def main(argv=None):
             args.feat_file, json.load(open(args.captions)), tokenizer,
             args.max_seq_length, args.max_img_seq_length,
             cfg.img_feature_dim, **corrupt_kw)
+    # optional second corpus, trained each step at --extra_loss_weight
+    # (reference's batch/batch_extra two-dataloader loop,
+    # run_oscarplus_pretrain.py:380-425)
+    extra = None
+    if args.extra_yaml:
+        from cpt_tpu.data.pretrain import MultiCorpusPretrainData
+
+        extra = MultiCorpusPretrainData(
+            args.extra_yaml, tokenizer, args.max_seq_length,
+            args.max_img_seq_length, cfg.img_feature_dim, **corrupt_kw)
+    elif args.extra_feat_file:
+        assert args.extra_captions, "--extra_captions required"
+        extra = OscarPretrainData(
+            args.extra_feat_file, json.load(open(args.extra_captions)),
+            tokenizer, args.max_seq_length, args.max_img_seq_length,
+            cfg.img_feature_dim, **corrupt_kw)
+    w_extra = args.extra_loss_weight if extra is not None else 0.0
+
     bsz = args.per_gpu_train_batch_size
     rng_py = random.Random(args.seed)
     batch0 = data.batch(list(range(min(bsz, len(data)))), rng_py, pad_to=bsz)
@@ -121,19 +150,29 @@ def main(argv=None):
     tx = train_lib.build_optimizer(params, ocfg)
     state = train_lib.create_train_state(params, tx)
 
-    @jax.jit
-    def step(state, batch, rng):
+    def batch_loss(p, batch, rng):
         ids, segs, attn, feats, mlm, contrast = batch
+        _, mlm_logits, nsp_logits = model.apply(
+            p, ids, segs, attn, img_feats=None if args.text_only else feats,
+            deterministic=False, rngs={"dropout": rng})
+        mlm_labels = mlm if not args.text_only else mlm[:, : ids.shape[1]]
+        mlm_loss = cross_entropy_ignore_index(
+            mlm_logits, mlm_labels[:, : mlm_logits.shape[1]])
+        nsp_loss = cross_entropy_ignore_index(nsp_logits, contrast)
+        return mlm_loss, nsp_loss
 
+    @jax.jit
+    def step(state, batch, rng, batch_extra=None):
         def loss_fn(p):
-            _, mlm_logits, nsp_logits = model.apply(
-                p, ids, segs, attn, img_feats=None if args.text_only else feats,
-                deterministic=False, rngs={"dropout": rng})
-            mlm_labels = mlm if not args.text_only else mlm[:, : ids.shape[1]]
-            mlm_loss = cross_entropy_ignore_index(
-                mlm_logits, mlm_labels[:, : mlm_logits.shape[1]])
-            nsp_loss = cross_entropy_ignore_index(nsp_logits, contrast)
-            return mlm_loss + nsp_loss, (mlm_loss, nsp_loss)
+            mlm_loss, nsp_loss = batch_loss(p, batch, rng)
+            loss = mlm_loss + nsp_loss
+            if batch_extra is not None:
+                # reference two-corpus weighting: (1-w)·main + w·extra
+                # (run_oscarplus_pretrain.py:410-425 forward_backward)
+                me, ne = batch_loss(p, batch_extra,
+                                    jax.random.fold_in(rng, 1))
+                loss = (1.0 - w_extra) * loss + w_extra * (me + ne)
+            return loss, (mlm_loss, nsp_loss)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -167,8 +206,18 @@ def main(argv=None):
         if args.text_only:
             jb = (jb[0], jb[1], jb[2][:, : args.max_seq_length], jb[3],
                   jb[4], jb[5])
+        jbe = None
+        if extra is not None:
+            # the reference's second dataloader cycles independently
+            # (run_oscarplus_pretrain.py:348-360 batch/batch_extra)
+            echunk = [(it * bsz + j) % len(extra) for j in range(bsz)]
+            jbe = tuple(jnp.asarray(x)
+                        for x in extra.batch(echunk, step_py, pad_to=bsz))
+            if args.text_only:
+                jbe = (jbe[0], jbe[1], jbe[2][:, : args.max_seq_length],
+                       jbe[3], jbe[4], jbe[5])
         sub = jax.random.fold_in(base_rng, it)
-        state, loss, (mlm_l, nsp_l) = step(state, jb, sub)
+        state, loss, (mlm_l, nsp_l) = step(state, jb, sub, jbe)
         losses.append(float(loss))
         if (it + 1) % 20 == 0:
             print(f"step {it + 1}: loss {float(loss):.4f} "

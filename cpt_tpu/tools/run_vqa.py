@@ -39,9 +39,15 @@ def build_args():
                         "+ {split}_qla.json here (run_vqa.py:82-133; "
                         "loads the reference's own data files)")
     p.add_argument("--split", default="train2014",
-                   help="train split name in --qla_data_dir mode")
+                   help="train split name in --qla_data_dir mode; the "
+                        "reference's composite splits work directly "
+                        "(train+val2014 = --do_train_val, train2014_vg = "
+                        "--use_vg, vg = --use_vg_dev; run_vqa.py:47-67)")
     p.add_argument("--val_split", default=None,
                    help="val split name in --qla_data_dir mode")
+    p.add_argument("--feat_split", default=None,
+                   help="feature .pt split name when the composite qla "
+                        "split reuses another split's features")
     p.add_argument("--val_examples", default=None)
     p.add_argument("--test_examples", default=None,
                    help="unlabeled test split; writes {test_name}_results.json")
@@ -55,6 +61,13 @@ def build_args():
                    help="submission jsons + periodic checkpoints")
     p.add_argument("--num_labels", type=int, default=3129)
     p.add_argument("--loss_type", default="bce", choices=["bce", "kl", "xe"])
+    p.add_argument("--adjust_dp", action="store_true",
+                   help="raise every dropout to 0.3 from epoch 3 on "
+                        "(reference run_vqa.py:534-542)")
+    p.add_argument("--adjust_loss", action="store_true",
+                   help="switch the loss from kl to bce at "
+                        "--adjust_loss_epoch (reference run_vqa.py:545-547)")
+    p.add_argument("--adjust_loss_epoch", type=int, default=-1)
     p.add_argument("--submission_format", default="vqa",
                    choices=["vqa", "gqa"])
     p.add_argument("--max_seq_length", type=int, default=128)
@@ -166,7 +179,8 @@ def main(argv=None):
 
         data = QlaVQAData(args.qla_data_dir, args.split, args.num_labels,
                           tokenizer, args.max_seq_length,
-                          args.max_img_seq_length, cfg.img_feature_dim)
+                          args.max_img_seq_length, cfg.img_feature_dim,
+                          feat_split=args.feat_split)
         val = (QlaVQAData(args.qla_data_dir, args.val_split,
                           args.num_labels, tokenizer, args.max_seq_length,
                           args.max_img_seq_length, cfg.img_feature_dim)
@@ -205,29 +219,58 @@ def main(argv=None):
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
 
-        def step_raw(state, batch, rng):
-            ids, segs, attn, feats, soft, hard = batch
+        # --adjust_dp / --adjust_loss rebuild the (parameterless) dropout/
+        # loss configuration mid-training (reference run_vqa.py:534-547:
+        # dropout → 0.3 from epoch 3, kl → bce from --adjust_loss_epoch);
+        # the param tree is unchanged, so the same state flows through —
+        # at most one extra compile per configuration
+        _steps = {}
 
-            def loss_fn(p):
-                target = soft if cfg.loss_type in ("bce", "kl") else hard
-                loss, _ = model.apply(p, ids, segs, attn, img_feats=feats,
-                                      labels=target, deterministic=False,
-                                      rngs={"dropout": rng})
-                return loss
+        def step_for(epoch):
+            import dataclasses as _dc
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            upd, opt = tx.update(grads, state.opt_state, state.params)
-            return train_lib.TrainState(
-                optax.apply_updates(state.params, upd), opt,
-                state.step + 1), loss
+            drop = (0.3 if args.adjust_dp and epoch >= 3
+                    else cfg.hidden_dropout_prob)
+            lt = ("bce" if args.adjust_loss and args.adjust_loss_epoch >= 0
+                  and epoch >= args.adjust_loss_epoch else cfg.loss_type)
+            key = (drop, lt)
+            if key not in _steps:
+                # the reference bumps the classifier/img-embedding/text-
+                # embedding dropouts only; our hidden dropouts share one
+                # config knob (attention-probs dropout stays untouched,
+                # as in the reference)
+                mcfg = _dc.replace(cfg, hidden_dropout_prob=drop,
+                                   loss_type=lt)
+                m = (model if mcfg == cfg
+                     else ImageBertForSequenceClassification(
+                         mcfg, dtype=dtype_of(args)))
+
+                def step_raw(state, batch, rng, m=m, lt=lt):
+                    ids, segs, attn, feats, soft, hard = batch
+
+                    def loss_fn(p):
+                        target = soft if lt in ("bce", "kl") else hard
+                        loss, _ = m.apply(p, ids, segs, attn,
+                                          img_feats=feats, labels=target,
+                                          deterministic=False,
+                                          rngs={"dropout": rng})
+                        return loss
+
+                    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                    upd, opt = tx.update(grads, state.opt_state,
+                                         state.params)
+                    return train_lib.TrainState(
+                        optax.apply_updates(state.params, upd), opt,
+                        state.step + 1), loss
+
+                _steps[key] = jax.jit(step_raw)
+            return _steps[key]
 
         if mesh is None:
-            step = jax.jit(step_raw)
             shard_b = rep = lambda x: x
         else:
             from cpt_tpu.parallel.mesh import replicated, shard_batch
 
-            step = jax.jit(step_raw)
             shard_b = lambda b: shard_batch(b, mesh)
             rep = lambda t: jax.device_put(t, replicated(mesh))
             state = jax.tree_util.tree_map(rep, state)
@@ -265,7 +308,7 @@ def main(argv=None):
                                  jnp.asarray(b.attention_mask),
                                  jnp.asarray(b.img_feats),
                                  jnp.asarray(soft), jnp.asarray(hard)))
-                state, loss = step(state, batch, rep(sub))
+                state, loss = step_for(epoch)(state, batch, rep(sub))
                 gstep += 1
                 if (args.save_every and args.output_dir
                         and gstep % args.save_every == 0):

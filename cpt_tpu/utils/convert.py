@@ -135,6 +135,13 @@ def convert_bert_state_dict(sd: Mapping[str, np.ndarray], config: BertConfig,
             # the standalone bias is kept
             "bias": sd["cls.predictions.bias"],
         }
+        if (not config.tie_weights
+                and "cls.predictions.decoder.weight" in sd):
+            # untied captioning decoder (modeling_bert.py:616-625): a
+            # finetuned checkpoint's decoder has diverged from the
+            # embedding table — keep it
+            params["mlm_head"]["decoder"] = \
+                sd["cls.predictions.decoder.weight"]
     if "cls.seq_relationship.weight" in sd:
         params["nsp_head"] = {"dense": {
             "kernel": _t(sd["cls.seq_relationship.weight"]),

@@ -218,6 +218,78 @@ def test_scst_step_finite():
     assert np.isfinite(r_s) and np.isfinite(r_g)
 
 
+@pytest.mark.slow
+def test_scst_step_beam_baseline_finite():
+    """--sc_beam_size > 1: the SCST baseline decode runs beam search
+    (reference run_captioning.py:543)."""
+    from cpt_tpu.engine.scst import scst_step
+
+    model, params, _, feats, _ = _setup_model()
+    segs, attn, f = _gen_context(feats)
+    refs = {"img0": [["the", "red", "dog"]]}
+    scorer = CiderD(refs)
+    grads, r_s, r_g = scst_step(model, params, None, GEN, scorer, TOK,
+                                (segs, attn, f), ["img0"],
+                                jax.random.PRNGKey(0), baseline_beams=2)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert np.isfinite(r_s) and np.isfinite(r_g)
+
+
+@pytest.mark.slow
+def test_untied_decoder_matches_tied_when_equal():
+    """tie_weights=False (the reference captioning default,
+    modeling_bert.py:616-625): the head owns a separate decoder table;
+    with decoder == embedding table the logits equal the tied model's,
+    and the converter imports cls.predictions.decoder.weight."""
+    import dataclasses
+
+    from cpt_tpu.utils.convert import (convert_bert_state_dict,
+                                       random_oscar_state_dict)
+
+    model_t, params_t, _, feats, batch = _setup_model()
+    cfg_u = dataclasses.replace(CFG, tie_weights=False)
+    model_u = BertForImageCaptioning(cfg_u)
+    params_u = jax.jit(model_u.init)(jax.random.PRNGKey(0), *batch)
+    assert "decoder" in params_u["params"]["mlm_head"]
+    table = params_t["params"]["bert"]["embeddings"][
+        "word_embeddings"]["embedding"]
+    pu = jax.tree_util.tree_map(lambda x: x, params_t)  # copy of tied tree
+    pu["params"]["mlm_head"] = dict(pu["params"]["mlm_head"],
+                                    decoder=table)
+    _, logits_t = model_t.apply(params_t, *batch[:4])
+    _, logits_u = model_u.apply(pu, *batch[:4])
+    np.testing.assert_allclose(np.asarray(logits_u), np.asarray(logits_t),
+                               rtol=1e-6, atol=1e-6)
+
+    # converter keeps the (diverged) decoder only when untied
+    sd = random_oscar_state_dict(CFG, seed=3)
+    conv_t = convert_bert_state_dict(sd, CFG)
+    conv_u = convert_bert_state_dict(sd, cfg_u)
+    assert "decoder" not in conv_t["mlm_head"]
+    np.testing.assert_array_equal(conv_u["mlm_head"]["decoder"],
+                                  sd["cls.predictions.decoder.weight"])
+
+
+def test_freeze_params_zeroes_masked_updates():
+    """engine.train.freeze_params: updates for paths containing the
+    substring are exactly zero (requires_grad=False equivalent,
+    --freeze_embedding)."""
+    from cpt_tpu.engine.train import freeze_params
+
+    params = {"bert": {"embeddings": {"word_embeddings":
+                                      {"embedding": jnp.ones((4, 3))}},
+                       "dense": {"kernel": jnp.ones((3, 3))}}}
+    tx = freeze_params(optax.adam(1e-2), "word_embeddings")
+    opt = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, opt, params)
+    emb = upd["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    ker = upd["bert"]["dense"]["kernel"]
+    assert float(jnp.abs(emb).max()) == 0.0
+    assert float(jnp.abs(ker).max()) > 0.0
+
+
 def test_fsm_single_and_phrase_constraints():
     # constraint 0: token 5; constraint 1: phrase (6, 7)
     trans, nsat = build_fsm([[5], [6, 7]], vocab_size=10)

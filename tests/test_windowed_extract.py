@@ -258,16 +258,23 @@ def test_run_base_batched_tsv_identical():
         return rows
 
     with tempfile.TemporaryDirectory() as td:
-        solo, batched = Path(td, "solo.tsv"), Path(td, "batched.tsv")
+        solo = Path(td, "solo.tsv")
         wnd.run(mk_tasks(), str(solo), base_batch=1)
-        wnd.run(mk_tasks(), str(batched), base_batch=4)  # 5 → blocks 4+1
-        rs, rb = read_rows(solo), read_rows(batched)
-        assert [k for k, _ in rs] == [k for k, _ in rb]
-        for (_, os_), (_, ob) in zip(rs, rb):
-            for (cls_s, f_s), (cls_b, f_b) in zip(os_, ob):
-                assert cls_s == cls_b
-                # batched base pass may differ at the float noise floor
-                np.testing.assert_allclose(f_b, f_s, rtol=1e-4, atol=1e-4)
+        rs = read_rows(solo)
+        # base_batch=4: blocks 4+1 (full block + singleton fallback);
+        # base_batch=3: blocks 3+2 (the trailing PARTIAL block pads to
+        # base_batch so it reuses the pinned batch-3 base program)
+        for bb in (4, 3):
+            batched = Path(td, f"batched{bb}.tsv")
+            wnd.run(mk_tasks(), str(batched), base_batch=bb)
+            rb = read_rows(batched)
+            assert [k for k, _ in rs] == [k for k, _ in rb]
+            for (_, os_), (_, ob) in zip(rs, rb):
+                for (cls_s, f_s), (cls_b, f_b) in zip(os_, ob):
+                    assert cls_s == cls_b
+                    # batched base pass may differ at the float noise floor
+                    np.testing.assert_allclose(f_b, f_s, rtol=1e-4,
+                                               atol=1e-4)
 
 
 @pytest.mark.slow
