@@ -41,6 +41,7 @@ class OptimConfig:
     grad_accum_steps: int = 1
     max_grad_norm: Optional[float] = None
     scheduler: str = "linear"        # linear | constant (after warmup)
+    optim: str = "adamw"             # adamw | adamax (run_nlvr.py:403-405)
 
 
 def warmup_linear(step, warmup_steps: int, total_steps: int):
@@ -99,7 +100,8 @@ def build_optimizer(params, cfg: OptimConfig,
     decay_mask = label_tree(lambda p: not _is_no_decay(p))
 
     def adamw(mul: float) -> optax.GradientTransformation:
-        return optax.adamw(
+        base = optax.adamaxw if cfg.optim == "adamax" else optax.adamw
+        return base(
             learning_rate=make_lr_schedule(cfg, mul),
             b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
             weight_decay=cfg.weight_decay, mask=decay_mask)

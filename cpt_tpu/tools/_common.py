@@ -44,7 +44,25 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--scheduler", default="linear",
                    choices=["linear", "constant"],
                    help="LR schedule after warmup (reference --scheduler)")
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global-norm gradient clip; 0 disables. Every "
+                        "reference upstream runner clips at 1.0 "
+                        "(e.g. run_vqa.py:577,989)")
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     return p
+
+
+def optim_overrides(args, betas=None) -> dict:
+    """OptimConfig kwargs from the shared optimizer flags. The upstream
+    run_* runners use stock AdamW betas (0.9, 0.999) + clip 1.0
+    (run_vqa.py:478,577); the CPT fewshot drivers use betas (0.9, 0.98)
+    and no clipping (refcoco_cpt.py:342,511) — OptimConfig's defaults."""
+    kw = {"eps": args.adam_epsilon,
+          "max_grad_norm": (args.max_grad_norm
+                            if args.max_grad_norm > 0 else None)}
+    if betas is not None:
+        kw["betas"] = betas
+    return kw
 
 
 def model_config(args, **extra) -> BertConfig:

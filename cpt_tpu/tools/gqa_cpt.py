@@ -51,6 +51,9 @@ def build_args():
     p.add_argument("--learning_rate", type=float, default=2.5e-5)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global-norm gradient clip; 0 disables "
+                        "(reference gqa_cpt.py:451-454)")
     p.add_argument("--max_seq_length", type=int, default=45)
     p.add_argument("--max_img_seq_length", type=int, default=45)
     p.add_argument("--use_color", type=int, default=1)
@@ -179,10 +182,15 @@ def main(argv=None):
         accum = max(1, len(train_idxs) // bsz)
         steps_per_epoch = max(1, len(train_idxs) // (bsz * accum))
         total = steps_per_epoch * args.num_train_epochs
+        # the reference's gqa driver uses stock AdamW betas + 1.0 clip
+        # (gqa_cpt.py:342,451-454), unlike refcoco/vg's (0.9, 0.98)
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(total * args.warmup_ratio),
-            num_train_steps=total, grad_accum_steps=accum)
+            num_train_steps=total, grad_accum_steps=accum,
+            betas=(0.9, 0.999),
+            max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0
+            else None)
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
         step_fn = (train_lib.make_cls_train_step(model, tx) if ft

@@ -24,7 +24,8 @@ from cpt_tpu.engine.generation import (GenerationConfig, beam_search,
 from cpt_tpu.models.bert.captioning import (BertForImageCaptioning,
                                             CaptionTensorizer)
 from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config)
+                                   dtype_of, load_or_init, model_config,
+                                   optim_overrides)
 from cpt_tpu.utils.cider import CiderD
 from cpt_tpu.utils.tsv import TSVFile, decode_feature
 
@@ -254,7 +255,8 @@ def main(argv=None):
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(args.train_steps * args.warmup_ratio),
             num_train_steps=args.train_steps,
-            scheduler=args.scheduler)
+            scheduler=args.scheduler,
+            **optim_overrides(args, betas=(0.9, 0.999)))
         tx = freeze_embedding_tx(train_lib.build_optimizer(params, ocfg))
         state = train_lib.create_train_state(params, tx)
 
@@ -379,7 +381,13 @@ def main(argv=None):
     if args.scst_steps > 0:
         from cpt_tpu.engine.scst import scst_step
 
-        tx = freeze_embedding_tx(optax.adam(args.learning_rate))
+        # the reference's SCST phase reuses the XE train loop's clip
+        # (run_captioning.py:489)
+        tx = optax.adam(args.learning_rate)
+        if args.max_grad_norm > 0:
+            tx = optax.chain(
+                optax.clip_by_global_norm(args.max_grad_norm), tx)
+        tx = freeze_embedding_tx(tx)
         opt = tx.init(params)
         rng = jax.random.PRNGKey(args.seed + 1)
         for it in range(args.scst_steps):

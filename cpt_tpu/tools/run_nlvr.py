@@ -18,7 +18,8 @@ from cpt_tpu.data.nlvr import NLVRData, load_nlvr_examples
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import ImageBertForMultipleChoice
 from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config)
+                                   dtype_of, load_or_init, model_config,
+                                   optim_overrides)
 
 
 def build_args():
@@ -44,6 +45,10 @@ def build_args():
                         "recipe); concat = one sequence with both images' "
                         "labels/features + a binary classifier (the "
                         "reference's default tensorize_example path)")
+    p.add_argument("--optim", default="adamw", choices=["adamw", "adamax"],
+                   help="optimizer family (reference run_nlvr.py:403-405 "
+                        "AdamW | Adamax; the published NLVR2 recipe uses "
+                        "AdamW)")
     p.add_argument("--no_od_labels", action="store_true",
                    help="drop the od-label text segment (reference "
                         "--use_label_seq off, run_nlvr.py:713; the "
@@ -135,7 +140,8 @@ def main(argv=None):
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps,
-            scheduler=args.scheduler)
+            scheduler=args.scheduler, optim=args.optim,
+            **optim_overrides(args, betas=(0.9, 0.999)))
         tx = train_lib.build_optimizer(params, ocfg)
         state = jax.tree_util.tree_map(
             rep, train_lib.create_train_state(params, tx))

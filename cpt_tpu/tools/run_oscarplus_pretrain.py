@@ -21,7 +21,8 @@ from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import (BertImgForPreTraining,
                                        cross_entropy_ignore_index)
 from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config)
+                                   dtype_of, load_or_init, model_config,
+                                   optim_overrides)
 
 
 def build_args():
@@ -145,8 +146,8 @@ def main(argv=None):
     ocfg = train_lib.OptimConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=int(args.train_steps * args.warmup_ratio),
-        num_train_steps=args.train_steps,
-            scheduler=args.scheduler)
+        num_train_steps=args.train_steps, scheduler=args.scheduler,
+        **optim_overrides(args, betas=(0.9, 0.999)))
     tx = train_lib.build_optimizer(params, ocfg)
     state = train_lib.create_train_state(params, tx)
 

@@ -27,7 +27,8 @@ from cpt_tpu.data.vqa import VQAData, load_vqa_examples
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import ImageBertForSequenceClassification
 from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config)
+                                   dtype_of, load_or_init, model_config,
+                                   optim_overrides)
 
 
 def build_args():
@@ -215,7 +216,8 @@ def main(argv=None):
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps,
-            scheduler=args.scheduler)
+            scheduler=args.scheduler,
+            **optim_overrides(args, betas=(0.9, 0.999)))
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
 

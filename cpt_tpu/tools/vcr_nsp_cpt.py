@@ -49,6 +49,9 @@ def build_args():
     p.add_argument("--learning_rate", type=float, default=2.5e-5)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global-norm gradient clip; 0 disables "
+                        "(reference vcr_nsp_cpt.py:458-461)")
     p.add_argument("--max_seq_length", type=int, default=80)
     p.add_argument("--max_img_seq_length", type=int, default=60)
     p.add_argument("--seed", type=int, default=8)
@@ -156,10 +159,13 @@ def main(argv=None):
                       else data.examples[0].choices)
         bsz = args.per_gpu_train_batch_size
         steps = max(1, len(data) // bsz) * args.num_train_epochs
+        # stock AdamW betas + 1.0 clip (reference vcr_nsp_cpt.py:385,458)
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio),
-            num_train_steps=steps)
+            num_train_steps=steps, betas=(0.9, 0.999),
+            max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0
+            else None)
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
         head_kw = {"head": "rat" if use_rat else "ans"} if twin else {}

@@ -8,6 +8,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from cpt_tpu.config.bert import tiny_bert_config
 from cpt_tpu.data.refcoco import RefcocoCPTData, iter_eval_batches, iter_train_batches
@@ -148,6 +149,47 @@ def test_lr_schedule_reference_shape():
     assert abs(float(sched(10)) - 1.0) < 1e-6
     assert abs(float(sched(60)) - 0.5) < 1e-6
     assert float(sched(200)) == pytest.approx(1e-8)
+
+
+def test_max_grad_norm_clips_like_reference():
+    """OptimConfig.max_grad_norm = torch clip_grad_norm_ semantics: the
+    step taken for a huge gradient equals the step for the same gradient
+    pre-scaled to global norm 1.0 (reference run_vqa.py:577, clip 1.0)."""
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    big = {"w": jnp.full((4, 4), 1e4), "b": jnp.full((4,), -2e4)}
+    gnorm = float(optax.global_norm(big))
+    scaled = jax.tree_util.tree_map(lambda g: g / gnorm, big)
+    mk = lambda clip: train_lib.build_optimizer(
+        params, train_lib.OptimConfig(learning_rate=1e-2, warmup_steps=0,
+                                      num_train_steps=10, weight_decay=0.0,
+                                      max_grad_norm=clip))
+    tx_c, tx_p = mk(1.0), mk(None)
+    upd_c, _ = tx_c.update(big, tx_c.init(params), params)
+    upd_p, _ = tx_p.update(scaled, tx_p.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(upd_c),
+                    jax.tree_util.tree_leaves(upd_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_optim_adamax_variant():
+    """OptimConfig.optim='adamax' (reference run_nlvr.py:403-405): the
+    infinity-norm second moment — a sparse-spike gradient history yields a
+    different step than adamw's rms, and updates stay finite."""
+    params = {"w": jnp.ones((3,))}
+    mk = lambda o: train_lib.build_optimizer(
+        params, train_lib.OptimConfig(learning_rate=1e-2, warmup_steps=0,
+                                      num_train_steps=10, weight_decay=0.0,
+                                      optim=o))
+    outs = {}
+    for o in ("adamw", "adamax"):
+        tx = mk(o)
+        st = tx.init(params)
+        for g in (jnp.asarray([10.0, 0.1, 0.1]),
+                  jnp.asarray([0.1, 0.1, 0.1])):
+            upd, st = tx.update({"w": g}, st, params)
+        outs[o] = np.asarray(upd["w"])
+        assert np.isfinite(outs[o]).all()
+    assert not np.allclose(outs["adamw"], outs["adamax"])
 
 
 @pytest.mark.slow

@@ -144,6 +144,24 @@ def test_run_nlvr_runs(fixture):
 
 
 @pytest.mark.slow
+def test_run_nlvr_adamax(fixture):
+    """--optim adamax: the reference's Adamax optimizer branch
+    (run_nlvr.py:403-405) trains end to end and learns the fixture."""
+    from cpt_tpu.tools.run_nlvr import main
+
+    acc = main([
+        "--feat_file", fixture["feat_file"],
+        "--examples", str(fixture["root"] / "nlvr.json"),
+        "--optim", "adamax",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "20", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"NLVR adamax failed to learn: {acc}"
+
+
+@pytest.mark.slow
 def test_run_nlvr_concat_mode(fixture):
     """--pair_mode concat: the reference's default tensorize_example
     construction (both images' labels joined + features stacked, binary

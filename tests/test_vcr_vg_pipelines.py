@@ -83,6 +83,12 @@ def test_vcr_cli_learns(tmp_path, tmp_path_factory):
         "--learning_rate", "3e-3", "--weight_decay", "0.0", "--seed", "1",
         "--per_gpu_train_batch_size", "8",
         "--per_gpu_eval_batch_size", "4",
+        # the driver defaults to the reference's 1.0 global-norm clip
+        # (vcr_nsp_cpt.py:458); this toy fixture's grad norms are far
+        # above 1.0, so the clipped run needs ~10x the epochs — disable
+        # for the learning-dynamics assertion (clip semantics are unit-
+        # tested in test_refcoco_pipeline.py)
+        "--max_grad_norm", "0",
         "--output", str(tmp_path / "results.pk"),
     ])
     # lr/epochs/seed chosen from a measured sweep (this tiny NSP task is
