@@ -46,6 +46,7 @@ class VQAData:
         self.img_seq_len = img_seq_len
         self.img_feat_dim = img_feat_dim
         self.use_od_labels = use_od_labels
+        self.code_mode = False   # dis_code loaders set True (int code ids)
 
     def __len__(self):
         return len(self.examples)
@@ -67,8 +68,12 @@ class VQAData:
             input_ids=np.zeros((total, t), np.int32),
             segment_ids=np.zeros((total, t), np.int32),
             attention_mask=np.zeros((total, t + self.img_seq_len), np.int32),
-            img_feats=np.zeros((total, self.img_seq_len, self.img_feat_dim),
-                               np.float32),
+            # dis_code: [N, r] int code ids (embedding-table lookup);
+            # else [N, r, D] float region features
+            img_feats=(np.zeros((total, self.img_seq_len), np.int32)
+                       if self.code_mode else
+                       np.zeros((total, self.img_seq_len,
+                                 self.img_feat_dim), np.float32)),
             mask_pos=np.zeros((total,), np.int32),
             valid=np.zeros((total,), bool),
         )
@@ -86,7 +91,11 @@ class VQAData:
             b.input_ids[i] = seq.input_ids
             b.segment_ids[i] = seq.segment_ids
             b.attention_mask[i] = seq.attention_mask
-            b.img_feats[i] = pad_img_feats(feats, self.img_seq_len)
+            if self.code_mode:
+                nc = min(feats.shape[0], self.img_seq_len)
+                b.img_feats[i, :nc] = feats[:nc]
+            else:
+                b.img_feats[i] = pad_img_feats(feats, self.img_seq_len)
             b.valid[i] = True
             if ex.label_scores:
                 for lab, score in ex.label_scores.items():
@@ -119,8 +128,19 @@ class QlaVQAData(VQAData):
         feats = torch.load(os.path.join(
             data_dir, f"{feat_split or split}_img_frcnn_feats.pt"),
             weights_only=False)
-        self._feat_map = {str(k): np.asarray(v, np.float32)
-                          for k, v in feats.items()}
+        # integer arrays = VQ-VAE discrete-code features (the reference's
+        # --img_feature_type dis_code path, run_vqa.py:87-96 /
+        # modeling_bert.py:167-176): 1-D code ids per image, fed to an
+        # embedding table instead of the linear projection
+        self._feat_map = {}
+        self.code_mode = False
+        for k, v in feats.items():
+            arr = np.asarray(v)
+            if np.issubdtype(arr.dtype, np.integer):
+                self._feat_map[str(k)] = arr.astype(np.int32)
+                self.code_mode = True
+            else:
+                self._feat_map[str(k)] = arr.astype(np.float32)
         qla = None
         for cand in (f"{split}_qla.json", f"{split}_qla_mrcnn.json"):
             path = os.path.join(data_dir, cand)

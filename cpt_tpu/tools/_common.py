@@ -44,6 +44,18 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--scheduler", default="linear",
                    choices=["linear", "constant"],
                    help="LR schedule after warmup (reference --scheduler)")
+    p.add_argument("--img_feature_type", default="faster_r-cnn",
+                   choices=["faster_r-cnn", "dis_code", "dis_code_t"],
+                   help="image-feature variant: faster_r-cnn = float "
+                        "region features; dis_code[_t] = VQ-VAE discrete "
+                        "code ids through an embedding table (reference "
+                        "modeling_bert.py:167-176)")
+    p.add_argument("--code_voc", type=int, default=512,
+                   help="dis_code vocabulary size")
+    p.add_argument("--code_dim", type=int, default=512,
+                   help="dis_code embedding width")
+    p.add_argument("--code_size", type=int, default=0,
+                   help="dis_code_t code length per image")
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global-norm gradient clip; 0 disables. Every "
                         "reference upstream runner clips at 1.0 "
@@ -75,6 +87,10 @@ def model_config(args, **extra) -> BertConfig:
             overrides[k] = getattr(args, k)
     if getattr(args, "drop_out", None) is not None:
         overrides["hidden_dropout_prob"] = args.drop_out
+    if getattr(args, "img_feature_type", "faster_r-cnn") != "faster_r-cnn":
+        overrides["img_feature_type"] = args.img_feature_type
+        for k in ("code_voc", "code_dim", "code_size"):
+            overrides[k] = getattr(args, k)
     if getattr(args, "use_img_layernorm", False):
         overrides["use_img_layernorm"] = True
     if args.hidden_size is not None and args.hidden_size < 768:

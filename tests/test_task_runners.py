@@ -804,6 +804,40 @@ def test_run_vqa_qla_layout(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_vqa_dis_code(tmp_path):
+    """--img_feature_type dis_code: integer VQ-VAE code features drive
+    run_vqa end to end through the embedding-table image path (reference
+    run_vqa.py:87-96 + modeling_bert.py:167-176). The feature .pt holds
+    1-D int code arrays; the answer is encoded in the first code id."""
+    import torch
+
+    from cpt_tpu.tools.run_vqa import main
+
+    rng = np.random.RandomState(0)
+    feats, qla = {}, []
+    for q in range(8):
+        sig = q % 2
+        codes = rng.randint(3, 8, size=(5,))
+        codes[0] = 1 + sig                 # signal code id
+        feats[f"im{q}"] = torch.tensor(codes, dtype=torch.long)
+        qla.append({"q": "is the dog red", "o": "park", "an": [sig],
+                    "s": [1.0], "img_id": f"im{q}", "q_id": q})
+    torch.save(feats, tmp_path / "train2014_img_frcnn_feats.pt")
+    json.dump(qla, open(tmp_path / "train2014_qla.json", "w"))
+
+    acc = main([
+        "--qla_data_dir", str(tmp_path), "--split", "train2014",
+        "--img_feature_type", "dis_code", "--code_voc", "8",
+        "--code_dim", "16",
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "40", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"dis_code VQA failed to learn: {acc}"
+
+
+@pytest.mark.slow
 def test_run_vqa_adjust_dp_and_loss(fixture, tmp_path):
     """--adjust_dp (dropout → 0.3 from epoch 3) and --adjust_loss
     (kl → bce at --adjust_loss_epoch) re-configure mid-training with the
