@@ -47,6 +47,22 @@ class VQAData:
         self.img_feat_dim = img_feat_dim
         self.use_od_labels = use_od_labels
         self.code_mode = False   # dis_code loaders set True (int code ids)
+        self.code_t = False      # dis_code_t: transposed-code layout
+        self.code_size = 0
+        self.code_dim = 0
+
+    def enable_code_t(self, code_size: int, code_dim: int):
+        """dis_code_t layout (modeling_bert.py:255-257): codes [N,
+        code_size] embed → transpose → the IMAGE SEQUENCE LENGTH after the
+        transpose is ``code_dim``, not img_seq_len — the attention mask
+        must cover t + code_dim positions (all live: the transpose mixes
+        every code into each position), and codes pad to code_size (the
+        img_embedding input dim, modeling_bert.py:172)."""
+        assert self.code_mode, "dis_code_t needs integer code features"
+        assert code_size > 0, "--code_size must be set for dis_code_t"
+        self.code_t = True
+        self.code_size = code_size
+        self.code_dim = code_dim
 
     def __len__(self):
         return len(self.examples)
@@ -64,13 +80,17 @@ class VQAData:
         n = len(indices)
         total = pad_to if pad_to is not None else n
         t = self.max_seq_len
+        # dis_code_t: post-transpose image seq len is code_dim and codes
+        # pad to code_size slots (see enable_code_t)
+        img_len = self.code_dim if self.code_t else self.img_seq_len
+        slots = self.code_size if self.code_t else self.img_seq_len
         b = TensorizedBatch(
             input_ids=np.zeros((total, t), np.int32),
             segment_ids=np.zeros((total, t), np.int32),
-            attention_mask=np.zeros((total, t + self.img_seq_len), np.int32),
+            attention_mask=np.zeros((total, t + img_len), np.int32),
             # dis_code: [N, r] int code ids (embedding-table lookup);
             # else [N, r, D] float region features
-            img_feats=(np.zeros((total, self.img_seq_len), np.int32)
+            img_feats=(np.zeros((total, slots), np.int32)
                        if self.code_mode else
                        np.zeros((total, self.img_seq_len,
                                  self.img_feat_dim), np.float32)),
@@ -90,9 +110,14 @@ class VQAData:
                                  self.img_seq_len)
             b.input_ids[i] = seq.input_ids
             b.segment_ids[i] = seq.segment_ids
-            b.attention_mask[i] = seq.attention_mask
+            if self.code_t:
+                b.attention_mask[i, :t] = seq.attention_mask[:t]
+                b.attention_mask[i, t:] = 1
+            else:
+                b.attention_mask[i] = seq.attention_mask
             if self.code_mode:
-                nc = min(feats.shape[0], self.img_seq_len)
+                nc = min(feats.shape[0],
+                         self.code_size if self.code_t else self.img_seq_len)
                 b.img_feats[i, :nc] = feats[:nc]
             else:
                 b.img_feats[i] = pad_img_feats(feats, self.img_seq_len)

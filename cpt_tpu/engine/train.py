@@ -100,8 +100,16 @@ def build_optimizer(params, cfg: OptimConfig,
     decay_mask = label_tree(lambda p: not _is_no_decay(p))
 
     def adamw(mul: float) -> optax.GradientTransformation:
-        base = optax.adamaxw if cfg.optim == "adamax" else optax.adamw
-        return base(
+        if cfg.optim == "adamax":
+            # the reference's Adamax branch is torch.optim.Adamax
+            # (run_nlvr.py:54,405) whose weight decay is COUPLED L2 —
+            # wd*param is added to the gradient before the infinity-norm
+            # moment update — not AdamW-style decoupled decay
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
+                optax.adamax(learning_rate=make_lr_schedule(cfg, mul),
+                             b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps))
+        return optax.adamw(
             learning_rate=make_lr_schedule(cfg, mul),
             b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
             weight_decay=cfg.weight_decay, mask=decay_mask)

@@ -57,24 +57,54 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--code_size", type=int, default=0,
                    help="dis_code_t code length per image")
     p.add_argument("--max_grad_norm", type=float, default=1.0,
-                   help="global-norm gradient clip; 0 disables. Every "
-                        "reference upstream runner clips at 1.0 "
-                        "(e.g. run_vqa.py:577,989)")
+                   help="global-norm gradient clip; <= 0 disables. The "
+                        "reference finetune runners clip at 1.0 "
+                        "(run_vqa.py:577,989) but pretraining defaults to "
+                        "no clipping (run_oscarplus_pretrain.py:114 "
+                        "default=-1.0) — run_oscarplus_pretrain overrides "
+                        "this default accordingly")
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    return p
+
+
+def clip_of(args):
+    """--max_grad_norm → OptimConfig.max_grad_norm (reference semantics:
+    ``if args.max_grad_norm > 0`` gates the clip, so 0/negative disable —
+    run_oscarplus_pretrain.py:436)."""
+    return args.max_grad_norm if args.max_grad_norm > 0 else None
+
+
+def add_clip_arg(p: argparse.ArgumentParser, ref: str,
+                 default: float = 1.0) -> argparse.ArgumentParser:
+    """The clip flag alone, for drivers that don't take the full common
+    surface (gqa_cpt / vcr_nsp_cpt)."""
+    p.add_argument("--max_grad_norm", type=float, default=default,
+                   help="global-norm gradient clip; <= 0 disables "
+                        f"(reference {ref})")
     return p
 
 
 def optim_overrides(args, betas=None) -> dict:
     """OptimConfig kwargs from the shared optimizer flags. The upstream
-    run_* runners use stock AdamW betas (0.9, 0.999) + clip 1.0
+    run_* finetune runners use stock AdamW betas (0.9, 0.999) + clip 1.0
     (run_vqa.py:478,577); the CPT fewshot drivers use betas (0.9, 0.98)
     and no clipping (refcoco_cpt.py:342,511) — OptimConfig's defaults."""
-    kw = {"eps": args.adam_epsilon,
-          "max_grad_norm": (args.max_grad_norm
-                            if args.max_grad_norm > 0 else None)}
+    kw = {"eps": args.adam_epsilon, "max_grad_norm": clip_of(args)}
     if betas is not None:
         kw["betas"] = betas
     return kw
+
+
+def check_img_feature_type(args, runner: str):
+    """Fail fast on --img_feature_type dis_code[_t] in runners whose data
+    loaders only emit float region features (the discrete-code path flows
+    through the VQA/GQA qla loaders, which detect integer arrays in the
+    ``.pt`` feature dict) — otherwise the flag crashes at init with an
+    obscure nn.Embed dtype error."""
+    if getattr(args, "img_feature_type", "faster_r-cnn") != "faster_r-cnn":
+        raise SystemExit(
+            f"--img_feature_type {args.img_feature_type} is supported by "
+            f"run_vqa / run_gqa (qla feature loader) only, not {runner}")
 
 
 def model_config(args, **extra) -> BertConfig:

@@ -29,6 +29,7 @@ from cpt_tpu.data.gqa import GQACPTData, load_gqa_examples
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.engine.scoring import make_mlm_at_mask_fn
 from cpt_tpu.models.bert.heads import REC_MLM_CPT
+from cpt_tpu.tools._common import add_clip_arg, clip_of
 from cpt_tpu.utils import convert as cv
 from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
 
@@ -51,9 +52,7 @@ def build_args():
     p.add_argument("--learning_rate", type=float, default=2.5e-5)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_ratio", type=float, default=0.1)
-    p.add_argument("--max_grad_norm", type=float, default=1.0,
-                   help="global-norm gradient clip; 0 disables "
-                        "(reference gqa_cpt.py:451-454)")
+    add_clip_arg(p, "gqa_cpt.py:451-454")
     p.add_argument("--max_seq_length", type=int, default=45)
     p.add_argument("--max_img_seq_length", type=int, default=45)
     p.add_argument("--use_color", type=int, default=1)
@@ -189,8 +188,7 @@ def main(argv=None):
             warmup_steps=int(total * args.warmup_ratio),
             num_train_steps=total, grad_accum_steps=accum,
             betas=(0.9, 0.999),
-            max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0
-            else None)
+            max_grad_norm=clip_of(args))
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
         step_fn = (train_lib.make_cls_train_step(model, tx) if ft

@@ -23,7 +23,8 @@ from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import REC_FT
 from cpt_tpu.structures.boxes import xywh_iou
 from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config)
+                                   dtype_of, load_or_init, model_config,
+                                   optim_overrides)
 from cpt_tpu.utils.tsv import TSVFile, decode_feature
 
 
@@ -35,7 +36,12 @@ def build_args():
     p.add_argument("--ann_file", required=True)
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
-    return add_common_args(p)
+    add_common_args(p)
+    # the reference refcoco_ft DEFINES --max_grad_norm but never calls
+    # clip_grad_norm_ (fewshot/refcoco_ft.py:352, no clip in the loop) —
+    # default to no clipping; an explicit flag is honored
+    p.set_defaults(max_grad_norm=0.0)
+    return p
 
 
 class RefcocoFTData:
@@ -114,10 +120,11 @@ def main(argv=None):
 
     if args.num_train_epochs > 0:
         steps = max(1, len(data) // bsz) * args.num_train_epochs
+        # betas stay OptimConfig's (0.9, 0.98) — reference refcoco_ft.py:444
         ocfg = train_lib.OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio), num_train_steps=steps,
-            lr_mul=1.0)
+            lr_mul=1.0, **optim_overrides(args))
         tx = train_lib.build_optimizer(
             params, ocfg, classifier_pred=lambda p: any(
                 part.startswith("cls_") for part in p))

@@ -23,8 +23,12 @@ from cpt_tpu.engine.generation import (GenerationConfig, beam_search,
                                        decode_caption, greedy_or_sample)
 from cpt_tpu.models.bert.captioning import (BertForImageCaptioning,
                                             CaptionTensorizer)
-from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config,
+from cpt_tpu.tools._common import (add_common_args,
+                                   build_tokenizer,
+                                   check_img_feature_type,
+                                   dtype_of,
+                                   load_or_init,
+                                   model_config,
                                    optim_overrides)
 from cpt_tpu.utils.cider import CiderD
 from cpt_tpu.utils.tsv import TSVFile, decode_feature
@@ -191,6 +195,7 @@ def main(argv=None):
 
     initialize_from_env()
     args = build_args().parse_args(argv)
+    check_img_feature_type(args, "run_captioning")
     tokenizer = build_tokenizer(args)
     cfg = model_config(args)
     if args.no_tie_weights:

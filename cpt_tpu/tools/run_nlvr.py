@@ -17,8 +17,12 @@ import optax
 from cpt_tpu.data.nlvr import NLVRData, load_nlvr_examples
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import ImageBertForMultipleChoice
-from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config,
+from cpt_tpu.tools._common import (add_common_args,
+                                   build_tokenizer,
+                                   check_img_feature_type,
+                                   dtype_of,
+                                   load_or_init,
+                                   model_config,
                                    optim_overrides)
 
 
@@ -73,6 +77,7 @@ def main(argv=None):
 
     initialize_from_env()
     args = build_args().parse_args(argv)
+    check_img_feature_type(args, "run_nlvr")
     tokenizer = build_tokenizer(args)
     if args.pair_mode == "pair":
         # reference NLVR recipe (run_nlvr.py use_pair path): num_choices=2,

@@ -20,8 +20,12 @@ from cpt_tpu.data.pretrain import OscarPretrainData
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import (BertImgForPreTraining,
                                        cross_entropy_ignore_index)
-from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config,
+from cpt_tpu.tools._common import (add_common_args,
+                                   build_tokenizer,
+                                   check_img_feature_type,
+                                   dtype_of,
+                                   load_or_init,
+                                   model_config,
                                    optim_overrides)
 
 
@@ -78,7 +82,12 @@ def build_args():
                         "73-93 recover semantics); per-step seeded rngs "
                         "make the continued run identical to an "
                         "uninterrupted one")
-    return add_common_args(p)
+    add_common_args(p)
+    # the reference pretrain runner does NOT clip by default
+    # (run_oscarplus_pretrain.py:114 --max_grad_norm default=-1.0,
+    # :436 `if args.max_grad_norm > 0`), unlike the finetune runners
+    p.set_defaults(max_grad_norm=-1.0)
+    return p
 
 
 def main(argv=None):
@@ -86,6 +95,7 @@ def main(argv=None):
 
     initialize_from_env()
     args = build_args().parse_args(argv)
+    check_img_feature_type(args, "run_oscarplus_pretrain")
     tokenizer = build_tokenizer(args)
     from cpt_tpu.data.pretrain import pretrain_contrast_classes
 

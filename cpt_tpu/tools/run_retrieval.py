@@ -20,8 +20,12 @@ from cpt_tpu.data.retrieval import RetrievalData, rank_rerank, rank_scores
 from cpt_tpu.data.tensorize import pad_img_feats
 from cpt_tpu.engine import train as train_lib
 from cpt_tpu.models.bert.heads import ImageBertForSequenceClassification
-from cpt_tpu.tools._common import (add_common_args, build_tokenizer,
-                                   dtype_of, load_or_init, model_config,
+from cpt_tpu.tools._common import (add_common_args,
+                                   build_tokenizer,
+                                   check_img_feature_type,
+                                   dtype_of,
+                                   load_or_init,
+                                   model_config,
                                    optim_overrides)
 
 
@@ -102,6 +106,7 @@ def main(argv=None):
 
     initialize_from_env()
     args = build_args().parse_args(argv)
+    check_img_feature_type(args, "run_retrieval")
     tokenizer = build_tokenizer(args)
     cfg = model_config(args, num_labels=2, loss_type="xe")
     model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))

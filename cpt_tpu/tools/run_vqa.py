@@ -198,6 +198,15 @@ def main(argv=None):
                        args.max_img_seq_length, cfg.img_feature_dim)
                if args.val_examples else data)
 
+    if args.img_feature_type != "faster_r-cnn":
+        if not getattr(data, "code_mode", False):
+            raise SystemExit(
+                "--img_feature_type dis_code[_t] needs integer code-id "
+                "arrays in the feature file (qla .pt loader)")
+        if args.img_feature_type == "dis_code_t":
+            for d in {id(data): data, id(val): val}.values():
+                d.enable_code_t(args.code_size, args.code_dim)
+
     bsz = args.per_gpu_train_batch_size
     b0, _, _ = data.batch([0], pad_to=bsz)
     params = load_or_init(model, (jnp.asarray(b0.input_ids),
@@ -233,7 +242,9 @@ def main(argv=None):
 
             drop = (0.3 if args.adjust_dp and epoch >= 3
                     else cfg.hidden_dropout_prob)
-            lt = ("bce" if args.adjust_loss and args.adjust_loss_epoch >= 0
+            # reference run_vqa.py:545 — `epoch >= args.adjust_loss_epoch`
+            # with default -1, so bare --adjust_loss switches from epoch 0
+            lt = ("bce" if args.adjust_loss
                   and epoch >= args.adjust_loss_epoch else cfg.loss_type)
             key = (drop, lt)
             if key not in _steps:
@@ -344,6 +355,10 @@ def main(argv=None):
                     open(args.output, "wb"))
 
     if args.test_examples:
+        if args.img_feature_type != "faster_r-cnn":
+            raise SystemExit("--test_examples uses the TSV float-feature "
+                             "loader; dis_code test submissions need the "
+                             "qla loader (--qla_data_dir + a test --split)")
         test = VQAData(args.feat_file, load_vqa_examples(args.test_examples),
                        args.num_labels, tokenizer, args.max_seq_length,
                        args.max_img_seq_length, cfg.img_feature_dim)

@@ -25,6 +25,7 @@ from cpt_tpu.engine import train as train_lib
 from cpt_tpu.engine.scoring import make_nsp_score_fn
 from cpt_tpu.models.bert.heads import (NSPCPT, NSPFT, VCRQAR_NSPCPT,
                                        VCR_QAR_NSPFT)
+from cpt_tpu.tools._common import add_clip_arg, clip_of
 from cpt_tpu.utils import convert as cv
 from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
 
@@ -49,9 +50,7 @@ def build_args():
     p.add_argument("--learning_rate", type=float, default=2.5e-5)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_ratio", type=float, default=0.1)
-    p.add_argument("--max_grad_norm", type=float, default=1.0,
-                   help="global-norm gradient clip; 0 disables "
-                        "(reference vcr_nsp_cpt.py:458-461)")
+    add_clip_arg(p, "vcr_nsp_cpt.py:458-461")
     p.add_argument("--max_seq_length", type=int, default=80)
     p.add_argument("--max_img_seq_length", type=int, default=60)
     p.add_argument("--seed", type=int, default=8)
@@ -164,8 +163,7 @@ def main(argv=None):
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
             warmup_steps=int(steps * args.warmup_ratio),
             num_train_steps=steps, betas=(0.9, 0.999),
-            max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0
-            else None)
+            max_grad_norm=clip_of(args))
         tx = train_lib.build_optimizer(params, ocfg)
         state = train_lib.create_train_state(params, tx)
         head_kw = {"head": "rat" if use_rat else "ans"} if twin else {}

@@ -135,13 +135,31 @@ def convert_bert_state_dict(sd: Mapping[str, np.ndarray], config: BertConfig,
             # the standalone bias is kept
             "bias": sd["cls.predictions.bias"],
         }
-        if (not config.tie_weights
-                and "cls.predictions.decoder.weight" in sd):
-            # untied captioning decoder (modeling_bert.py:616-625): a
-            # finetuned checkpoint's decoder has diverged from the
-            # embedding table — keep it
-            params["mlm_head"]["decoder"] = \
-                sd["cls.predictions.decoder.weight"]
+        if "cls.predictions.decoder.weight" in sd:
+            if not config.tie_weights:
+                # untied captioning decoder (modeling_bert.py:616-625): a
+                # finetuned checkpoint's decoder has diverged from the
+                # embedding table — keep it
+                params["mlm_head"]["decoder"] = \
+                    sd["cls.predictions.decoder.weight"]
+            else:
+                import numpy as _np
+
+                emb = sd.get("bert.embeddings.word_embeddings.weight")
+                dec = sd["cls.predictions.decoder.weight"]
+                if emb is not None and (emb.shape != dec.shape
+                                        or not _np.allclose(
+                                            _np.asarray(emb),
+                                            _np.asarray(dec))):
+                    # reference captioning checkpoints train UNTIED by
+                    # default (run_captioning.py --tie_weights is opt-in);
+                    # silently substituting the embedding table would
+                    # degrade decoding
+                    print("WARNING: checkpoint has an untied "
+                          "cls.predictions.decoder.weight that differs "
+                          "from the embedding table, but tie_weights=True "
+                          "drops it — pass --no_tie_weights to keep the "
+                          "finetuned decoder")
     if "cls.seq_relationship.weight" in sd:
         params["nsp_head"] = {"dense": {
             "kernel": _t(sd["cls.seq_relationship.weight"]),

@@ -192,6 +192,60 @@ def test_optim_adamax_variant():
     assert not np.allclose(outs["adamw"], outs["adamax"])
 
 
+def test_optim_adamax_matches_torch():
+    """Step-for-step parity with torch.optim.Adamax (the class the
+    reference's --optim Adamax branch instantiates, run_nlvr.py:54,405):
+    its weight decay is COUPLED L2 — wd*param added to the gradient
+    before the infinity-norm moment update — unlike AdamW's decoupled
+    decay. 5 steps with nonzero weight decay must match."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(6).astype(np.float32)
+    grads = [rng.randn(6).astype(np.float32) for _ in range(5)]
+    lr, wd, eps = 1e-2, 0.05, 1e-8
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adamax([{"params": [tw], "weight_decay": wd}],
+                             lr=lr, eps=eps)
+    for g in grads:
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    cfg = train_lib.OptimConfig(
+        learning_rate=lr, weight_decay=wd, eps=eps, betas=(0.9, 0.999),
+        warmup_steps=0, num_train_steps=10, scheduler="constant",
+        optim="adamax")
+    tx = train_lib.build_optimizer(params, cfg)
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_per_driver_clip_defaults():
+    """Per-driver --max_grad_norm defaults mirror the reference scripts:
+    finetune runners clip at 1.0 (run_vqa.py:989), pretraining does not
+    (run_oscarplus_pretrain.py:114 default=-1.0), and refcoco_ft defines
+    the flag but never clips (fewshot/refcoco_ft.py:352)."""
+    from cpt_tpu.tools import (refcoco_ft, run_oscarplus_pretrain, run_vqa)
+    from cpt_tpu.tools._common import clip_of
+
+    vqa = run_vqa.build_args().parse_args(["--num_labels", "2"])
+    assert clip_of(vqa) == 1.0
+    pre = run_oscarplus_pretrain.build_args().parse_args([])
+    assert clip_of(pre) is None
+    ft = refcoco_ft.build_args().parse_args(
+        ["--data_file", "x", "--ann_file", "y"])
+    assert clip_of(ft) is None
+    ft2 = refcoco_ft.build_args().parse_args(
+        ["--data_file", "x", "--ann_file", "y", "--max_grad_norm", "2.5"])
+    assert clip_of(ft2) == 2.5
+
+
 @pytest.mark.slow
 def test_refcoco_cli_dp_mesh(tmp_path):
     """--dp shards zero-shot eval over a CPU mesh; accuracy matches dp=1."""

@@ -838,6 +838,50 @@ def test_run_vqa_dis_code(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_vqa_dis_code_t(tmp_path):
+    """--img_feature_type dis_code_t (modeling_bert.py:171-172,254-257):
+    codes [code_size] embed → transpose, so the image sequence length is
+    code_dim and the img projection maps code_size → hidden. The loader
+    must build the attention mask at the transposed width (all image
+    positions live) and pad codes to --code_size."""
+    import torch
+
+    from cpt_tpu.tools.run_vqa import main
+
+    rng = np.random.RandomState(0)
+    feats, qla = {}, []
+    for q in range(8):
+        sig = q % 2
+        codes = rng.randint(3, 8, size=(5,))
+        codes[0] = 1 + sig                 # signal code id
+        feats[f"im{q}"] = torch.tensor(codes, dtype=torch.long)
+        qla.append({"q": "is the dog red", "o": "park", "an": [sig],
+                    "s": [1.0], "img_id": f"im{q}", "q_id": q})
+    torch.save(feats, tmp_path / "train2014_img_frcnn_feats.pt")
+    json.dump(qla, open(tmp_path / "train2014_qla.json", "w"))
+
+    acc = main([
+        "--qla_data_dir", str(tmp_path), "--split", "train2014",
+        "--img_feature_type", "dis_code_t", "--code_voc", "8",
+        "--code_dim", "16", "--code_size", "5",
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "40", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"dis_code_t VQA failed to learn: {acc}"
+
+
+def test_dis_code_rejected_off_vqa(tmp_path):
+    """Runners whose loaders only emit float region features reject
+    --img_feature_type dis_code up front instead of crashing at init."""
+    from cpt_tpu.tools.run_retrieval import main
+
+    with pytest.raises(SystemExit, match="dis_code"):
+        main(["--img_feature_type", "dis_code"])
+
+
+@pytest.mark.slow
 def test_run_vqa_adjust_dp_and_loss(fixture, tmp_path):
     """--adjust_dp (dropout → 0.3 from epoch 3) and --adjust_loss
     (kl → bce at --adjust_loss_epoch) re-configure mid-training with the
