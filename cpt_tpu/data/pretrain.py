@@ -55,7 +55,8 @@ class OscarPretrainData:
                  img_seq_len: int = 50, img_feat_dim: int = 2054,
                  text_b_swap_prob: float = 0.5,
                  texta_false_prob: float = 0.0, use_b: bool = True,
-                 mask_loss_for_unmatched: bool = True):
+                 mask_loss_for_unmatched: bool = True,
+                 textb_sample_mode: int = 0):
         """captions: {img_key: caption string}.
 
         Corruption scheme (reference ``oscar_tsv.py:263-283``, one dice
@@ -67,10 +68,17 @@ class OscarPretrainData:
         1``) — so ``texta_false_prob`` is the ABSOLUTE wrong-caption
         probability, not conditional on corrupting. ``use_b=False``
         drops the od-label segment entirely (caption ⊕ regions only);
-        text_a corruption then carries the contrast signal. The
-        reference's ``textb_sample_mode`` 0/1/2 distinctions collapse
-        here: this corpus layout has one od-label line per image, so all
-        modes sample another image's tag line.
+        text_a corruption then carries the contrast signal.
+
+        ``textb_sample_mode`` picks the SOURCE of the polluting text_b
+        (reference ``run_oscarplus_pretrain.py:78-82`` +
+        ``oscar_tsv.py:315-345``; a doc is [id, text_a, text_b]):
+        0 = a random LINE of a random other doc — caption or tags, 50/50
+        (``rand_doc[randrange(1, 3)]``, the reference main-corpus
+        default); 1 = the other doc's text_b (tags) line; 2 = like 1 but
+        drawn from the qa-doc pool — with our one-corpus-per-dataset
+        layout (qa corpora arrive via ``--extra_yaml``) the pool IS the
+        dataset, so 2 behaves as 1 here.
         """
         self.tsv = TSVFile(feat_file)
         self.imgid2idx = {self.tsv.seek(i)[0]: i for i in range(len(self.tsv))}
@@ -84,6 +92,7 @@ class OscarPretrainData:
         self.texta_false_prob = texta_false_prob
         self.use_b = use_b
         self.mask_loss_for_unmatched = mask_loss_for_unmatched
+        self.textb_sample_mode = textb_sample_mode
         self.num_contrast_classes = pretrain_contrast_classes(
             texta_false_prob, use_b)
 
@@ -127,7 +136,13 @@ class OscarPretrainData:
             if dice < self.swap_prob and len(self.keys) > 1:
                 other = rng.choice([k for k in self.keys if k != key])
                 if dice >= self.texta_false_prob and self.use_b:
-                    _, od = self._feats(other)
+                    # textb_sample_mode 0: random line of the other doc
+                    # (caption or tags, oscar_tsv.py:339-344); 1/2: its
+                    # text_b (tags) line
+                    if self.textb_sample_mode == 0 and rng.random() < 0.5:
+                        od = self.captions[other]
+                    else:
+                        _, od = self._feats(other)
                     label = 1
                     polluted_tags = True
                 else:
@@ -196,7 +211,8 @@ class MultiCorpusPretrainData(OscarPretrainData):
                  img_feat_dim: int = 2054, text_b_swap_prob: float = 0.5,
                  chunk_start_id: int = -1, chunk_end_id: int = -1,
                  texta_false_prob: float = 0.0, use_b: bool = True,
-                 mask_loss_for_unmatched: bool = True):
+                 mask_loss_for_unmatched: bool = True,
+                 textb_sample_mode: int = 0):
         import os
 
         import yaml as _yaml
@@ -249,6 +265,7 @@ class MultiCorpusPretrainData(OscarPretrainData):
         self.texta_false_prob = texta_false_prob
         self.use_b = use_b
         self.mask_loss_for_unmatched = mask_loss_for_unmatched
+        self.textb_sample_mode = textb_sample_mode
         self.num_contrast_classes = pretrain_contrast_classes(
             texta_false_prob, use_b)
         self.datasets = names

@@ -47,9 +47,12 @@ class VQAData:
         self.img_feat_dim = img_feat_dim
         self.use_od_labels = use_od_labels
         self.code_mode = False   # dis_code loaders set True (int code ids)
-        self.code_t = False      # dis_code_t: transposed-code layout
-        self.code_size = 0
-        self.code_dim = 0
+
+    # dis_code_t transposed-code layout (class-level defaults: QlaVQAData
+    # sets code_mode without calling this __init__)
+    code_t = False
+    code_size = 0
+    code_dim = 0
 
     def enable_code_t(self, code_size: int, code_dim: int):
         """dis_code_t layout (modeling_bert.py:255-257): codes [N,
@@ -141,18 +144,29 @@ class QlaVQAData(VQAData):
                  tokenizer: BertTokenizer, max_seq_len: int = 128,
                  img_seq_len: int = 50, img_feat_dim: int = 2054,
                  use_od_labels: bool = True, is_test: bool = False,
-                 feat_split: Optional[str] = None):
+                 feat_split: Optional[str] = None,
+                 vqvae_level: Optional[str] = None):
         """``feat_split`` names the feature .pt when it differs from the
         qla split — the reference's composite splits (``train+val2014``,
         ``train2014_vg``, ``vg`` dev; run_vqa.py:47-67 --use_vg/
-        --use_vg_dev/--do_train_val) reuse another split's features."""
+        --use_vg_dev/--do_train_val) reuse another split's features.
+
+        ``vqvae_level`` ("top"/"bottom"/"both") switches the feature
+        source to the reference's VQ-VAE code files —
+        ``{data_dir}/vqvae/{split}.pt`` key ``feats_{level}``
+        (run_vqa.py:111) — instead of the frcnn features."""
         import os
 
         import torch
 
-        feats = torch.load(os.path.join(
-            data_dir, f"{feat_split or split}_img_frcnn_feats.pt"),
-            weights_only=False)
+        if vqvae_level:
+            feats = torch.load(os.path.join(
+                data_dir, "vqvae", f"{feat_split or split}.pt"),
+                weights_only=False)[f"feats_{vqvae_level}"]
+        else:
+            feats = torch.load(os.path.join(
+                data_dir, f"{feat_split or split}_img_frcnn_feats.pt"),
+                weights_only=False)
         # integer arrays = VQ-VAE discrete-code features (the reference's
         # --img_feature_type dis_code path, run_vqa.py:87-96 /
         # modeling_bert.py:167-176): 1-D code ids per image, fed to an

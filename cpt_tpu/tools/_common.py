@@ -56,6 +56,12 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="dis_code embedding width")
     p.add_argument("--code_size", type=int, default=0,
                    help="dis_code_t code length per image")
+    p.add_argument("--code_level", default="top",
+                   choices=["top", "bottom", "both"],
+                   help="which VQ-VAE code level to use when a vqvae/ "
+                        "codebook dir is present (reference run_vqa.py:"
+                        "979,1103-1125: geometry from the codebook, code "
+                        "embedding initialized from embeddings_{t,b})")
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global-norm gradient clip; <= 0 disables. The "
                         "reference finetune runners clip at 1.0 "

@@ -67,6 +67,16 @@ def build_args():
     p.add_argument("--use_b", type=int, default=1,
                    help="1 = caption [SEP] od-labels [SEP] layout; 0 = "
                         "caption-only text side (reference --use_b)")
+    p.add_argument("--textb_sample_mode", type=int, default=0,
+                   choices=[0, 1, 2],
+                   help="polluting-text_b source: 0 = random line "
+                        "(caption or tags) of a random other doc, 1/2 = "
+                        "its tags line (reference "
+                        "run_oscarplus_pretrain.py:78-82)")
+    p.add_argument("--extra_textb_sample_mode", type=int, default=1,
+                   choices=[0, 1, 2],
+                   help="same for the --extra_* corpus (reference "
+                        "default 1)")
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop the loop after this many steps while keeping "
                         "the --train_steps LR-schedule horizon — so an "
@@ -106,7 +116,8 @@ def main(argv=None):
     corrupt_kw = dict(texta_false_prob=args.texta_false_prob,
                       use_b=bool(args.use_b),
                       mask_loss_for_unmatched=bool(
-                          args.mask_loss_for_unmatched))
+                          args.mask_loss_for_unmatched),
+                      textb_sample_mode=args.textb_sample_mode)
     if args.yaml:
         from cpt_tpu.data.pretrain import MultiCorpusPretrainData
 
@@ -128,18 +139,20 @@ def main(argv=None):
     # (reference's batch/batch_extra two-dataloader loop,
     # run_oscarplus_pretrain.py:380-425)
     extra = None
+    extra_kw = dict(corrupt_kw,
+                    textb_sample_mode=args.extra_textb_sample_mode)
     if args.extra_yaml:
         from cpt_tpu.data.pretrain import MultiCorpusPretrainData
 
         extra = MultiCorpusPretrainData(
             args.extra_yaml, tokenizer, args.max_seq_length,
-            args.max_img_seq_length, cfg.img_feature_dim, **corrupt_kw)
+            args.max_img_seq_length, cfg.img_feature_dim, **extra_kw)
     elif args.extra_feat_file:
         assert args.extra_captions, "--extra_captions required"
         extra = OscarPretrainData(
             args.extra_feat_file, json.load(open(args.extra_captions)),
             tokenizer, args.max_seq_length, args.max_img_seq_length,
-            cfg.img_feature_dim, **corrupt_kw)
+            cfg.img_feature_dim, **extra_kw)
     w_extra = args.extra_loss_weight if extra is not None else 0.0
 
     bsz = args.per_gpu_train_batch_size

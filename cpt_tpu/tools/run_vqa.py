@@ -163,6 +163,32 @@ def main(argv=None):
     initialize_from_env()
     args = build_args().parse_args(argv)
     tokenizer = build_tokenizer(args)
+
+    # VQ-VAE codebook files: when {qla_data_dir}/vqvae exists, the code
+    # geometry comes from the codebook itself and the code embedding is
+    # initialized from it (reference run_vqa.py:1103-1125)
+    vq = None
+    if args.img_feature_type != "faster_r-cnn" and args.qla_data_dir:
+        vqdir = os.path.join(args.qla_data_dir, "vqvae")
+        if os.path.isdir(vqdir):
+            import torch
+
+            vq = torch.load(os.path.join(vqdir, "train.pt"),
+                            weights_only=False)
+            if args.code_level == "top":
+                emb = np.asarray(vq["embeddings_t"])
+                args.code_dim, args.code_voc = emb.shape
+                args.code_size = len(next(iter(vq["feats_top"].values())))
+            elif args.code_level == "bottom":
+                emb = np.asarray(vq["embeddings_b"])
+                args.code_dim, args.code_voc = emb.shape
+                args.code_size = len(next(iter(
+                    vq["feats_bottom"].values())))
+            else:   # both: concatenated dims, no codebook init (:1117)
+                args.code_dim = (np.asarray(vq["embeddings_t"]).shape[0]
+                                 + np.asarray(vq["embeddings_b"]).shape[0])
+                args.code_size = len(next(iter(vq["feats_both"].values())))
+
     cfg = model_config(args, num_labels=args.num_labels,
                        loss_type=args.loss_type)
     model = ImageBertForSequenceClassification(cfg, dtype=dtype_of(args))
@@ -178,13 +204,15 @@ def main(argv=None):
     if args.qla_data_dir:
         from cpt_tpu.data.vqa import QlaVQAData
 
+        lvl = args.code_level if vq is not None else None
         data = QlaVQAData(args.qla_data_dir, args.split, args.num_labels,
                           tokenizer, args.max_seq_length,
                           args.max_img_seq_length, cfg.img_feature_dim,
-                          feat_split=args.feat_split)
+                          feat_split=args.feat_split, vqvae_level=lvl)
         val = (QlaVQAData(args.qla_data_dir, args.val_split,
                           args.num_labels, tokenizer, args.max_seq_length,
-                          args.max_img_seq_length, cfg.img_feature_dim)
+                          args.max_img_seq_length, cfg.img_feature_dim,
+                          vqvae_level=lvl)
                if args.val_split else data)
     else:
         if not (args.feat_file and args.examples):
@@ -213,6 +241,18 @@ def main(argv=None):
                                   jnp.asarray(b0.segment_ids),
                                   jnp.asarray(b0.attention_mask),
                                   jnp.asarray(b0.img_feats)), args, cfg)
+    if vq is not None and args.code_level in ("top", "bottom"):
+        # init the code embedding from the VQ-VAE codebook, transposed to
+        # [code_voc, code_dim] (reference run_vqa.py:1121-1125 +
+        # modeling_bert.py:322-323)
+        emb = np.asarray(vq["embeddings_t" if args.code_level == "top"
+                            else "embeddings_b"]).T
+        ce = params["params"]["bert"]["code_embeddings"]
+        assert ce["embedding"].shape == emb.shape, \
+            (ce["embedding"].shape, emb.shape)
+        ce["embedding"] = jnp.asarray(emb, ce["embedding"].dtype)
+        print(f"initialized code embedding from the {args.code_level} "
+              f"codebook {emb.shape}")
 
     best = {"acc": -1.0, "params": params, "epoch": 0}
     if args.num_train_epochs > 0:

@@ -364,6 +364,49 @@ def test_pretrain_corruption_scheme(fixture):
     assert seen_clean_od_label, "clean pairs should keep od MLM labels"
 
 
+def test_pretrain_textb_sample_modes(fixture):
+    """textb_sample_mode (run_oscarplus_pretrain.py:78-82 +
+    oscar_tsv.py:315-345): mode 0 pollutes text_b with a random LINE of a
+    random other doc — caption or tags, 50/50 — while mode 1 always takes
+    the tags line. The fixture's captions contain words absent from the
+    od vocabulary ({dog, cat}), so a caption-sourced text_b is
+    detectable in the segment-1 tokens."""
+    import json as _json
+    import random as _random
+
+    from cpt_tpu.data.pretrain import OscarPretrainData
+    from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+    tok = BertTokenizer(toy_vocab())
+    caps = _json.load(open(fixture["root"] / "pre_captions.json"))
+    od_ids = {tok.vocab.get("dog"), tok.vocab.get("cat"),
+              tok.sep_token_id, 0}
+
+    def polluted_caption_fraction(mode, seed):
+        data = OscarPretrainData(fixture["feat_file"], caps, tok, 16, 6,
+                                 img_feat_dim=D, textb_sample_mode=mode)
+        rng = _random.Random(seed)
+        polluted = from_caption = 0
+        for _ in range(40):
+            ids, segs, attn, feats, mlm, contrast = data.batch(
+                list(range(len(data))), rng)
+            for i in range(len(contrast)):
+                if contrast[i] != 1:
+                    continue
+                polluted += 1
+                # undo masking via mlm labels to see the original tokens
+                orig = np.where(mlm[i, :16] >= 0, mlm[i, :16], ids[i])
+                seg_b = set(int(v) for v in orig[segs[i] == 1])
+                if seg_b - od_ids:
+                    from_caption += 1
+        assert polluted > 20
+        return from_caption / polluted
+
+    assert polluted_caption_fraction(1, 0) == 0.0
+    frac0 = polluted_caption_fraction(0, 0)
+    assert 0.25 < frac0 < 0.75, frac0
+
+
 @pytest.mark.slow
 def test_run_pretrain_texta_false_3way(fixture):
     from cpt_tpu.tools.run_oscarplus_pretrain import main
@@ -870,6 +913,49 @@ def test_run_vqa_dis_code_t(tmp_path):
         "--per_gpu_train_batch_size", "8", *TINY,
     ])
     assert acc >= 75.0, f"dis_code_t VQA failed to learn: {acc}"
+
+
+@pytest.mark.slow
+def test_run_vqa_code_level_vqvae(tmp_path):
+    """--code_level with a {qla_data_dir}/vqvae codebook dir (reference
+    run_vqa.py:111,979,1103-1125): features come from vqvae/{split}.pt
+    key feats_{level}, code_voc/code_dim/code_size are derived from the
+    codebook, and the code embedding is initialized from
+    embeddings_{t,b} transposed."""
+    import torch
+
+    from cpt_tpu.tools.run_vqa import main
+
+    rng = np.random.RandomState(0)
+    vqdir = tmp_path / "vqvae"
+    vqdir.mkdir()
+    feats_top, qla = {}, []
+    for q in range(8):
+        sig = q % 2
+        codes = rng.randint(3, 8, size=(5,))
+        codes[0] = 1 + sig
+        feats_top[f"im{q}"] = torch.tensor(codes, dtype=torch.long)
+        qla.append({"q": "is the dog red", "o": "park", "an": [sig],
+                    "s": [1.0], "img_id": f"im{q}", "q_id": q})
+    # embeddings_t is [code_dim, code_voc] (reference derives code_dim
+    # from shape[0] and inits the embedding with .t())
+    torch.save({"embeddings_t": torch.randn(16, 8),
+                "feats_top": feats_top},
+               vqdir / "train2014.pt")
+    import shutil
+
+    shutil.copy(vqdir / "train2014.pt", vqdir / "train.pt")
+    json.dump(qla, open(tmp_path / "train2014_qla.json", "w"))
+
+    acc = main([
+        "--qla_data_dir", str(tmp_path), "--split", "train2014",
+        "--img_feature_type", "dis_code", "--code_level", "top",
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "40", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ])
+    assert acc >= 75.0, f"code_level VQA failed to learn: {acc}"
 
 
 def test_dis_code_rejected_off_vqa(tmp_path):
