@@ -40,6 +40,15 @@ def build_args():
     p.add_argument("--color_img_feat_file", default=None)
     p.add_argument("--questions", required=True, help="train questions json")
     p.add_argument("--val_questions", default=None)
+    p.add_argument("--val_img_feat_file", default=None,
+                   help="eval-split feature TSV; the reference keeps "
+                        "train and test-dev colored features in separate "
+                        "files (gqa_cpt.py:797-798,997-1002). Defaults to "
+                        "--img_feat_file")
+    p.add_argument("--val_color_img_feat_file", default=None,
+                   help="eval-split colored-feature TSV (reference "
+                        "--testdev_color_img_feat_file); defaults to "
+                        "--color_img_feat_file")
     p.add_argument("--ans2label", required=True, help="json {answer: label}")
     p.add_argument("--vocab", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -150,7 +159,9 @@ def main(argv=None):
                             tokenizer, args.max_seq_length,
                             args.max_img_seq_length, cfg.img_feature_dim,
                             use_color=use_color)
-    val_data = (GQACPTData(args.img_feat_file, args.color_img_feat_file,
+    val_data = (GQACPTData(args.val_img_feat_file or args.img_feat_file,
+                           args.val_color_img_feat_file
+                           or args.color_img_feat_file,
                            load_gqa_examples(args.val_questions), ans2label,
                            tokenizer, args.max_seq_length,
                            args.max_img_seq_length, cfg.img_feature_dim,

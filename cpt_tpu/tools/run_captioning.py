@@ -42,7 +42,15 @@ def build_args():
     p.add_argument("--dataset_yaml", default=None,
                    help="reference CaptionTSVDataset yaml (feature/label "
                         "TSVs + COCO-style caption json) — loads the "
-                        "reference's own caption data files directly")
+                        "reference's own caption data files directly "
+                        "(reference --train_yaml)")
+    p.add_argument("--val_yaml", default=None,
+                   help="separate dataset for the --eval_every "
+                        "during-training CIDEr eval (reference --val_yaml)")
+    p.add_argument("--test_yaml", default=None,
+                   help="separate dataset for the final decode + metric "
+                        "eval (reference --test_yaml; defaults to the "
+                        "training set)")
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_seq_a_length", type=int, default=40)
     p.add_argument("--max_img_seq_length", type=int, default=50)
@@ -211,11 +219,14 @@ def main(argv=None):
         return (train_lib.freeze_params(tx, "word_embeddings")
                 if args.freeze_embedding else tx)
 
+    def yaml_source(path):
+        ydata = CaptionYamlData(path)
+        caps = {k: v for k, v in ydata.captions.items()
+                if k in ydata.key2idx}
+        return caps, ydata.load
+
     if args.dataset_yaml:
-        ydata = CaptionYamlData(args.dataset_yaml)
-        captions = {k: v for k, v in ydata.captions.items()
-                    if k in ydata.key2idx}
-        get_feats = ydata.load
+        captions, get_feats = yaml_source(args.dataset_yaml)
     else:
         if not (args.feat_file and args.captions):
             raise SystemExit("need --feat_file + --captions, or "
@@ -228,6 +239,16 @@ def main(argv=None):
         def get_feats(k):
             return load_feats(tsv, imgid2idx, k)
     keys = sorted(captions)
+    # separate val/test datasets (reference --val_yaml/--test_yaml,
+    # run_captioning.py:809-813,980-997); default to the training source
+    if args.val_yaml:
+        val_captions, val_get_feats = yaml_source(args.val_yaml)
+    else:
+        val_captions, val_get_feats = captions, get_feats
+    if args.test_yaml:
+        test_captions, test_get_feats = yaml_source(args.test_yaml)
+    else:
+        test_captions, test_get_feats = captions, get_feats
 
     tens_train = CaptionTensorizer(
         tokenizer, args.max_img_seq_length, args.max_seq_length,
@@ -309,14 +330,15 @@ def main(argv=None):
                 bos_token_id=tokenizer.cls_token_id,
                 eos_token_id=tokenizer.sep_token_id,
                 mask_token_id=tokenizer.mask_token_id)
-            eval_keys = keys[: args.eval_subset]
+            eval_keys = sorted(val_captions)[: args.eval_subset]
             eval_scorer = CiderD(
-                {k: [c.split() for c in v] for k, v in captions.items()})
+                {k: [c.split() for c in v]
+                 for k, v in val_captions.items()})
 
             def quick_cider(p):
                 hyps = {}
                 for k in eval_keys:
-                    fe, od = get_feats(k)
+                    fe, od = val_get_feats(k)
                     bi, sg, at, f, _, _, _ = tens_test.tensorize(
                         "", fe, text_b=od if use_od else None)
                     toks, _ = greedy_or_sample(
@@ -380,8 +402,13 @@ def main(argv=None):
         top_p=args.top_p,
         repetition_penalty=args.repetition_penalty,
         length_penalty=args.length_penalty)
-    refs = {k: [c.split() for c in v] for k, v in captions.items()}
+    refs = {k: [c.split() for c in v] for k, v in test_captions.items()}
     scorer = CiderD(refs)
+    # SCST rewards come from the TRAINING references (the reference builds
+    # ScstRewardCriterion from the train dataset's captions)
+    scst_scorer = (scorer if test_captions is captions else
+                   CiderD({k: [c.split() for c in v]
+                           for k, v in captions.items()}))
 
     if args.scst_steps > 0:
         from cpt_tpu.engine.scst import scst_step
@@ -404,7 +431,8 @@ def main(argv=None):
                      jnp.asarray(f[None]), jnp.asarray(ids[None]))
             rng, sub = jax.random.split(rng)
             grads, r_s, r_g = scst_step(
-                model, params, None, gen_cfg, scorer, tokenizer, batch, [k],
+                model, params, None, gen_cfg, scst_scorer, tokenizer,
+                batch, [k],
                 sub, sample_n=args.sc_train_sample_n,
                 baseline_type=args.sc_baseline_type,
                 baseline_beams=args.sc_beam_size)
@@ -416,8 +444,8 @@ def main(argv=None):
 
     hyps, outputs = {}, {}
     dec_rng = jax.random.PRNGKey(args.seed + 2)
-    for k in keys:
-        feats, od = get_feats(k)
+    for k in sorted(test_captions):
+        feats, od = test_get_feats(k)
         ids, segs, attn, f, _, _, _ = tens_test.tensorize(
             "", feats, text_b=od if use_od else None)
         ctx = (jnp.asarray(segs[None]), jnp.asarray(attn[None]),

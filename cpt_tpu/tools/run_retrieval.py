@@ -77,7 +77,11 @@ def build_args():
                         "(reference run_retrieval.py:169-194)")
     p.add_argument("--num_captions_per_img", type=int, default=None,
                    help="cap the captions used per image (reference "
-                        "--num_captions_per_img_train/val)")
+                        "--num_captions_per_img_train)")
+    p.add_argument("--num_captions_per_img_val", type=int, default=None,
+                   help="separate cap for the EVAL ranking pool "
+                        "(reference --num_captions_per_img_val; defaults "
+                        "to the train cap)")
     p.add_argument("--no_od_labels", action="store_true",
                    help="drop od-label text_b (reference --add_od_labels "
                         "off; the published recipes keep it on, our "
@@ -254,6 +258,13 @@ def main(argv=None):
         metrics = rank_rerank(scores, labels, n_cand)
     else:
         # full pairwise ranking over every caption x image pair
+        # (the reference's cross_image_eval protocol); the eval caption
+        # pool may be capped separately from training
+        # (--num_captions_per_img_val, run_retrieval.py:73-75)
+        ncap_val = args.num_captions_per_img_val
+        if ncap_val is not None:
+            data.captions = {k: v[:ncap_val]
+                             for k, v in data.captions.items()}
         captions_flat, owners = [], []
         for ci, key in enumerate(data.img_keys):
             for cap in data.captions[key]:

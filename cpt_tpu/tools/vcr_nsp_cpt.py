@@ -35,6 +35,11 @@ def build_args():
     p.add_argument("--feat_file", required=True)
     p.add_argument("--examples", required=True, help="examples json/jsonl")
     p.add_argument("--val_examples", default=None)
+    p.add_argument("--val_feat_file", default=None,
+                   help="eval-split feature TSV; the reference loads train "
+                        "and eval features from separate dirs "
+                        "(vcr_nsp_cpt.py:774-776,968-981). Defaults to "
+                        "--feat_file")
     p.add_argument("--task", default="qa", choices=["qa", "qar_r", "qar"],
                    help="qa: q->a; qar_r: qa->r; qar: q->ar twin heads")
     p.add_argument("--model_variant", default="cpt", choices=["cpt", "ft"],
@@ -129,7 +134,7 @@ def main(argv=None):
     data = VCRCPTData(args.feat_file, load_vcr_examples(args.examples),
                       tokenizer, args.max_seq_length, args.max_img_seq_length,
                       cfg.img_feature_dim)
-    val_data = (VCRCPTData(args.feat_file,
+    val_data = (VCRCPTData(args.val_feat_file or args.feat_file,
                            load_vcr_examples(args.val_examples), tokenizer,
                            args.max_seq_length, args.max_img_seq_length,
                            cfg.img_feature_dim)

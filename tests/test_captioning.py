@@ -394,3 +394,34 @@ def test_run_captioning_dataset_yaml(tmp_path):
         "--hidden_size", "32", "--num_hidden_layers", "2",
         "--img_feature_dim", str(D)])
     assert len(outputs) == 6 and np.isfinite(cider)
+
+    # --val_yaml/--test_yaml (reference run_captioning.py:809-813):
+    # during-training eval and the final decode run on held-out datasets
+    feat_rows2, label_rows2, caps2 = [], [], []
+    for q in range(3):
+        feats = (rng.randn(4, D) * 0.1).astype(np.float32)
+        feat_rows2.append([f"test{q}", json.dumps(
+            {"num_boxes": 4,
+             "features": base64.b64encode(feats.tobytes()).decode()})])
+        label_rows2.append([f"test{q}", json.dumps([{"class": "park"}])])
+        caps2.append({"image_id": f"test{q}", "caption": "a green park"})
+    tsv_writer(feat_rows2, str(tmp_path / "features2.tsv"))
+    tsv_writer(label_rows2, str(tmp_path / "labels2.tsv"))
+    json.dump(caps2, open(tmp_path / "captions2.json", "w"))
+    yaml.safe_dump({"feature": "features2.tsv", "label": "labels2.tsv",
+                    "caption": "captions2.json"},
+                   open(tmp_path / "cap2.yaml", "w"))
+
+    cider2, outputs2 = main([
+        "--dataset_yaml", str(tmp_path / "cap.yaml"),
+        "--val_yaml", str(tmp_path / "cap2.yaml"),
+        "--test_yaml", str(tmp_path / "cap2.yaml"),
+        "--eval_every", "6", "--eval_subset", "2",
+        "--max_seq_length", "24", "--max_seq_a_length", "10",
+        "--max_img_seq_length", "6", "--train_steps", "6",
+        "--learning_rate", "3e-3", "--per_gpu_train_batch_size", "6",
+        "--num_beams", "1",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--img_feature_dim", str(D)])
+    assert set(outputs2) == {"test0", "test1", "test2"}
+    assert np.isfinite(cider2)

@@ -92,6 +92,33 @@ def test_gqa_cli_learns(tmp_path, gqa_data):
     blob = pickle.load(open(tmp_path / "val_results.pk", "rb"))
     assert blob["accuracy"] == acc and len(blob["results"]) == 9
 
+    # --val_img_feat_file/--val_color_img_feat_file: eval-split features
+    # load from their own files (reference gqa_cpt.py:797-798,997-1002);
+    # copies of the train files must reproduce the same accuracy
+    import shutil
+
+    shutil.copy(paths["img_feat_file"], tmp_path / "v.tsv")
+    shutil.copy(paths["img_feat_file"].replace(".tsv", ".lineidx"),
+                tmp_path / "v.lineidx")
+    shutil.copy(paths["color_img_feat_file"], tmp_path / "vc.tsv")
+    shutil.copy(paths["color_img_feat_file"].replace(".tsv", ".lineidx"),
+                tmp_path / "vc.lineidx")
+    acc2 = main([
+        "--img_feat_file", paths["img_feat_file"],
+        "--color_img_feat_file", paths["color_img_feat_file"],
+        "--val_img_feat_file", str(tmp_path / "v.tsv"),
+        "--val_color_img_feat_file", str(tmp_path / "vc.tsv"),
+        "--questions", paths["questions"],
+        "--val_questions", paths["questions"],
+        "--ans2label", paths["ans2label"],
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--img_feature_dim", "24", "--max_seq_length", "16",
+        "--max_img_seq_length", "6", "--n_sample", "18",
+        "--num_train_epochs", "25", "--learning_rate", "5e-3",
+        "--per_gpu_train_batch_size", "6",
+    ])
+    assert acc2 >= 60.0, acc2
+
 
 @pytest.mark.slow
 def test_gqa_ft_cli_learns(tmp_path, gqa_data):

@@ -243,6 +243,28 @@ def test_run_retrieval_att_mask_and_caption_cap(fixture):
     assert metrics["t2i_R@5"] >= 62.5
 
 
+def test_run_retrieval_val_caption_cap(fixture, tmp_path):
+    """--num_captions_per_img_val caps only the EVAL ranking pool
+    (reference --num_captions_per_img_val, run_retrieval.py:73-75)."""
+    from cpt_tpu.tools.run_retrieval import main
+
+    caps = {f"im{q}": [f"caption one {q}", f"caption two {q}"]
+            for q in range(8)}
+    json.dump(caps, open(tmp_path / "caps2.json", "w"))
+    main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(tmp_path / "caps2.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_captions_per_img_val", "1",
+        "--per_gpu_eval_batch_size", "16",
+        "--output", str(tmp_path / "r.pk"), *TINY,
+    ])
+    import pickle as pk
+
+    scores = pk.load(open(tmp_path / "r.pk", "rb"))["scores"]
+    assert scores.shape == (8, 8)     # 1 caption/img vs 16 uncapped
+
+
 @pytest.mark.slow
 def test_run_retrieval_rerank_protocol(fixture, tmp_path):
     """Hard-negative re-rank eval (reference run_retrieval.py:86-95,

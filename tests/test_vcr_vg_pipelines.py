@@ -111,6 +111,36 @@ def test_vcr_qar_twin_heads(vcr_data):
     assert 0.0 <= acc <= 100.0
 
 
+def test_vcr_val_feat_file(vcr_data, tmp_path):
+    """--val_feat_file: eval features load from their own TSV (reference
+    vcr_nsp_cpt.py:774-776,968-981 separate train/eval feature dirs); a
+    copy of the train TSV must reproduce the same zero-shot accuracy."""
+    import shutil
+
+    _, _, paths = vcr_data
+    from cpt_tpu.tools.vcr_nsp_cpt import main
+
+    shutil.copy(paths["feat_file"], tmp_path / "v.tsv")
+    shutil.copy(paths["feat_file"].replace(".tsv", ".lineidx"),
+                tmp_path / "v.lineidx")
+    base = main([
+        "--feat_file", paths["feat_file"], "--examples", paths["examples"],
+        "--val_examples", paths["examples"],
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--img_feature_dim", "24", "--max_seq_length", "24",
+        "--max_img_seq_length", "6", "--per_gpu_eval_batch_size", "4",
+    ])
+    split = main([
+        "--feat_file", paths["feat_file"], "--examples", paths["examples"],
+        "--val_examples", paths["examples"],
+        "--val_feat_file", str(tmp_path / "v.tsv"),
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--img_feature_dim", "24", "--max_seq_length", "24",
+        "--max_img_seq_length", "6", "--per_gpu_eval_batch_size", "4",
+    ])
+    assert split == base
+
+
 @pytest.fixture(scope="module")
 def vg_data(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("vg"))
