@@ -27,8 +27,18 @@ import numpy as np
 
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["templates", "colors"],
+    p.add_argument("--mode", choices=["templates", "colors", "soft"],
                    default="templates")
+    p.add_argument("--soft_slots", default="2,2",
+                   help="soft mode: n_pre,n_post learnable [unusedN] "
+                        "slots around [MASK]")
+    p.add_argument("--soft_steps", type=int, default=100,
+                   help="soft mode: optimizer steps")
+    p.add_argument("--soft_lr", type=float, default=0.02,
+                   help="soft mode: AdamW lr on the slot embeddings "
+                        "(reference sgd_to_explore_template.py:392)")
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=8)
     p.add_argument("--data_file", default=None,
                    help="predictions.tsv (templates mode)")
     p.add_argument("--color_data", default=None,
@@ -63,10 +73,10 @@ def _setup(args, data_file):
         cfg = OSCAR_BASE
     model = REC_MLM_CPT(cfg, dtype=jnp.bfloat16)
 
-    def data_for(template: Optional[int]):
+    def data_for(template: Optional[int], soft_slots=None):
         return RefcocoCPTData(data_file, args.ann_file, args.det_file, tok,
                               img_feat_dim=cfg.img_feature_dim,
-                              zsl_template=template)
+                              zsl_template=template, soft_slots=soft_slots)
 
     d0 = data_for(None)
     ex0 = d0.example(0)
@@ -84,11 +94,116 @@ def _setup(args, data_file):
     return model, params, tok, data_for
 
 
+def soft_prompt_optimizer(params, n_slots: int, lr: float):
+    """AdamW on ONLY the ``word_embeddings`` rows 1..n_slots.
+
+    The reference's TemplateEmbedding (sgd_to_explore_template.py:26-57)
+    substitutes a 21-row trainable table at token ids 1-20 and trains
+    only that table; since those [unusedN] ids never occur outside the
+    template slots, that is exactly equivalent to training only those
+    rows of the word-embedding table with everything else frozen. Grad
+    AND update are row-masked (the latter kills AdamW's decoupled decay
+    on the frozen rows)."""
+    import optax
+
+    def emb_mask(tree):
+        flat, td = jax.tree_util.tree_flatten_with_path(tree)
+        return jax.tree_util.tree_unflatten(
+            td, ["word_embeddings" in jax.tree_util.keystr(p)
+                 for p, _ in flat])
+
+    def row_zero(updates):
+        def f(path, u):
+            if "word_embeddings" in jax.tree_util.keystr(path):
+                row = jnp.zeros((u.shape[0], 1), u.dtype)
+                row = row.at[1:n_slots + 1].set(1)
+                return u * row
+            return jnp.zeros_like(u)
+
+        return jax.tree_util.tree_map_with_path(f, updates)
+
+    def _stateless(fn):
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda updates, state, params=None: (fn(updates), state))
+
+    base = optax.masked(optax.adamw(lr, eps=1e-8), emb_mask)
+    return optax.chain(_stateless(row_zero), base, _stateless(row_zero))
+
+
+def run_soft_mode(args, results):
+    """Continuous-template search: optimize the slot embeddings against
+    the RefCOCO MLM objective, report zero-shot accuracy before/after,
+    and read out the nearest vocabulary tokens per slot (the reference's
+    readout applies the MLM head to the trained rows,
+    sgd_to_explore_template.py:419-426)."""
+    from cpt_tpu.data.refcoco import iter_train_batches
+    from cpt_tpu.engine import train as train_lib
+    from cpt_tpu.engine.scoring import refcoco_evaluate
+
+    n_pre, n_post = (int(x) for x in args.soft_slots.split(","))
+    k = n_pre + n_post
+    model, params, tok, data_for = _setup(args, args.data_file)
+    data = data_for(None, soft_slots=(n_pre, n_post))
+    idx = (list(range(min(args.limit, len(data)))) if args.limit else None)
+
+    acc0, _ = refcoco_evaluate(model, params, data, tok,
+                               batch_size=args.batch_size, indices=idx)
+    results["soft_before"] = acc0
+    print(f"soft slots {n_pre}+{n_post}: zero-shot acc {acc0:.2f}")
+
+    tx = soft_prompt_optimizer(params, k, args.soft_lr)
+    state = train_lib.create_train_state(params, tx)
+    step_fn = train_lib.make_mlm_train_step(model, tx, dropout=False)
+    rng = jax.random.PRNGKey(args.seed)
+    it = 0
+    while it < args.soft_steps:
+        for fb in iter_train_batches(data, args.train_batch_size,
+                                     seed=args.seed + it):
+            rng, sub = jax.random.split(rng)
+            state, loss = step_fn(state,
+                                  train_lib.batch_arrays_mlm(fb), sub)
+            it += 1
+            if it % 20 == 0:
+                print(f"soft step {it}: loss {float(loss):.4f}")
+            if it >= args.soft_steps:
+                break
+    params = state.params
+
+    acc1, _ = refcoco_evaluate(model, params, data, tok,
+                               batch_size=args.batch_size, indices=idx)
+    results["soft_after"] = acc1
+    print(f"soft-tuned acc {acc1:.2f} (was {acc0:.2f})")
+
+    # nearest-token readout per slot
+    table = params["params"]["bert"]["embeddings"]["word_embeddings"][
+        "embedding"]
+    rows = jnp.asarray(table)[1:k + 1]
+    logits = np.asarray(model.apply(
+        params, rows, jnp.asarray(table),
+        method=lambda m, h, t: m.mlm_head(h, t)))
+    readout = []
+    for s in range(k):
+        order = np.argsort(-logits[s])[:20]
+        readout.append(list(zip(tok.convert_ids_to_tokens(order.tolist()),
+                                logits[s][order].tolist())))
+        top = [t for t, _ in readout[-1][:5]]
+        print(f"slot {s + 1}: {' '.join(top)}")
+    results["soft_readout"] = readout
+    return results
+
+
 def main(argv: Optional[List[str]] = None):
     from cpt_tpu.engine.scoring import refcoco_evaluate
 
     args = build_args().parse_args(argv)
     results = {}
+
+    if args.mode == "soft":
+        run_soft_mode(args, results)
+        if args.output:
+            json.dump(results, open(args.output, "w"))
+        return results
 
     if args.mode == "templates":
         model, params, tok, data_for = _setup(args, args.data_file)

@@ -172,6 +172,14 @@ class BertTokenizer:
                 out.extend(self.wordpiece.tokenize(tok))
         return out
 
+    def add_special_tokens(self, tokens: Sequence[str]) -> None:
+        """Reference ``tokenizer.add_special_tokens({'additional_special_
+        tokens': [...]})`` analogue (sgd_to_explore_template.py:390):
+        never split these during basic tokenization. They must already
+        exist in the vocab (e.g. BERT's ``[unusedN]`` rows) — WordPiece
+        then matches the whole token."""
+        self.basic.never_split.update(tokens)
+
     def convert_tokens_to_ids(
         self, tokens: Union[str, Sequence[str]]
     ) -> Union[int, List[int]]:

@@ -195,6 +195,66 @@ def test_explore_cli_template_sweep(tmp_path, capsys):
     assert json.load(open(tmp_path / "sweep.json")) == results
 
 
+def test_explore_cli_soft_prompt(tmp_path, capsys):
+    """explore.py soft mode — the continuous-template search of the
+    reference's sgd_to_explore_template.py (which cannot run there: its
+    CheatTemplateTSVDataset import doesn't exist in the tree). Trainable
+    [unusedN] slot embeddings around [MASK], AdamW on ONLY those
+    word-embedding rows, accuracy before/after, nearest-token readout.
+    Asserts the frozen parameters really stayed frozen and only the slot
+    rows moved."""
+    import jax
+
+    from cpt_tpu.data.synthetic import generate_refcoco_fixture
+    from cpt_tpu.tools.explore import _setup, build_args, main
+
+    paths = generate_refcoco_fixture(str(tmp_path), n_queries=3,
+                                     feat_dim=134)
+    argv = ["--synthetic", "--mode", "soft", "--soft_slots", "2,2",
+            "--soft_steps", "8", "--train_batch_size", "4",
+            "--data_file", paths["data_file"],
+            "--ann_file", paths["ann_file"],
+            "--det_file", paths["det_file"],
+            "--output", str(tmp_path / "soft.json")]
+    before = _setup(build_args().parse_args(argv), paths["data_file"])[1]
+    results = main(argv)
+    assert 0.0 <= results["soft_after"] <= 100.0
+    assert len(results["soft_readout"]) == 4
+    assert all(len(slot) == 20 for slot in results["soft_readout"])
+    out = capsys.readouterr().out
+    assert "slot 1:" in out
+
+    # frozen-parameter check: retrain and compare against the pristine
+    # init — only word_embeddings rows 1..4 may differ
+    from cpt_tpu.data.refcoco import RefcocoCPTData, iter_train_batches
+    from cpt_tpu.engine import train as train_lib
+    from cpt_tpu.tools.explore import soft_prompt_optimizer
+    from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+
+    args = build_args().parse_args(argv)
+    model, params, tok, data_for = _setup(args, paths["data_file"])
+    data = data_for(None, soft_slots=(2, 2))
+    tx = soft_prompt_optimizer(params, 4, 0.02)
+    state = train_lib.create_train_state(params, tx)
+    step = train_lib.make_mlm_train_step(model, tx, dropout=False)
+    fb = next(iter_train_batches(data, 4, seed=0))
+    state, _ = step(state, train_lib.batch_arrays_mlm(fb),
+                    jax.random.PRNGKey(0))
+    flat_a = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    moved = 0
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        key = jax.tree_util.keystr(pa)
+        a, b = np.asarray(a), np.asarray(b)
+        if "word_embeddings" in key:
+            assert np.array_equal(a[0], b[0]) and np.array_equal(
+                a[5:], b[5:]), "frozen embedding rows moved"
+            moved += int(not np.array_equal(a[1:5], b[1:5]))
+        else:
+            assert np.array_equal(a, b), f"frozen param moved: {key}"
+    assert moved == 1, "slot rows did not train"
+
+
 @pytest.mark.slow
 def test_explore_cli_color_sweep(tmp_path):
     """explore.py colors mode: one predictions.tsv per color."""
