@@ -129,10 +129,13 @@ class RetrievalData:
 
     def tensorize(self, caption: str, img_key: str):
         feats, od = self._feats(img_key)
+        # the reference's retrieval tensorizer truncates ONLY text_b
+        # (run_retrieval.py:137-150), unlike the VQA/NLVR/pretrain
+        # longer-pops-first scheme
         seq = tensorize_pair(self.tokenizer, caption,
                              od if self.use_od_labels else None,
                              feats.shape[0], self.max_seq_len,
-                             self.img_seq_len)
+                             self.img_seq_len, truncation="b_only")
         if self.att_mask_type != "CLR":
             t = self.max_seq_len
             seq_len = int(seq.attention_mask[:t].sum())

@@ -44,11 +44,24 @@ def truncate_seq_pair(tokens_a: List[str], tokens_b: List[str],
 def tensorize_pair(tokenizer: BertTokenizer, text_a: str,
                    text_b: Optional[str], num_img_feats: int,
                    max_seq_len: int = 70, max_img_seq_len: int = 50,
-                   cls_segment_id: int = 0) -> TensorizedSeq:
+                   cls_segment_id: int = 0,
+                   truncation: str = "pair") -> TensorizedSeq:
+    """``truncation`` picks the reference task's overflow scheme:
+    "pair" = ``_truncate_seq_pair`` longer-pops-first (VQA
+    task_utils.py:666, NLVR run_nlvr.py:146, pretrain oscar_tsv.py:680);
+    "b_only" = cap text_a at max_seq_len-2 and give text_b only the
+    remainder (retrieval's tensorize_example, run_retrieval.py:137-150 —
+    sane-regime version: its negative-bound under-truncation when
+    text_a fills the budget is a latent reference bug, we clamp to 0)."""
     tokens_a = tokenizer.tokenize(text_a)
     if text_b:
         tokens_b = tokenizer.tokenize(text_b)
-        truncate_seq_pair(tokens_a, tokens_b, max_seq_len - 3)
+        if truncation == "b_only":
+            tokens_a = tokens_a[: max_seq_len - 2]
+            budget = max(0, max_seq_len - (len(tokens_a) + 2) - 1)
+            tokens_b = tokens_b[:budget]
+        else:
+            truncate_seq_pair(tokens_a, tokens_b, max_seq_len - 3)
     else:
         tokens_b = []
         tokens_a = tokens_a[: max_seq_len - 2]

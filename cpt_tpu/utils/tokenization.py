@@ -198,6 +198,14 @@ class BertTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    # string token attributes (reference tokenizer surface: used by e.g.
+    # run_retrieval.py tensorize_example via tokenizer.cls_token)
+    cls_token = "[CLS]"
+    sep_token = "[SEP]"
+    pad_token = "[PAD]"
+    mask_token = "[MASK]"
+    unk_token = "[UNK]"
+
     @property
     def mask_token_id(self) -> int:
         return self.vocab["[MASK]"]

@@ -86,3 +86,75 @@ def test_full_ranking_branch_parity():
             100.0 * ref_eval["t2i_retrieval"][f"R@{k}"])
         assert ours[f"i2t_R@{k}"] == pytest.approx(
             100.0 * ref_eval["i2t_retrieval"][f"R@{k}"])
+
+
+def test_tensorize_example_parity(tmp_path):
+    """The reference's own ``RetrievalDataset.tensorize_example``
+    (run_retrieval.py:134-199) executed directly vs our
+    ``RetrievalData.tensorize`` — input_ids/segment_ids/attention_mask/
+    padded features identical for ALL FOUR att_mask_types, with and
+    without od labels, over captions spanning truncation and short
+    feature counts.
+
+    Reachable configs only: when tokens_a fills the whole text budget
+    (len ≥ max_seq_length-2) AND od labels are present, the reference's
+    ``tokens_b[: max_seq_len - len(tokens) - 1]`` computes a NEGATIVE
+    bound (run_retrieval.py:146-148), under-truncates, and emits an
+    overlong UNPADDED sequence (seq_padding_len < 0) — a latent
+    reference bug, not a layout; we truncate text_b to fit. The fixture
+    keeps tokens_a under the cap so both sides are in the sane regime."""
+    import json
+    import types
+
+    import torch
+
+    from cpt_tpu.data.retrieval import RetrievalData
+    from cpt_tpu.utils.tokenization import BertTokenizer, toy_vocab
+    from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+    tok = BertTokenizer(toy_vocab())
+    T, R, D = 16, 6, 8
+    rng = np.random.RandomState(0)
+    rows, caps = [], {}
+    # q=1: 10 caption tokens + 9 od classes → text_b truncates to fit
+    texts = ["the red dog", "a person on the left of the dog and cat",
+             "what color"]
+    for q in range(3):
+        n = [3, 9, 1][q]
+        feats = rng.randn(n, D).astype(np.float32) * 0.1
+        boxlist = [{"rect": [0, 0, 5, 5],
+                    "class": "dog" if b % 2 else "cat", "conf": 0.9,
+                    "feature": encode_feature(f)}
+                   for b, f in enumerate(feats)]
+        rows.append([f"im{q}", json.dumps({"objects": boxlist})])
+        caps[f"im{q}"] = [texts[q]]
+    tsv_writer(rows, str(tmp_path / "p.tsv"))
+
+    for att in ("CLR", "CL", "CR", "LR"):
+        for use_od in (True, False):
+            ours = RetrievalData(str(tmp_path / "p.tsv"), caps, tok,
+                                 max_seq_len=T, img_seq_len=R,
+                                 img_feat_dim=D, att_mask_type=att,
+                                 use_od_labels=use_od)
+            ref_ds = ref_rr.RetrievalDataset.__new__(ref_rr.RetrievalDataset)
+            ref_ds.tokenizer = tok
+            ref_ds.max_seq_len = T
+            ref_ds.max_img_seq_len = R
+            ref_ds.args = types.SimpleNamespace(
+                max_seq_length=T, max_img_seq_length=R,
+                att_mask_type=att, add_od_labels=use_od)
+            for q in range(3):
+                key = f"im{q}"
+                feats_np, od = ours._feats(key)
+                seq, fpad = ours.tensorize(caps[key][0], key)
+                r_ids, r_attn, r_segs, r_feat = ref_ds.tensorize_example(
+                    caps[key][0], torch.tensor(feats_np),
+                    text_b=od if use_od else None)
+                np.testing.assert_array_equal(seq.input_ids,
+                                              r_ids.numpy())
+                np.testing.assert_array_equal(seq.segment_ids,
+                                              r_segs.numpy())
+                np.testing.assert_array_equal(seq.attention_mask,
+                                              r_attn.numpy())
+                np.testing.assert_allclose(fpad, r_feat.numpy(),
+                                           rtol=0, atol=0)
