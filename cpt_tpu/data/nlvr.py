@@ -84,11 +84,16 @@ class NLVRData:
         labels = np.full((total,), -1, np.int32)
         for i, idx in enumerate(indices):
             ex = self.examples[idx]
+            # the reference tokenizes the statement ONCE and each
+            # choice's _truncate_seq_pair mutates it in place, so the
+            # right image sees the left-truncated statement
+            # (run_nlvr.py:253,263-265) — share the token list
+            toks_a = self.tokenizer.tokenize(ex.statement)
             for c, key in enumerate((ex.img_left, ex.img_right)):
                 f, od = self._feats(key)
                 seq = tensorize_pair(self.tokenizer, ex.statement,
                                      od if self.use_od_labels else None,
-                                     f.shape[0], t, r)
+                                     f.shape[0], t, r, tokens_a=toks_a)
                 ids[i, c] = seq.input_ids
                 segs[i, c] = seq.segment_ids
                 attn[i, c] = seq.attention_mask
@@ -102,22 +107,26 @@ class NLVRData:
         n = len(indices)
         total = pad_to if pad_to is not None else n
         t, r, d = self.max_seq_len, self.img_seq_len, self.img_feat_dim
+        # the reference's concat construction carries BOTH images' regions
+        # — the stacked features truncate/pad at 2*max_img_seq_length
+        # (run_nlvr.py:199-216)
+        rr = 2 * r
         ids = np.zeros((total, t), np.int32)
         segs = np.zeros((total, t), np.int32)
-        attn = np.zeros((total, t + r), np.int32)
-        feats = np.zeros((total, r, d), np.float32)
+        attn = np.zeros((total, t + rr), np.int32)
+        feats = np.zeros((total, rr, d), np.float32)
         labels = np.full((total,), -1, np.int32)
         for i, idx in enumerate(indices):
             ex = self.examples[idx]
             fl, odl = self._feats(ex.img_left)
             fr, odr = self._feats(ex.img_right)
-            f = np.concatenate([fl, fr])[:r]
+            f = np.concatenate([fl, fr])[:rr]
             seq = tensorize_pair(self.tokenizer, ex.statement,
                                  (odl + " " + odr) if self.use_od_labels
-                                 else None, f.shape[0], t, r)
+                                 else None, f.shape[0], t, rr)
             ids[i], segs[i], attn[i] = (seq.input_ids, seq.segment_ids,
                                         seq.attention_mask)
-            feats[i] = pad_img_feats(f, r)
+            feats[i] = pad_img_feats(f, rr)
             if ex.label is not None:
                 labels[i] = ex.label
         return ids, segs, attn, feats, labels

@@ -45,15 +45,21 @@ def tensorize_pair(tokenizer: BertTokenizer, text_a: str,
                    text_b: Optional[str], num_img_feats: int,
                    max_seq_len: int = 70, max_img_seq_len: int = 50,
                    cls_segment_id: int = 0,
-                   truncation: str = "pair") -> TensorizedSeq:
+                   truncation: str = "pair",
+                   tokens_a: Optional[list] = None) -> TensorizedSeq:
     """``truncation`` picks the reference task's overflow scheme:
     "pair" = ``_truncate_seq_pair`` longer-pops-first (VQA
     task_utils.py:666, NLVR run_nlvr.py:146, pretrain oscar_tsv.py:680);
     "b_only" = cap text_a at max_seq_len-2 and give text_b only the
     remainder (retrieval's tensorize_example, run_retrieval.py:137-150 —
     sane-regime version: its negative-bound under-truncation when
-    text_a fills the budget is a latent reference bug, we clamp to 0)."""
-    tokens_a = tokenizer.tokenize(text_a)
+    text_a fills the budget is a latent reference bug, we clamp to 0).
+
+    ``tokens_a`` bypasses text_a tokenization with a pre-tokenized LIST
+    that ``truncate_seq_pair`` mutates IN PLACE — NLVR's pair mode
+    tokenizes the statement once and lets each choice's truncation
+    carry over to the next (run_nlvr.py:253,263-265)."""
+    tokens_a = tokenizer.tokenize(text_a) if tokens_a is None else tokens_a
     if text_b:
         tokens_b = tokenizer.tokenize(text_b)
         if truncation == "b_only":

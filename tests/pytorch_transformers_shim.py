@@ -58,6 +58,9 @@ class BertConfig(object):
     """Attribute-bag config with BERT-base defaults (pytorch_transformers
     ``BertConfig`` minus the serialization plumbing)."""
 
+    # driver modules enumerate this at import (run_nlvr.py:59)
+    pretrained_config_archive_map = {}
+
     def __init__(self, vocab_size_or_config_json_file=30522, hidden_size=768,
                  num_hidden_layers=12, num_attention_heads=12,
                  intermediate_size=3072, hidden_act="gelu",

@@ -106,3 +106,75 @@ def test_vqa_processor_examples_match_reference(qla_fixture):
     data_t = QlaVQAData(str(root), "train2014", 2, tok, max_seq_len=16,
                         img_seq_len=6, img_feat_dim=D, is_test=True)
     assert len(test_ref) == len(data_t.examples) == 9
+
+
+def test_pretrain_tensorization_matches_reference(qla_fixture, monkeypatch):
+    """Pretrain feature conversion parity: the reference's own
+    ``oscar_tsv.convert_example_to_features`` (oscar_tsv.py:660-786)
+    executed directly vs ``OscarPretrainData.batch`` with masking and
+    corruption disabled (random patched >0.15 on both sides so
+    ``random_word`` is a deterministic no-op) — input_ids / segment_ids /
+    attention_mask / MLM labels identical, including the longer-pops-first
+    truncation and the image-mask layout."""
+    import random as _random
+    import types
+
+    sys.path.insert(0, "/root/reference/Oscar")
+    import pytorch_transformers_shim as _shim
+
+    _shim.install()
+    from oscar.datasets import oscar_tsv
+
+    from cpt_tpu.data.pretrain import OscarPretrainData
+    from cpt_tpu.utils.tsv import encode_feature, tsv_writer
+
+    tok = BertTokenizer(toy_vocab())
+    T, R = 16, 6
+    rng = np.random.RandomState(0)
+    rows, caps = [], {}
+    texts = ["the red dog", "a person on the left of the dog and the cat "
+             "and a man and a woman on the right", "what color"]
+    for q in range(3):
+        n = [3, 9, 1][q]
+        f = rng.randn(n, D).astype(np.float32) * 0.1
+        classes = ["dog" if b % 2 else "cat" for b in range(n)]
+        rows.append([f"im{q}", json.dumps({"objects": [
+            {"rect": [0, 0, 5, 5], "class": c, "conf": 0.9,
+             "feature": encode_feature(ff)}
+            for c, ff in zip(classes, f)]})])
+        caps[f"im{q}"] = texts[q]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    tsv_writer(rows, f"{d}/p.tsv")
+
+    monkeypatch.setattr(oscar_tsv.random, "random", lambda: 0.99)
+
+    class NoMaskRng:
+        def random(self):
+            return 0.99           # never mask, never corrupt
+
+        def choice(self, seq):
+            return seq[0]
+
+    data = OscarPretrainData(f"{d}/p.tsv", caps, tok, T, R,
+                             img_feat_dim=D, text_b_swap_prob=0.0)
+    ids, segs, attn, feats, mlm, contrast = data.batch(
+        list(range(len(data))), NoMaskRng())
+
+    args = types.SimpleNamespace(num_contrast_classes=2,
+                                 texta_false_prob=0.0,
+                                 mask_loss_for_unmatched=True,
+                                 max_img_seq_length=R)
+    for i, key in enumerate(data.keys):
+        f, od = data._feats(key)
+        ex = types.SimpleNamespace(guid=9, tokens_a=tok.tokenize(caps[key]),
+                                   tokens_b=tok.tokenize(od), is_next=0,
+                                   is_img_match=0)
+        ref = oscar_tsv.convert_example_to_features(
+            args, ex, T, tok, min(f.shape[0], R))
+        np.testing.assert_array_equal(ids[i], ref.input_ids)
+        np.testing.assert_array_equal(segs[i], ref.segment_ids)
+        np.testing.assert_array_equal(attn[i], ref.input_mask)
+        np.testing.assert_array_equal(mlm[i], ref.lm_label_ids)
+        assert contrast[i] == ref.is_next
