@@ -30,7 +30,14 @@ def test_eligibility_fractions_ordering():
     from bench import eligibility_fractions
 
     f = eligibility_fractions(n=4000)
-    # the smaller window accepts a subset of the default window's rects
-    assert 0.0 < f["small"] <= f["default"] <= 1.0
+    # one fraction per LADDER rung, smallest window first; each smaller
+    # window accepts a subset of the next rung's rects
+    from bench import LADDER
+
+    assert len(f) == len(LADDER)
+    assert 0.0 < f[0]
+    for small, big in zip(f, f[1:]):
+        assert small <= big
+    assert f[-1] <= 1.0
     # most realistic rects should ride a windowed path
-    assert f["default"] > 0.6
+    assert f[-1] > 0.6
