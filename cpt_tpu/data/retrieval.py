@@ -90,6 +90,11 @@ class RetrievalData:
                      eval_img_keys=None, caption_indexs=None,
                      att_mask_type="CLR", num_captions_per_img=None,
                      use_od_labels=True):
+        # the UNCAPPED pool — the reference builds separate train/eval
+        # datasets that each cap from the full pool, so an eval cap
+        # (--num_captions_per_img_val) larger than the train cap must
+        # still see every caption (run_retrieval.py:60-75)
+        self.full_captions = captions
         self.captions = captions
         if num_captions_per_img is not None:
             self.captions = {k: v[:num_captions_per_img]
@@ -104,6 +109,7 @@ class RetrievalData:
                 raise KeyError(f"eval_img_keys not in captions: {missing[:5]}")
             self.img_keys = keep
             self.captions = {k: self.captions[k] for k in keep}
+            self.full_captions = {k: self.full_captions[k] for k in keep}
         self.caption_indexs = None
         if caption_indexs is not None:
             self.caption_indexs = {
@@ -189,19 +195,26 @@ class RetrievalData:
             feats[i] = f
         return ids, segs, attn, feats, labels
 
-    def rerank_entries(self) -> List[Tuple[str, str, int, int]]:
+    def rerank_entries(
+            self, num_captions_per_img: Optional[int] = None
+    ) -> List[Tuple[str, str, int, int]]:
         """Re-rank evaluation pairs, reference index order
-        (run_retrieval.py:113-116): for each eval image, its
-        ``caption_indexs`` candidates. Returns
+        (run_retrieval.py:113-116): for each eval image, its first
+        ``num_captions_per_img`` ``caption_indexs`` candidates (the
+        reference's eval indexing caps at --num_captions_per_img_val,
+        run_retrieval.py:75,114-116). Returns
         [(img_key, cand_img_key, cand_cap_idx, label)]."""
         assert self.caption_indexs is not None
-        n_cand = {len(self.caption_indexs[k]) for k in self.img_keys}
+        cands = {k: (self.caption_indexs[k][:num_captions_per_img]
+                     if num_captions_per_img is not None
+                     else self.caption_indexs[k]) for k in self.img_keys}
+        n_cand = {len(cands[k]) for k in self.img_keys}
         assert len(n_cand) == 1, (
             "re-rank requires a uniform candidate count per image "
             f"(reference compute_ranks reshapes [-1, n]); got {n_cand}")
         out = []
         for key in self.img_keys:
-            for ik, ci in self.caption_indexs[key]:
+            for ik, ci in cands[key]:
                 out.append((key, ik, ci, int(ik == key)))
         return out
 

@@ -74,7 +74,12 @@ def tensorize_pair(tokenizer: BertTokenizer, text_a: str,
 
     tokens = ["[CLS]"] + tokens_a + ["[SEP]"]
     segments = [cls_segment_id] + [0] * len(tokens_a) + [0]
-    if tokens_b:
+    # pair mode gates the b-segment on the truncated LIST being non-empty
+    # (reference `if tokens_b:` — task_utils.py:594, run_nlvr.py:155);
+    # retrieval appends `tokens_b + [SEP]` whenever text_b is truthy, so
+    # a caption truncated to nothing still contributes its segment-1
+    # [SEP] (run_retrieval.py:144-149).
+    if tokens_b or (text_b and truncation == "b_only"):
         tokens += tokens_b + ["[SEP]"]
         segments += [1] * (len(tokens_b) + 1)
 

@@ -140,14 +140,23 @@ def build_tokenizer(args) -> BertTokenizer:
     return BertTokenizer(args.vocab if args.vocab else toy_vocab())
 
 
-def load_or_init(model, init_args, args, cfg, task: str = "bert_only"):
+def load_or_init(model, init_args, args, cfg, task: str = "bert_only",
+                 info: dict = None):
+    """``info`` (optional out-param) is filled with
+    ``{"ckpt_params": <converted tree or None>}`` so callers can tell
+    which leaves the checkpoint actually supplied (e.g. run_vqa must
+    not clobber a fine-tuned code embedding with the raw codebook)."""
     init = jax.jit(model.init)(jax.random.PRNGKey(args.seed), *init_args)
     if args.checkpoint:
         pre = cv.convert_bert_state_dict(
             cv.load_torch_file(args.checkpoint), cfg)
         mapped = cv.params_for_task(pre, task)
+        if info is not None:
+            info["ckpt_params"] = mapped
         return {"params": cv.merge_pretrained_into_init(
             init["params"], mapped)}
+    if info is not None:
+        info["ckpt_params"] = None
     print("WARNING: random init (no --checkpoint)")
     return init
 

@@ -94,8 +94,8 @@ def _setup(args, data_file):
     return model, params, tok, data_for
 
 
-def soft_prompt_optimizer(params, n_slots: int, lr: float):
-    """AdamW on ONLY the ``word_embeddings`` rows 1..n_slots.
+def soft_prompt_optimizer(slot_ids, lr: float):
+    """AdamW on ONLY the ``word_embeddings`` rows in ``slot_ids``.
 
     The reference's TemplateEmbedding (sgd_to_explore_template.py:26-57)
     substitutes a 21-row trainable table at token ids 1-20 and trains
@@ -103,8 +103,12 @@ def soft_prompt_optimizer(params, n_slots: int, lr: float):
     template slots, that is exactly equivalent to training only those
     rows of the word-embedding table with everything else frozen. Grad
     AND update are row-masked (the latter kills AdamW's decoupled decay
-    on the frozen rows)."""
+    on the frozen rows). ``slot_ids`` are the actual vocab ids of the
+    slot tokens (derive via ``tok.convert_tokens_to_ids`` — in the real
+    BERT vocab [unused1] is id 2, not 1)."""
     import optax
+
+    slot_ids = np.asarray(slot_ids, np.int32)
 
     def emb_mask(tree):
         flat, td = jax.tree_util.tree_flatten_with_path(tree)
@@ -116,7 +120,7 @@ def soft_prompt_optimizer(params, n_slots: int, lr: float):
         def f(path, u):
             if "word_embeddings" in jax.tree_util.keystr(path):
                 row = jnp.zeros((u.shape[0], 1), u.dtype)
-                row = row.at[1:n_slots + 1].set(1)
+                row = row.at[jnp.asarray(slot_ids)].set(1)
                 return u * row
             return jnp.zeros_like(u)
 
@@ -144,6 +148,10 @@ def run_soft_mode(args, results):
     n_pre, n_post = (int(x) for x in args.soft_slots.split(","))
     k = n_pre + n_post
     model, params, tok, data_for = _setup(args, args.data_file)
+    # The actual vocab rows behind the prompt's [unused1]..[unusedK]
+    # slots (id 2..K+1 in real BERT vocabs where [unused0]=1).
+    slot_ids = tok.convert_tokens_to_ids(
+        [f"[unused{i}]" for i in range(1, k + 1)])
     data = data_for(None, soft_slots=(n_pre, n_post))
     idx = (list(range(min(args.limit, len(data)))) if args.limit else None)
 
@@ -152,7 +160,7 @@ def run_soft_mode(args, results):
     results["soft_before"] = acc0
     print(f"soft slots {n_pre}+{n_post}: zero-shot acc {acc0:.2f}")
 
-    tx = soft_prompt_optimizer(params, k, args.soft_lr)
+    tx = soft_prompt_optimizer(slot_ids, args.soft_lr)
     state = train_lib.create_train_state(params, tx)
     step_fn = train_lib.make_mlm_train_step(model, tx, dropout=False)
     rng = jax.random.PRNGKey(args.seed)
@@ -178,7 +186,7 @@ def run_soft_mode(args, results):
     # nearest-token readout per slot
     table = params["params"]["bert"]["embeddings"]["word_embeddings"][
         "embedding"]
-    rows = jnp.asarray(table)[1:k + 1]
+    rows = jnp.asarray(table)[jnp.asarray(slot_ids)]
     logits = np.asarray(model.apply(
         params, rows, jnp.asarray(table),
         method=lambda m, h, t: m.mlm_head(h, t)))

@@ -250,9 +250,11 @@ def main(argv=None):
     if data.caption_indexs is not None:
         # hard-negative re-rank: each image scored only against its
         # candidate captions (reference run_retrieval.py:113-116, 264-281)
-        entries = data.rerank_entries()
+        entries = data.rerank_entries(args.num_captions_per_img_val)
         n_cand = len(entries) // len(data.img_keys)
-        scores = score_pairs([(data.captions[ik][ci], key)
+        # candidate cap_idx indexes the FULL caption pool (the reference
+        # never caps the captions dict itself, only the eval indexing)
+        scores = score_pairs([(data.full_captions[ik][ci], key)
                               for key, ik, ci, _ in entries])
         labels = np.asarray([lab for *_, lab in entries])
         metrics = rank_rerank(scores, labels, n_cand)
@@ -263,8 +265,10 @@ def main(argv=None):
         # (--num_captions_per_img_val, run_retrieval.py:73-75)
         ncap_val = args.num_captions_per_img_val
         if ncap_val is not None:
+            # cap from the FULL pool, not the train-capped one — the
+            # reference's eval dataset caps independently of training
             data.captions = {k: v[:ncap_val]
-                             for k, v in data.captions.items()}
+                             for k, v in data.full_captions.items()}
         captions_flat, owners = [], []
         for ci, key in enumerate(data.img_keys):
             for cap in data.captions[key]:

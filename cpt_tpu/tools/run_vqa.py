@@ -173,8 +173,13 @@ def main(argv=None):
         if os.path.isdir(vqdir):
             import torch
 
-            vq = torch.load(os.path.join(vqdir, "train.pt"),
-                            weights_only=False)
+            # the reference hardcodes vqvae/train.pt (its splits are only
+            # ever 'train'/'val'); fall back to vqvae/{split}.pt so other
+            # split names don't force a duplicate codebook file
+            vq_path = os.path.join(vqdir, "train.pt")
+            if not os.path.exists(vq_path):
+                vq_path = os.path.join(vqdir, f"{args.split}.pt")
+            vq = torch.load(vq_path, weights_only=False)
             if args.code_level == "top":
                 emb = np.asarray(vq["embeddings_t"])
                 args.code_dim, args.code_voc = emb.shape
@@ -237,11 +242,21 @@ def main(argv=None):
 
     bsz = args.per_gpu_train_batch_size
     b0, _, _ = data.batch([0], pad_to=bsz)
+    load_info = {}
     params = load_or_init(model, (jnp.asarray(b0.input_ids),
                                   jnp.asarray(b0.segment_ids),
                                   jnp.asarray(b0.attention_mask),
-                                  jnp.asarray(b0.img_feats)), args, cfg)
-    if vq is not None and args.code_level in ("top", "bottom"):
+                                  jnp.asarray(b0.img_feats)), args, cfg,
+                          info=load_info)
+    # don't clobber a fine-tuned checkpoint's TRAINED code embedding with
+    # the raw codebook — init from the codebook only when the checkpoint
+    # didn't supply one (the reference's do_eval reload skips
+    # init_code_embedding for the same reason, run_vqa.py:1188)
+    ckpt_has_code = (load_info.get("ckpt_params") is not None and
+                     "code_embeddings" in
+                     load_info["ckpt_params"].get("bert", {}))
+    if (vq is not None and args.code_level in ("top", "bottom")
+            and not ckpt_has_code):
         # init the code embedding from the VQ-VAE codebook, transposed to
         # [code_voc, code_dim] (reference run_vqa.py:1121-1125 +
         # modeling_bert.py:322-323)

@@ -117,10 +117,14 @@ def test_tensorize_example_parity(tmp_path):
     rng = np.random.RandomState(0)
     rows, caps = [], {}
     # q=1: 10 caption tokens + 9 od classes → text_b truncates to fit
+    # q=3: exactly T-3 caption tokens → the od budget is ZERO, tokens_b
+    #      truncates to [] but the reference still appends the trailing
+    #      segment-1 [SEP] (run_retrieval.py:144-149)
     texts = ["the red dog", "a person on the left of the dog and cat",
-             "what color"]
-    for q in range(3):
-        n = [3, 9, 1][q]
+             "what color",
+             "a man on the left of the dog and cat is in red"]
+    for q in range(4):
+        n = [3, 9, 1, 5][q]
         feats = rng.randn(n, D).astype(np.float32) * 0.1
         boxlist = [{"rect": [0, 0, 5, 5],
                     "class": "dog" if b % 2 else "cat", "conf": 0.9,
@@ -143,7 +147,7 @@ def test_tensorize_example_parity(tmp_path):
             ref_ds.args = types.SimpleNamespace(
                 max_seq_length=T, max_img_seq_length=R,
                 att_mask_type=att, add_od_labels=use_od)
-            for q in range(3):
+            for q in range(4):
                 key = f"im{q}"
                 feats_np, od = ours._feats(key)
                 seq, fpad = ours.tensorize(caps[key][0], key)

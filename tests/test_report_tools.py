@@ -234,7 +234,8 @@ def test_explore_cli_soft_prompt(tmp_path, capsys):
     args = build_args().parse_args(argv)
     model, params, tok, data_for = _setup(args, paths["data_file"])
     data = data_for(None, soft_slots=(2, 2))
-    tx = soft_prompt_optimizer(params, 4, 0.02)
+    tx = soft_prompt_optimizer(tok.convert_tokens_to_ids(
+        [f"[unused{i}]" for i in range(1, 5)]), 0.02)
     state = train_lib.create_train_state(params, tx)
     step = train_lib.make_mlm_train_step(model, tx, dropout=False)
     fb = next(iter_train_batches(data, 4, seed=0))
@@ -253,6 +254,38 @@ def test_explore_cli_soft_prompt(tmp_path, capsys):
         else:
             assert np.array_equal(a, b), f"frozen param moved: {key}"
     assert moved == 1, "slot rows did not train"
+
+    # real-BERT vocab layout guard: [unused0]=1 so [unused1]..[unused4]
+    # are ids 2..5, NOT 1..4 — the optimizer must mask the rows the
+    # tokenizer actually maps the slot tokens to (regression: an
+    # off-by-one trained row 1 and skipped the last slot).
+    real_layout = {"[PAD]": 0}
+    for i in range(99):
+        real_layout[f"[unused{i}]"] = i + 1
+    real_layout.update({"[UNK]": 100, "[CLS]": 101, "[SEP]": 102,
+                        "[MASK]": 103})
+    real_tok = BertTokenizer(real_layout)
+    ids = real_tok.convert_tokens_to_ids(
+        [f"[unused{i}]" for i in range(1, 5)])
+    assert ids == [2, 3, 4, 5]
+    tx2 = soft_prompt_optimizer(ids, 0.02)
+    # the first donating step deleted `params`' device buffers — rebuild
+    # the tree from the pristine host-side copy (donation gotcha)
+    params2 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x)), before)
+    state2 = train_lib.create_train_state(params2, tx2)
+    step2 = train_lib.make_mlm_train_step(model, tx2, dropout=False)
+    state2, _ = step2(state2, train_lib.batch_arrays_mlm(fb),
+                      jax.random.PRNGKey(0))
+    for (pa, a), (_, b) in zip(flat_a,
+                               jax.tree_util.tree_flatten_with_path(
+                                   state2.params)[0]):
+        if "word_embeddings" in jax.tree_util.keystr(pa):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.array_equal(a[:2], b[:2]) and np.array_equal(
+                a[6:], b[6:]), "rows outside slot ids moved"
+            assert not np.array_equal(a[2:6], b[2:6]), \
+                "slot rows (real layout) did not train"
 
 
 @pytest.mark.slow

@@ -264,6 +264,21 @@ def test_run_retrieval_val_caption_cap(fixture, tmp_path):
     scores = pk.load(open(tmp_path / "r.pk", "rb"))["scores"]
     assert scores.shape == (8, 8)     # 1 caption/img vs 16 uncapped
 
+    # a val cap LARGER than the train cap must still see the full pool
+    # (the reference caps train/eval datasets independently; regression:
+    # the eval slice used to apply on top of the train-capped pool)
+    main([
+        "--feat_file", fixture["feat_file"],
+        "--captions", str(tmp_path / "caps2.json"),
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_captions_per_img", "1",
+        "--num_captions_per_img_val", "2",
+        "--per_gpu_eval_batch_size", "16",
+        "--output", str(tmp_path / "r2.pk"), *TINY,
+    ])
+    scores = pk.load(open(tmp_path / "r2.pk", "rb"))["scores"]
+    assert scores.shape == (16, 8)    # 2 captions/img despite train cap 1
+
 
 @pytest.mark.slow
 def test_run_retrieval_rerank_protocol(fixture, tmp_path):
@@ -961,12 +976,12 @@ def test_run_vqa_code_level_vqvae(tmp_path):
                     "s": [1.0], "img_id": f"im{q}", "q_id": q})
     # embeddings_t is [code_dim, code_voc] (reference derives code_dim
     # from shape[0] and inits the embedding with .t())
+    # only vqvae/{split}.pt on disk: the loader must fall back to it for
+    # the codebook geometry when the reference's hardcoded train.pt is
+    # absent (its splits are only ever named 'train'/'val')
     torch.save({"embeddings_t": torch.randn(16, 8),
                 "feats_top": feats_top},
                vqdir / "train2014.pt")
-    import shutil
-
-    shutil.copy(vqdir / "train2014.pt", vqdir / "train.pt")
     json.dump(qla, open(tmp_path / "train2014_qla.json", "w"))
 
     acc = main([
@@ -978,6 +993,65 @@ def test_run_vqa_code_level_vqvae(tmp_path):
         "--per_gpu_train_batch_size", "8", *TINY,
     ])
     assert acc >= 75.0, f"code_level VQA failed to learn: {acc}"
+
+
+@pytest.mark.slow
+def test_run_vqa_codebook_no_clobber(tmp_path, capsys):
+    """A --checkpoint that already carries a (fine-tuned)
+    code_embeddings weight must NOT be overwritten by the raw VQ-VAE
+    codebook init (the reference's do_eval reload skips
+    init_code_embedding, run_vqa.py:1188); a checkpoint WITHOUT one
+    still gets the codebook init."""
+    import dataclasses
+
+    import torch
+
+    from cpt_tpu.config.bert import OSCAR_BASE
+    from cpt_tpu.tools.run_vqa import main
+    from cpt_tpu.utils.convert import random_oscar_state_dict
+
+    rng = np.random.RandomState(0)
+    vqdir = tmp_path / "vqvae"
+    vqdir.mkdir()
+    feats_top = {f"im{q}": torch.tensor(rng.randint(0, 8, size=(5,)))
+                 for q in range(8)}
+    qla = [{"q": "is the dog red", "o": "park", "an": [q % 2],
+            "s": [1.0], "img_id": f"im{q}", "q_id": q} for q in range(8)]
+    torch.save({"embeddings_t": torch.randn(16, 8),
+                "feats_top": feats_top}, vqdir / "train.pt")
+    json.dump(qla, open(tmp_path / "train_qla.json", "w"))
+
+    # must match the runner-derived config (model_config: OSCAR_BASE +
+    # the TINY overrides) so the merge shape-check passes
+    cfg = dataclasses.replace(OSCAR_BASE, hidden_size=32,
+                              num_hidden_layers=2, img_feature_dim=D,
+                              num_attention_heads=2,
+                              intermediate_size=128)
+    sd = random_oscar_state_dict(cfg)
+    # a dis_code model projects code_dim→hidden, not the float feature
+    # dim — drop the float img_embedding (shape mismatch by design)
+    del sd["bert.img_embedding.weight"], sd["bert.img_embedding.bias"]
+    argv = [
+        "--qla_data_dir", str(tmp_path), "--split", "train",
+        "--img_feature_type", "dis_code", "--code_level", "top",
+        "--num_labels", "2", "--loss_type", "bce",
+        "--max_seq_length", "16", "--max_img_seq_length", "6",
+        "--num_train_epochs", "0",
+        "--per_gpu_train_batch_size", "8", *TINY,
+    ]
+
+    # pretrain-style checkpoint (no code embedding) → codebook init runs
+    torch.save(sd, tmp_path / "pre.bin")
+    main(argv + ["--checkpoint", str(tmp_path / "pre.bin")])
+    assert "initialized code embedding" in capsys.readouterr().out
+
+    # fine-tuned checkpoint WITH a trained code embedding → no clobber
+    sd2 = dict(sd)
+    sd2["bert.code_embeddings.weight"] = (
+        np.full((8, 16), 0.5, np.float32))
+    torch.save(sd2, tmp_path / "ft.bin")
+    main(argv + ["--checkpoint", str(tmp_path / "ft.bin")])
+    assert "initialized code embedding" not in capsys.readouterr().out
 
 
 def test_dis_code_rejected_off_vqa(tmp_path):
