@@ -78,8 +78,12 @@ def tensorize_pair(tokenizer: BertTokenizer, text_a: str,
     # (reference `if tokens_b:` — task_utils.py:594, run_nlvr.py:155);
     # retrieval appends `tokens_b + [SEP]` whenever text_b is truthy, so
     # a caption truncated to nothing still contributes its segment-1
-    # [SEP] (run_retrieval.py:144-149).
-    if tokens_b or (text_b and truncation == "b_only"):
+    # [SEP] (run_retrieval.py:144-149) — but only while there is room:
+    # when tokens_a alone fills max_seq_len-2 the reference is in its
+    # negative-bound bug regime, and appending would overflow the fixed
+    # shape (len == max_seq_len+1); we keep the clamped no-[SEP] layout.
+    if tokens_b or (text_b and truncation == "b_only"
+                    and len(tokens) < max_seq_len):
         tokens += tokens_b + ["[SEP]"]
         segments += [1] * (len(tokens_b) + 1)
 

@@ -80,8 +80,10 @@ def build_args():
                         "--num_captions_per_img_train)")
     p.add_argument("--num_captions_per_img_val", type=int, default=None,
                    help="separate cap for the EVAL ranking pool "
-                        "(reference --num_captions_per_img_val; defaults "
-                        "to the train cap)")
+                        "(reference --num_captions_per_img_val, default 5 "
+                        "there). Unset: full-pairwise eval uses the whole "
+                        "caption pool, and the re-rank branch uses ALL "
+                        "candidates from the caption-index file")
     p.add_argument("--no_od_labels", action="store_true",
                    help="drop od-label text_b (reference --add_od_labels "
                         "off; the published recipes keep it on, our "

@@ -65,6 +65,31 @@ def test_refcoco_tokenize_truncation_parity(ref_modules):
     np.testing.assert_array_equal(ours.attention_mask, mask.numpy())
 
 
+def test_b_only_full_budget_no_sep_overflow():
+    """b_only mode with tokens_a filling the whole budget (>= T-2
+    wordpieces): the reference enters its negative-bound bug regime
+    (run_retrieval.py:146-148); we clamp text_b to nothing AND must not
+    append the segment-1 [SEP] — output stays exactly max_seq_len
+    (regression: round-4 appended it unconditionally → T+1 ids)."""
+    T = 16
+    long_a = "the red dog on the left of the cat " * 3  # >= T-2 pieces
+    ours = tensorize_pair(TOK, long_a, "dog cat", 2, max_seq_len=T,
+                          max_img_seq_len=4, truncation="b_only")
+    assert ours.input_ids.shape == (T,)
+    assert ours.segment_ids.shape == (T,)
+    assert ours.attention_mask.shape == (T + 4,)
+    # all-text: [CLS] + (T-2) tokens_a + [SEP], no room for segment 1
+    assert ours.segment_ids.sum() == 0
+    # one wordpiece short of the cap: b gets zero budget but the trailing
+    # segment-1 [SEP] still fits in the last slot (reference reachable path)
+    toks = TOK.tokenize(long_a)[: T - 3]
+    seq = tensorize_pair(TOK, "x", "dog cat", 2, max_seq_len=T,
+                         max_img_seq_len=4, truncation="b_only",
+                         tokens_a=toks)
+    assert seq.input_ids.shape == (T,)
+    assert seq.segment_ids[T - 1] == 1  # the b-[SEP] in the final slot
+
+
 def _stub_pinned_transformers():
     """The reference Oscar imports the pinned external
     ``transformers.pytorch_transformers`` clone; stub it with auto-generated
