@@ -163,7 +163,10 @@ def test_base_batch_warmup_compiles_batched_base():
     try:
         assert httpd.svc.extractor._base_batch_fn is not None
     finally:
-        httpd.shutdown()
+        # serve_forever() was never started: BaseServer.shutdown() would
+        # deadlock waiting for the loop to acknowledge — just close the
+        # listening socket
+        httpd.server_close()
 
 
 @pytest.mark.slow
