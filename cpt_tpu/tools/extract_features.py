@@ -67,6 +67,20 @@ def build_args():
                         "(default skips, reference inference_ref.py:223-229)")
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--rand_seed", type=int, default=None)
+    p.add_argument("--color_name", default=None,
+                   help="refcoco paint-color override: color word written "
+                        "to the TSV payload (reference COLOR_NAME, "
+                        "refcocodataset.py ValDataset :356-360 — the "
+                        "color-exploration extraction knob)")
+    p.add_argument("--color_rgb", default=None,
+                   help="refcoco paint-color override, 'R-G-B' "
+                        "(reference COLOR_RGB)")
+    p.add_argument("--color_d", type=int, default=None,
+                   help="reference COLOR_D, per-task semantics: refcoco = "
+                        "paint ALPHA of the --color_rgb override "
+                        "(refcocodataset.py:359); vcr = number of palette "
+                        "colors painted, 0 = uncolored 'pt' variant "
+                        "(vcrdataset.py:127, cmds/vcr/*_val_seg.sh)")
     p.add_argument("--copies_per_chunk", type=int, default=None,
                    help="fixed chunk size; default auto (HBM-budget power of two)")
     p.add_argument("--dp", type=int, default=1,
@@ -398,12 +412,22 @@ def main(argv=None):
             return str(int(name.replace(".jpg", "").split("_")[-1]))
 
         if args.task == "refcoco":
+            # paint-color override (reference ValDataset COLOR_NAME/
+            # COLOR_RGB/COLOR_D, refcocodataset.py:356-360): name + "R-G-B"
+            # + alpha; unset pieces keep the production red
+            color = ("red", (240, 0, 30, 127))
+            if (args.color_name or args.color_rgb
+                    or args.color_d is not None):
+                rgb = tuple(int(x) for x in
+                            (args.color_rgb or "240-0-30").split("-"))
+                alpha = args.color_d if args.color_d is not None else 127
+                color = (args.color_name or "red", rgb + (alpha,))
             for ann in anns:
                 rawdets = det_dic[img_id(ann["file_name"])]
                 dets = xywh_to_xyxy([d["box"] for d in rawdets])
                 img, hw, sc = load_one(ann["file_name"], ann.get("height"))
                 yield refcoco_task(str(ann["id"]), img, hw, dets * sc,
-                                   ann["caption"])
+                                   ann["caption"], color=color)
         elif args.task == "gqa":
             # also covers VQAColorDataset (reference vqadataset.py:63-140:
             # the same color-marking pipeline over VQA annotations, which
@@ -426,6 +450,10 @@ def main(argv=None):
         elif args.task == "vcr":
             from cpt_tpu.data.stage1_tasks import vcr_entity_groups
 
+            # reference COLOR_D on the vcr cmds = how many palette colors
+            # are painted; 0 = the uncolored "pt" baseline extraction
+            # (vcrdataset.py:127, cmds/vcr/{cpt,pt}_vcr_val_seg.sh)
+            vcr_color_d = args.color_d if args.color_d is not None else 6
             for ann in anns:
                 if "annot_id" in ann:
                     # the reference's OWN VCR layout (vcrdataset.py:
@@ -446,6 +474,7 @@ def main(argv=None):
                     yield vcr_color_task(ann["annot_id"], img, hw,
                                          dets * sc, vis,
                                          scale_polys(polys, sc), names,
+                                         color_d=vcr_color_d,
                                          txt_entity_ids=txt)
                     continue
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img_key"]]])
@@ -454,7 +483,8 @@ def main(argv=None):
                 names = {int(k): v for k, v in ann["entity_names"].items()}
                 yield vcr_color_task(ann["img_key"], img, hw, dets * sc,
                                      ann["entity_ids"],
-                                     scale_polys(polys, sc), names)
+                                     scale_polys(polys, sc), names,
+                                     color_d=vcr_color_d)
         elif args.task == "vg":
             for ann in anns:
                 dets = xywh_to_xyxy([d["box"] for d in det_dic[ann["img"]]])

@@ -136,6 +136,69 @@ def test_vcr_dedup_is_by_box_value(rng):
     assert "0_1" not in task2.meta["obj_colors"]
 
 
+def test_vcr_color_d_zero_paints_nothing(rng):
+    """COLOR_D=0 (the reference's uncolored 'pt' extraction,
+    cmds/vcr/pt_vcr_val_seg.sh + vcrdataset.py:127): no entity is
+    painted and no group carries a color word; names still emit."""
+    img = _image(rng)
+    polys = {0: [(5, 5), (20, 5), (20, 20), (5, 20)]}
+    task = vcr_color_task("v0", img, (60, 60), DETS,
+                          entity_ids=[[0]], entity_polygons=polys,
+                          entity_names={0: "person"}, color_d=0)
+    np.testing.assert_array_equal(task.image_rgb, img)
+    assert task.meta["obj_colors"] == {}
+    assert task.meta["obj_names"] == {"0": "person"}
+
+
+def test_extract_cli_refcoco_color_override(tmp_path, rng):
+    """--color_name/--color_rgb/--color_d on extract_features reproduce
+    the reference ValDataset's COLOR_NAME/COLOR_RGB/COLOR_D extraction
+    knob (refcocodataset.py:356-360, the color-exploration pipeline):
+    the TSV payload carries the custom color word and the paint uses the
+    custom RGBA."""
+    from PIL import Image
+
+    from cpt_tpu.tools.extract_features import main as extract_main
+    from cpt_tpu.utils.tsv import TSVFile
+
+    root = tmp_path
+    (root / "images").mkdir()
+    img = _image(rng)
+    Image.fromarray(img).save(root / "images" / "COCO_val2014_000000000007.jpg")
+    json.dump([{"id": "q0", "caption": "the green thing",
+                "file_name": "COCO_val2014_000000000007.jpg",
+                "width": CFG.input.pad_w, "height": CFG.input.pad_h}],
+              open(root / "ann.json", "w"))
+    json.dump({"7": [{"box": [4, 4, 21, 21]}, {"box": [30, 8, 21, 23]}]},
+              open(root / "det.json", "w"))
+    base = ["--task", "refcoco", "--ann_file", str(root / "ann.json"),
+            "--det_file", str(root / "det.json"),
+            "--image_root", str(root / "images"),
+            "--tiny", "--copies_per_chunk", "2"]
+    extract_main(base + ["--output", str(root / "red.tsv")])
+    extract_main(base + ["--output", str(root / "green.tsv"),
+                         "--color_name", "green",
+                         "--color_rgb", "0-255-0", "--color_d", "100"])
+
+    def row(path):
+        key, payload = TSVFile(str(root / path))[0]
+        assert key == "q0"
+        return json.loads(payload)["objects"]
+
+    red_objs, _, red_colors, _ = row("red.tsv")
+    grn_objs, _, grn_colors, _ = row("green.tsv")
+    assert red_colors == [["red"], ["red"]]
+    assert grn_colors == [["green"], ["green"]]
+    # same (seed-0 random) weights both runs: the only difference is the
+    # paint — features of the painted copies must move
+    from cpt_tpu.utils.tsv import decode_feature
+
+    rf = decode_feature(red_objs[0][0]["feature"])
+    gf = decode_feature(grn_objs[0][0]["feature"])
+    assert rf.shape == gf.shape
+    assert not np.allclose(rf, gf)
+
+
 def test_scale_poly_empty_first_part():
     """--resize segm scaling must use rasterize_polygon's multi-part
     detection: an empty FIRST part still marks a list-of-parts."""
