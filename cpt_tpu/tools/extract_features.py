@@ -414,14 +414,24 @@ def main(argv=None):
         if args.task == "refcoco":
             # paint-color override (reference ValDataset COLOR_NAME/
             # COLOR_RGB/COLOR_D, refcocodataset.py:356-360): name + "R-G-B"
-            # + alpha; unset pieces keep the production red
-            color = ("red", (240, 0, 30, 127))
+            # + alpha; unset pieces keep the production color
+            from cpt_tpu.data.prompts import REFCOCO_COLORS
+
+            color = REFCOCO_COLORS[0]
             if (args.color_name or args.color_rgb
                     or args.color_d is not None):
-                rgb = tuple(int(x) for x in
-                            (args.color_rgb or "240-0-30").split("-"))
-                alpha = args.color_d if args.color_d is not None else 127
-                color = (args.color_name or "red", rgb + (alpha,))
+                def_name, def_rgba = REFCOCO_COLORS[0]
+                if args.color_rgb:
+                    rgb = tuple(int(x) for x in args.color_rgb.split("-"))
+                    if len(rgb) != 3:
+                        raise SystemExit(
+                            f"--color_rgb expects 'R-G-B', got "
+                            f"{args.color_rgb!r}")
+                else:
+                    rgb = def_rgba[:3]
+                alpha = (args.color_d if args.color_d is not None
+                         else def_rgba[3])
+                color = (args.color_name or def_name, rgb + (alpha,))
             for ann in anns:
                 rawdets = det_dic[img_id(ann["file_name"])]
                 dets = xywh_to_xyxy([d["box"] for d in rawdets])
@@ -452,8 +462,14 @@ def main(argv=None):
 
             # reference COLOR_D on the vcr cmds = how many palette colors
             # are painted; 0 = the uncolored "pt" baseline extraction
-            # (vcrdataset.py:127, cmds/vcr/{cpt,pt}_vcr_val_seg.sh)
-            vcr_color_d = args.color_d if args.color_d is not None else 6
+            # (vcrdataset.py:127, cmds/vcr/{cpt,pt}_vcr_val_seg.sh).
+            # Clamped to the palette size: the reference IndexErrors past
+            # it (self.colors[color_cnt], vcrdataset.py:231)
+            from cpt_tpu.data.prompts import CROSS_TASK_COLORS
+
+            vcr_color_d = min(
+                args.color_d if args.color_d is not None else 6,
+                len(CROSS_TASK_COLORS))
             for ann in anns:
                 if "annot_id" in ann:
                     # the reference's OWN VCR layout (vcrdataset.py:
