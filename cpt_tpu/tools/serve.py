@@ -69,8 +69,12 @@ def build_args():
                    help="--tiny only: canvas/pad size override")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--score_batch", type=int, default=32,
-                   help="fixed stage-2 batch slot count (pad target)")
+    p.add_argument("--score_batch", type=int, default=0,
+                   help="MINIMUM stage-2 batch pad (0 = auto: pow2 "
+                        "bucket per request's candidate count; requests "
+                        "always size UP past this so no candidate is "
+                        "truncated). Pin e.g. 32 for one fixed compile "
+                        "shape across small requests")
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_hidden_layers", type=int, default=None)
     p.add_argument("--no_warmup", action="store_true")
@@ -180,6 +184,13 @@ class CPTService:
                 [2.0, 2.0, min(48.0, w - 2), min(40.0, h - 2)]]
         t0 = time.perf_counter()
         self.predict(img, "the red warmup box", dets)
+        # also pre-pay the 16-slot pow2 scoring class (the most common
+        # request size: ~10 candidate dets)
+        rng = np.random.RandomState(0)
+        dets16 = [[float(x), float(y), float(x + 24), float(y + 24)]
+                  for x, y in zip(rng.randint(1, max(w - 26, 2), 10),
+                                  rng.randint(1, max(h - 26, 2), 10))]
+        self.predict(img, "the red warmup box", dets16)
         print(f"warmup done in {time.perf_counter() - t0:.1f}s")
         if self.batcher is not None and getattr(self.extractor,
                                                 "windowed", False):
@@ -258,12 +269,24 @@ class CPTService:
             json.dump([{"id": "q0", "caption": caption}],
                       open(f"{wd}/ann.json", "w"))
             det_json_for_stage2(tsv, f"{wd}/det.json")
+            # Right-size the scoring upload (PERF.md round-5 serving
+            # decomposition: at the old fixed 32×50-slot pad the
+            # img_feats upload is ~13 MB over the relay and dominates
+            # the stage-2 share). Pow2 buckets keep the jit cache
+            # bounded; scores are identical — padding is masked out.
+            # Sizing up to the request's copy count also fixes the old
+            # fixed-pad truncation of >score_batch-candidate requests.
+            n_copies = task.n_copies
+            n_dets = min(len(task.det_boxes), 50)
+            bsz = max(self.args.score_batch, 8,
+                      1 << max(n_copies - 1, 0).bit_length())
+            img_seq = min(50, max(8, 1 << max(n_dets - 1, 0).bit_length()))
             data = RefcocoCPTData(tsv, f"{wd}/ann.json",
                                   f"{wd}/det.json", self.tokenizer,
+                                  img_seq_len=img_seq,
                                   img_feat_dim=self.cfg.img_feature_dim)
             all_scores, all_rects = [], []
-            for batch, _ex in iter_eval_batches(data,
-                                                self.args.score_batch):
+            for batch, _ex in iter_eval_batches(data, bsz):
                 at_mask = run_mlm_batch(self.score_fn, self.oparams,
                                         batch)
                 grouped = refcoco_collect_scores(at_mask, batch,
