@@ -169,6 +169,28 @@ def test_base_batch_warmup_compiles_batched_base():
         httpd.server_close()
 
 
+def test_scoring_batch_sizes_up_past_candidate_count():
+    """A request with more candidates than any fixed pad must return one
+    score per candidate (round-5 fix: the old fixed 32-slot scoring pad
+    silently truncated; the batch now pow2-buckets UP to the request)."""
+    from cpt_tpu.tools.serve import CPTService, build_args
+
+    args = build_args().parse_args(
+        ["--tiny", "--port", "0", "--hidden_size", "32",
+         "--num_hidden_layers", "1", "--score_batch", "4", "--no_warmup"])
+    svc = CPTService(args)
+    h = w = svc.dcfg.input.buckets[0][0]
+    rng = np.random.RandomState(2)
+    n = 9   # > the pinned 4-slot minimum pad -> sizes up to 16
+    dets = [[float(x), float(y), float(x + 14), float(y + 12)]
+            for x, y in zip(rng.randint(1, w - 16, n),
+                            rng.randint(1, h - 14, n))]
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    pred, scores = svc.predict(img, "the red dog", dets)
+    assert len(scores) == n
+    assert pred in [[float(v) for v in d] for d in dets]
+
+
 @pytest.mark.slow
 def test_predict_error_handling(server):
     code, resp = _post(server, "/predict", {"caption": "no image"})
