@@ -656,6 +656,34 @@ def refcoco_task(key: str, image_rgb: np.ndarray, image_hw, det_boxes,
     )
 
 
+def refcoco_mask_task(key: str, image_rgb: np.ndarray, image_hw, det_boxes,
+                      det_masks, caption: str,
+                      color=("red", (240, 0, 30, 127))) -> ExtractTask:
+    """RefCOCO SEG variant: candidate dets carry segmentation masks and
+    each copy paints its mask instead of its rect
+    (``refcocodataset.py:241-247`` — ``"rle" in rawdets[0]`` — and the
+    ``draw_rectangles`` mask branch :294-300; boxes still ride along for
+    the TSV payload/geometry). ``copy_rects`` keep the boxes for the
+    payload and the windowed routing targets but paint at alpha 0 — an
+    exact no-op under the integer blend ((img*255 + 127) // 255 == img).
+
+    ``det_masks``: [n, H, W] binary masks (RLE decoded host-side)."""
+    name, rgba = color
+    n = len(det_boxes)
+    det_boxes = np.asarray(det_boxes, np.float32)
+    no_paint = np.asarray((rgba[0], rgba[1], rgba[2], 0), np.uint8)
+    return ExtractTask(
+        key=key, image_rgb=image_rgb, image_hw=image_hw,
+        det_boxes=det_boxes, caption=caption,
+        copy_rects=det_boxes[:, None, :],
+        copy_rect_valid=np.ones((n, 1), bool),
+        copy_colors_rgba=np.tile(no_paint, (n, 1, 1)),
+        copy_color_names=[[name]] * n,
+        copy_masks=np.asarray(det_masks, np.uint8),
+        copy_mask_colors=np.tile(np.asarray(rgba, np.uint8), (n, 1)),
+    )
+
+
 def make_sharded_extract_fn(model: AttrRCNN, cfg: DetectorConfig, mesh, *,
                             inclusive_paint: bool = False,
                             with_masks: bool = False,

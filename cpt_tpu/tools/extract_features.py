@@ -179,6 +179,19 @@ def scale_polys(polys, sc):
     return {k: _scale_poly(p, sc) for k, p in polys.items()}
 
 
+def scale_mask(mask, sc):
+    """--resize scaling of a decoded binary RLE mask (nearest — binary
+    masks keep hard edges like the resized paint rects)."""
+    if sc == 1.0:
+        return mask
+    from PIL import Image
+
+    h, w = mask.shape
+    out = Image.fromarray(mask.astype(np.uint8)).resize(
+        (int(round(w * sc)), int(round(h * sc))), Image.NEAREST)
+    return np.asarray(out)
+
+
 def shard_and_sample(anns, args):
     if args.total_step is not None and args.cur_step is not None:
         period = len(anns) // args.total_step
@@ -319,9 +332,18 @@ def main(argv=None):
     # RefCOCO and VG paint exclusively (refcocodataset.py:301,
     # vgdataset.py:157) — caught by the cross-framework pipeline test
     inclusive = args.task in ("gqa", "vcr")
+    det_dic_all = json.load(open(args.det_file)) if args.det_file else {}
+    # RefCOCO SEG variant: dets carrying "rle" masks paint the mask, not
+    # the rect (refcocodataset.py:241-247) — needs the device mask
+    # channel compiled in
+    first_dets = next(iter(det_dic_all.values()), None) if det_dic_all else None
+    refcoco_rle = (args.task == "refcoco" and first_dets
+                   and isinstance(first_dets[0], dict)
+                   and "rle" in first_dets[0])
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
                           inclusive_paint=inclusive,
+                          with_masks=bool(refcoco_rle),
                           windowed=args.windowed, window=windows,
                           allow_approximate=args.allow_approximate,
                           mesh=mesh)
@@ -405,7 +427,7 @@ def main(argv=None):
             return
         anns = json.load(open(args.ann_file))
         anns = shard_and_sample(anns, args)
-        det_dic = json.load(open(args.det_file)) if args.det_file else {}
+        det_dic = det_dic_all
         to_mark = json.load(open(args.to_mark)) if args.to_mark else {}
 
         def img_id(name):
@@ -436,6 +458,17 @@ def main(argv=None):
                 rawdets = det_dic[img_id(ann["file_name"])]
                 dets = xywh_to_xyxy([d["box"] for d in rawdets])
                 img, hw, sc = load_one(ann["file_name"], ann.get("height"))
+                if refcoco_rle:
+                    from cpt_tpu.engine.extract import refcoco_mask_task
+                    from cpt_tpu.utils.rle import decode as rle_decode
+
+                    masks = np.stack([
+                        scale_mask(rle_decode(d["rle"]), sc)
+                        for d in rawdets])
+                    yield refcoco_mask_task(str(ann["id"]), img, hw,
+                                            dets * sc, masks,
+                                            ann["caption"], color=color)
+                    continue
                 yield refcoco_task(str(ann["id"]), img, hw, dets * sc,
                                    ann["caption"], color=color)
         elif args.task == "gqa":

@@ -47,10 +47,12 @@ CLASSES = ["thing1", "thing2", "thing3", "thing4", "thing5", "thing6"]
 H = W = 64
 
 
-def _write_fixture(root):
+def _write_fixture(root, with_rle=False):
     """2 images, 3 queries, 3 candidate dets per image. The per-query
     "bbox" ground truth (xywh) sits on a distinct candidate so the
-    stage-2 gt-color construction and mIoU are meaningful."""
+    stage-2 gt-color construction and mIoU are meaningful.
+    ``with_rle``: dets additionally carry RLE segmentation masks (the
+    reference's SEG painting variant, refcocodataset.py:241-247)."""
     from PIL import Image
 
     rng = np.random.RandomState(5)
@@ -76,6 +78,18 @@ def _write_fixture(root):
         "2": [{"box": [10, 10, 30, 30]}, {"box": [25, 20, 35, 40]},
               {"box": [2, 40, 20, 20]}],
     }
+    if with_rle:
+        # irregular (non-rectangular) mask inside each det box so the
+        # seg paint differs from the rect paint
+        from cpt_tpu.utils.rle import encode as rle_encode
+
+        for key, img_dets in dets.items():
+            for d in img_dets:
+                x, y, bw, bh = d["box"]
+                m = np.zeros((H, W), np.uint8)
+                m[y: y + bh, x: x + bw] = 1
+                m[y: y + bh // 2, x: x + bw // 3] = 0   # notch a corner
+                d["rle"] = dict(rle_encode(m))
     json.dump(anns, open(root / "ann.json", "w"))
     json.dump(dets, open(root / "det.json", "w"))
     yaml_path = root / "refcoco_test.yaml"
@@ -128,7 +142,21 @@ def _reference_tsv(tmp_path, yaml_path, labelmap_path, overrides=None):
 
 @pytest.mark.slow
 def test_stage1_pipeline_tsv_parity(tmp_path):
-    yaml_path, labelmap_path = _write_fixture(tmp_path)
+    _stage1_parity(tmp_path, with_rle=False)
+
+
+@pytest.mark.slow
+def test_stage1_pipeline_tsv_parity_rle_masks(tmp_path):
+    """The SEG painting variant: dets carry RLE masks, the reference
+    paints the decoded mask instead of the rect
+    (refcocodataset.py:241-247, draw_rectangles mask branch) — our
+    `--task refcoco` auto-detects "rle" dets and routes to
+    refcoco_mask_task + the device mask channel."""
+    _stage1_parity(tmp_path, with_rle=True)
+
+
+def _stage1_parity(tmp_path, with_rle):
+    yaml_path, labelmap_path = _write_fixture(tmp_path, with_rle=with_rle)
     ref_model, ref_tsv = _reference_tsv(tmp_path, yaml_path, labelmap_path)
     assert ref_tsv.exists()
 

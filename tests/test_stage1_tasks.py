@@ -199,6 +199,38 @@ def test_extract_cli_refcoco_color_override(tmp_path, rng):
     assert not np.allclose(rf, gf)
 
 
+def test_refcoco_mask_task_paints_mask_not_rect(rng):
+    """RefCOCO SEG variant (refcocodataset.py:241-247 'rle' dets): each
+    copy paints its segmentation mask; the alpha-0 rect slots are an
+    exact render no-op (they exist for the payload/window routing)."""
+    from cpt_tpu.engine.extract import refcoco_mask_task
+    from cpt_tpu.ops.render import paste_mask, paste_rects
+
+    img = _image(rng)
+    masks = np.zeros((3,) + img.shape[:2], np.uint8)
+    for i, (x1, y1, x2, y2) in enumerate(DETS.astype(int)):
+        masks[i, y1:y2, x1:x2] = 1     # block masks stand in for RLE
+    task = refcoco_mask_task("q0", img, (60, 60), DETS, masks,
+                             "the red thing")
+    assert task.n_copies == 3
+    # device-render one copy the way make_extract_fn(with_masks=True)
+    # does: rect paint (alpha 0) then mask paint
+    import jax.numpy as jnp
+    rect_painted = np.asarray(paste_rects(
+        jnp.asarray(img), jnp.asarray(task.copy_rects[1]),
+        jnp.asarray(task.copy_colors_rgba[1]),
+        jnp.asarray(task.copy_rect_valid[1])))
+    np.testing.assert_array_equal(rect_painted, img)  # alpha-0 no-op
+    painted = np.asarray(paste_mask(
+        jnp.asarray(img), jnp.asarray(task.copy_masks[1]),
+        jnp.asarray(task.copy_mask_colors[1])))
+    x1, y1, x2, y2 = DETS[1].astype(int)
+    assert not np.array_equal(painted[y1:y2, x1:x2], img[y1:y2, x1:x2])
+    outside = np.ones(img.shape[:2], bool)
+    outside[y1:y2, x1:x2] = False
+    np.testing.assert_array_equal(painted[outside], img[outside])
+
+
 def test_scale_poly_empty_first_part():
     """--resize segm scaling must use rasterize_polygon's multi-part
     detection: an empty FIRST part still marks a list-of-parts."""
