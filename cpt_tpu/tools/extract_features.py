@@ -160,6 +160,20 @@ def apply_ref_to_extract_args(args, ref):
         stem = os.path.splitext(os.path.basename(ref.data_dir or "out"))[0]
         args.output = os.path.join(ref.output_dir, "inference", stem,
                                    "predictions.tsv")
+    # CPT data-load keys ride the yacs opts in every cmds/ script
+    # (defaults.py:535-542, e.g. `N_SHOT $NSHOT RAND_SEED $SEED
+    # COLOR_D $4` in cmds/vcr/vcr_train.sh) — map them so the
+    # reference's commands translate verbatim; explicit flags win
+    raw = getattr(ref, "raw", None) or {}
+    for yk, attr in (("N_SHOT", "n_shot"), ("RAND_SEED", "rand_seed"),
+                     ("TOTAL_STEP", "total_step"),
+                     ("CUR_STEP", "cur_step"), ("COLOR_D", "color_d")):
+        if getattr(args, attr) is None and raw.get(yk) is not None:
+            setattr(args, attr, int(raw[yk]))
+    if args.color_name is None and raw.get("COLOR_NAME") is not None:
+        args.color_name = str(raw["COLOR_NAME"])
+    if args.color_rgb is None and raw.get("COLOR_RGB") is not None:
+        args.color_rgb = str(raw["COLOR_RGB"])
     return args
 
 

@@ -171,6 +171,34 @@ def test_extract_args_mapping(tmp_path):
     assert args2.task == "plain" and args2.output == "x.tsv"
 
 
+def test_extract_args_cpt_keys_from_opts(tmp_path):
+    """The CPT data-load yacs keys in every cmds/ script — N_SHOT,
+    RAND_SEED, COLOR_D (cmds/vcr/vcr_train.sh), TOTAL_STEP/CUR_STEP
+    (gqa ext.sh), COLOR_NAME/COLOR_RGB (ValDataset) — map onto the
+    extraction flags so reference commands translate verbatim."""
+    from cpt_tpu.tools.extract_features import (apply_ref_to_extract_args,
+                                                build_args)
+
+    y = tmp_path / "c.yaml"
+    y.write_text("OUTPUT_DIR: /tmp/o\n")
+    ref = load_reference_yaml(str(y), opts=[
+        "N_SHOT", "4", "RAND_SEED", "7", "COLOR_D", "3",
+        "TOTAL_STEP", "15", "CUR_STEP", "2",
+        "COLOR_NAME", "green", "COLOR_RGB", "0-255-0"])
+    args = build_args().parse_args(
+        ["--config_file", str(y), "--task", "vcr", "--output", "x.tsv"])
+    args = apply_ref_to_extract_args(args, ref)
+    assert (args.n_shot, args.rand_seed, args.color_d) == (4, 7, 3)
+    assert (args.total_step, args.cur_step) == (15, 2)
+    assert (args.color_name, args.color_rgb) == ("green", "0-255-0")
+    # explicit flags win over the yacs opts
+    args2 = build_args().parse_args(
+        ["--config_file", str(y), "--task", "vcr", "--output", "x.tsv",
+         "--n_shot", "9", "--color_d", "0"])
+    args2 = apply_ref_to_extract_args(args2, ref)
+    assert args2.n_shot == 9 and args2.color_d == 0
+
+
 def test_checkpoint_resolved_next_to_yaml(tmp_path):
     """MODEL.WEIGHT is tried relative to cwd AND the yaml's directory so a
     checked-out reference tree works in place."""
