@@ -349,11 +349,13 @@ def main(argv=None):
     det_dic_all = json.load(open(args.det_file)) if args.det_file else {}
     # RefCOCO SEG variant: dets carrying "rle" masks paint the mask, not
     # the rect (refcocodataset.py:241-247) — needs the device mask
-    # channel compiled in
-    first_dets = next(iter(det_dic_all.values()), None) if det_dic_all else None
-    refcoco_rle = (args.task == "refcoco" and first_dets
-                   and isinstance(first_dets[0], dict)
-                   and "rle" in first_dets[0])
+    # channel compiled in. The decision is PER IMAGE (the reference's
+    # `"rle" in rawdets[0]` runs per __getitem__); compile the mask
+    # channel if ANY image uses it — rect-only images then ride the same
+    # program with an all-zero mask (alpha-0 paste: exact no-op)
+    refcoco_rle = (args.task == "refcoco" and any(
+        v and isinstance(v[0], dict) and "rle" in v[0]
+        for v in det_dic_all.values()))
     extractor = Extractor(model, params, cfg, labelmap=labelmap,
                           copies_per_chunk=args.copies_per_chunk,
                           inclusive_paint=inclusive,
@@ -472,7 +474,9 @@ def main(argv=None):
                 rawdets = det_dic[img_id(ann["file_name"])]
                 dets = xywh_to_xyxy([d["box"] for d in rawdets])
                 img, hw, sc = load_one(ann["file_name"], ann.get("height"))
-                if refcoco_rle:
+                if (refcoco_rle and rawdets
+                        and isinstance(rawdets[0], dict)
+                        and "rle" in rawdets[0]):
                     from cpt_tpu.engine.extract import refcoco_mask_task
                     from cpt_tpu.utils.rle import decode as rle_decode
 

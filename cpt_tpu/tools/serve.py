@@ -44,6 +44,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# production region budget per scored sequence (RefcocoCPTData's
+# img_seq_len default)
+SCORE_IMG_SEQ = 50
+# request-size bound: caps the per-request scoring compile shape and
+# img_feats upload (the extraction chunk knee is 128 copies; a bigger
+# candidate list should be split client-side)
+MAX_REQUEST_DETS = 128
+
+
 def build_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--port", type=int, default=8437)
@@ -71,10 +80,11 @@ def build_args():
                    choices=["bfloat16", "float32"])
     p.add_argument("--score_batch", type=int, default=0,
                    help="MINIMUM stage-2 batch pad (0 = auto: pow2 "
-                        "bucket per request's candidate count; requests "
-                        "always size UP past this so no candidate is "
-                        "truncated). Pin e.g. 32 for one fixed compile "
-                        "shape across small requests")
+                        "buckets per request's candidate AND det counts; "
+                        "requests always size UP past this so no "
+                        "candidate is truncated). Pin e.g. 32 for ONE "
+                        "fixed compile shape (batch 32 x full region "
+                        "budget) across every request the pin covers")
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--num_hidden_layers", type=int, default=None)
     p.add_argument("--no_warmup", action="store_true")
@@ -156,8 +166,8 @@ class CPTService:
         oinit = jax.jit(self.oscar.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, t), jnp.int32),
             jnp.zeros((1, t), jnp.int32),
-            jnp.ones((1, t + 50), jnp.int32),
-            jnp.zeros((1, 50, cfg.img_feature_dim)))
+            jnp.ones((1, t + SCORE_IMG_SEQ), jnp.int32),
+            jnp.zeros((1, SCORE_IMG_SEQ, cfg.img_feature_dim)))
         if args.oscar_checkpoint:
             sd = cv.load_torch_file(args.oscar_checkpoint)
             pre = cv.convert_bert_state_dict(sd, cfg)
@@ -235,6 +245,11 @@ class CPTService:
         """Host-side request prep → (ExtractTask, resize scale)."""
         from cpt_tpu.engine.extract import refcoco_task
 
+        if len(dets_xyxy) > MAX_REQUEST_DETS:
+            # bounds the per-request scoring compile/upload size
+            raise ValueError(
+                f"too many candidate dets ({len(dets_xyxy)}); serve at "
+                f"most {MAX_REQUEST_DETS} per request")
         img, scale = self._resize(np.asarray(image_rgb))
         dets = np.asarray(dets_xyxy, np.float32) * scale
         return refcoco_task("q0", img, img.shape[:2], dets, caption), scale
@@ -276,11 +291,17 @@ class CPTService:
             # bounded; scores are identical — padding is masked out.
             # Sizing up to the request's copy count also fixes the old
             # fixed-pad truncation of >score_batch-candidate requests.
-            n_copies = task.n_copies
-            n_dets = min(len(task.det_boxes), 50)
+            n_copies = task.n_copies   # ≤ max_force_boxes (_prepare cap)
+            n_dets = min(len(task.det_boxes), SCORE_IMG_SEQ)
             bsz = max(self.args.score_batch, 8,
                       1 << max(n_copies - 1, 0).bit_length())
-            img_seq = min(50, max(8, 1 << max(n_dets - 1, 0).bit_length()))
+            if self.args.score_batch:
+                # pinned: one fixed compile shape for every request the
+                # pin covers (the pre-round-5 behavior minus truncation)
+                img_seq = SCORE_IMG_SEQ
+            else:
+                img_seq = min(SCORE_IMG_SEQ, max(
+                    8, 1 << max(n_dets - 1, 0).bit_length()))
             data = RefcocoCPTData(tsv, f"{wd}/ann.json",
                                   f"{wd}/det.json", self.tokenizer,
                                   img_seq_len=img_seq,

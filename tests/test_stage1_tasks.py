@@ -231,6 +231,67 @@ def test_refcoco_mask_task_paints_mask_not_rect(rng):
     np.testing.assert_array_equal(painted[outside], img[outside])
 
 
+def test_extract_cli_mixed_rect_and_rle_dets(tmp_path, rng):
+    """The SEG decision is PER IMAGE (the reference's
+    `"rle" in rawdets[0]` runs per __getitem__): a det file where only
+    SOME images carry masks must mask-paint those and rect-paint the
+    rest — regression for the round-5 global-first-entry detection."""
+    from PIL import Image
+
+    from cpt_tpu.tools.extract_features import main as extract_main
+    from cpt_tpu.utils.rle import encode as rle_encode
+    from cpt_tpu.utils.tsv import TSVFile, decode_feature
+
+    root = tmp_path
+    (root / "images").mkdir()
+    anns = []
+    for q in (7, 8):
+        Image.fromarray(_image(rng)).save(
+            root / "images" / f"COCO_val2014_{q:012d}.jpg")
+        anns.append({"id": f"q{q}", "caption": "the red thing",
+                     "file_name": f"COCO_val2014_{q:012d}.jpg",
+                     "width": CFG.input.pad_w, "height": CFG.input.pad_h})
+    json.dump(anns, open(root / "ann.json", "w"))
+    m = np.zeros((CFG.input.pad_h, CFG.input.pad_w), np.uint8)
+    m[6:22, 8:24] = 1
+    # image 7: rect-only dets (order puts the rect image FIRST so the
+    # old global detection would have chosen rect mode for both)
+    json.dump({"7": [{"box": [4, 4, 21, 21]}],
+               "8": [{"box": [4, 4, 21, 21],
+                      "rle": dict(rle_encode(m))}]},
+              open(root / "det.json", "w"))
+    # rect-only control: same dets with the masks stripped
+    json.dump({"7": [{"box": [4, 4, 21, 21]}],
+               "8": [{"box": [4, 4, 21, 21]}]},
+              open(root / "det_rect.json", "w"))
+
+    def run(det_json, out_name):
+        out = root / out_name
+        extract_main(["--task", "refcoco",
+                      "--ann_file", str(root / "ann.json"),
+                      "--det_file", str(root / det_json),
+                      "--image_root", str(root / "images"),
+                      "--tiny", "--copies_per_chunk", "2",
+                      "--output", str(out)])
+        return {k: json.loads(v)["objects"] for k, v in
+                (TSVFile(str(out))[i] for i in range(2))}
+
+    mixed = run("det.json", "mixed.tsv")
+    rect = run("det_rect.json", "rect.tsv")
+    assert set(mixed) == set(rect) == {"q7", "q8"}
+    for rows in (mixed, rect):
+        assert rows["q7"][2] == rows["q8"][2] == [["red"]]
+    f = {(mode, q): decode_feature(rows[q][0][0][0]["feature"])
+         for mode, rows in (("mixed", mixed), ("rect", rect))
+         for q in ("q7", "q8")}
+    # the rect-only image is identical in both runs (the mixed-mode
+    # compile must not change its paint) ...
+    np.testing.assert_allclose(f[("mixed", "q7")], f[("rect", "q7")],
+                               rtol=1e-4, atol=1e-5)
+    # ... while the rle image's paint actually switched to the mask
+    assert not np.allclose(f[("mixed", "q8")], f[("rect", "q8")])
+
+
 def test_scale_poly_empty_first_part():
     """--resize segm scaling must use rasterize_polygon's multi-part
     detection: an empty FIRST part still marks a list-of-parts."""
