@@ -136,6 +136,47 @@ def test_extractor_windowed_mode_matches_full(tmp_path):
     np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
+def test_extractor_windowed_refcoco_mask_task_matches_full():
+    """RefCOCO SEG copies (refcoco_mask_task: per-copy RLE masks with
+    alpha-0 rect slots) through Extractor(windowed=True, with_masks)
+    match the exact full path — composed routing uses the rect ∪ mask
+    bbox target, and one oversized mask falls back to the full path."""
+    rng = np.random.RandomState(4)
+    cfg = tiny_detector_config()
+    model = AttrRCNN(cfg)
+    from cpt_tpu.engine.extract import Extractor, refcoco_mask_task
+
+    image = rng.randint(0, 256, (CANVAS, CANVAS, 3)).astype(np.uint8)
+    dets = np.asarray([[110.0, 110.0, 140.0, 140.0],
+                       [10.0, 10.0, 240.0, 240.0],
+                       [118.0, 104.0, 146.0, 132.0]], np.float32)
+    masks = np.zeros((3, CANVAS, CANVAS), np.uint8)
+    masks[0, 112:138, 112:138] = 1
+    masks[1, 12:238, 12:238] = 1      # huge: routes to the full path
+    masks[2, 106:130, 120:144] = 1
+    masks[:, ::7, :] = 0              # stripes: not a plain rect paint
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((CANVAS, CANVAS, 3)),
+        jnp.asarray([CANVAS, CANVAS]),
+        jnp.zeros((cfg.max_force_boxes, 4)),
+        jnp.ones((cfg.max_force_boxes,), bool))
+
+    def mk():
+        return refcoco_mask_task("q0", image, (CANVAS, CANVAS), dets,
+                                 masks, "query")
+
+    exact = Extractor(model, params, cfg, copies_per_chunk=2,
+                      with_masks=True)
+    ef, el, es = exact.extract_task(mk())
+    wnd = Extractor(model, params, cfg, copies_per_chunk=2, windowed=True,
+                    with_masks=True, window=(192, 192), halo=48)
+    wf, wl, ws = wnd.extract_task(mk())
+    assert wf.shape == ef.shape
+    np.testing.assert_array_equal(wl, el)
+    np.testing.assert_allclose(wf, ef, rtol=5e-3, atol=5e-3)
+
+
 def test_extractor_multi_window_auto_sizing(tmp_path):
     """window=[(small), (large)]: each copy routes to the smallest window
     its paint fits (per-task auto window sizing); features still match
