@@ -291,7 +291,7 @@ class CPTService:
             # bounded; scores are identical — padding is masked out.
             # Sizing up to the request's copy count also fixes the old
             # fixed-pad truncation of >score_batch-candidate requests.
-            n_copies = task.n_copies   # ≤ max_force_boxes (_prepare cap)
+            n_copies = task.n_copies   # ≤ MAX_REQUEST_DETS (_prepare cap)
             n_dets = min(len(task.det_boxes), SCORE_IMG_SEQ)
             bsz = max(self.args.score_batch, 8,
                       1 << max(n_copies - 1, 0).bit_length())

@@ -14,9 +14,10 @@ import pytest
 def server():
     from cpt_tpu.tools.serve import build_args, serve_forever
 
+    # default --score_batch 0 = the production auto pow2 bucketing path
     args = build_args().parse_args(
         ["--tiny", "--port", "0", "--hidden_size", "64",
-         "--num_hidden_layers", "2", "--score_batch", "8", "--no_warmup"])
+         "--num_hidden_layers", "2", "--no_warmup"])
     httpd = serve_forever(args)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -197,3 +198,9 @@ def test_predict_error_handling(server):
     assert code == 400 and "error" in resp
     code, resp = _post(server, "/nope", {})
     assert code == 404
+    # request-size bound: >MAX_REQUEST_DETS candidates → clean 400
+    h = w = server.svc.dcfg.input.buckets[0][0]
+    code, resp = _post(server, "/predict", {
+        "image_b64": _image_b64(h, w), "caption": "too many",
+        "dets": [[1, 1, 4, 4]] * 200})
+    assert code == 400 and "candidate dets" in resp["error"]
