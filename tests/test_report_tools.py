@@ -45,6 +45,42 @@ def test_show_ensemble_cli(tmp_path):
     assert acc2 == 50.0
 
 
+def test_show_ensemble_vcr_and_qar(tmp_path):
+    """--task vcr (gt stored in the pickles) and --task vcr_qar (both
+    heads must be right — eval/vcr/show_ensemble_results.py:17-22)."""
+    from cpt_tpu.tools.show_ensemble import main
+
+    def res(scores_by_q, gts):
+        return {q: {"pred": int(np.argmax(s)), "scores": np.asarray(s),
+                    "gt": gts[q]}
+                for q, s in scores_by_q.items()}
+
+    gts = {"q0": 1, "q1": 0}
+    pt_s = {"q0": [2.0, 1.0], "q1": [3.0, 0.0]}     # q0 wrong alone
+    cpt_s = {"q0": [0.0, 9.0], "q1": [1.0, 0.0]}    # rescues q0 at 3:1
+    pickle.dump({"results": res(pt_s, gts)}, open(tmp_path / "p.pk", "wb"))
+    pickle.dump({"results": res(cpt_s, gts)},
+                open(tmp_path / "c.pk", "wb"))
+    acc = main(["--task", "vcr", "--pt_results", str(tmp_path / "p.pk"),
+                "--cpt_results", str(tmp_path / "c.pk")])
+    assert acc == 100.0
+
+    # qar: answer head right for both qs, rationale head wrong on q1 →
+    # joint accuracy 50
+    r_gts = {"q0": 0, "q1": 1}
+    r_pt = {"q0": [5.0, 0.0], "q1": [5.0, 0.0]}
+    r_cpt = {"q0": [5.0, 0.0], "q1": [5.0, 0.0]}
+    pickle.dump({"results": {"qa": res(pt_s, gts), "qar": res(r_pt, r_gts)}},
+                open(tmp_path / "pq.pk", "wb"))
+    pickle.dump({"results": {"qa": res(cpt_s, gts),
+                             "qar": res(r_cpt, r_gts)}},
+                open(tmp_path / "cq.pk", "wb"))
+    acc = main(["--task", "vcr_qar",
+                "--pt_results", str(tmp_path / "pq.pk"),
+                "--cpt_results", str(tmp_path / "cq.pk")])
+    assert acc == 50.0
+
+
 def test_merge_shards_cli(tmp_path):
     from cpt_tpu.tools.merge_shards import main
 
